@@ -1,0 +1,570 @@
+"""Annotators: per-document span extractors.
+
+Each annotator maps a Document to a list of Annotations (ContextAnnotator
+rewrites the document's annotation set in place instead).  Behavior mirrors
+the reference pipeline stages configured in
+/root/reference/deduce/base_config.json:15-533 and implemented in
+/root/reference/deduce/annotator.py — re-implemented from observed semantics
+(the reference's unit tests are replayed against this module in tests/).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Sequence
+
+from deduce_ray.annotation import Annotation, AnnotationSet
+from deduce_ray.document import Document
+from deduce_ray.matching import str_match
+from deduce_ray.strproc import Lowercase
+from deduce_ray.structures import DsCollection, LookupSet, LookupTrie
+from deduce_ray.tokenizer import Token, WordTokenizer
+
+_LOWER = [Lowercase()]
+
+
+class Annotator:
+    """Base: every annotator has a tag and a priority."""
+
+    def __init__(self, tag: str, priority: int = 0) -> None:
+        self.tag = tag
+        self.priority = priority
+
+    def annotate(self, doc: Document) -> list[Annotation]:
+        raise NotImplementedError
+
+
+# ---------------------------------------------------------------------------
+# token-pattern predicate language
+# (reference: annotator.py:29-83; truth tables in tests/unit/test_annotator.py)
+# ---------------------------------------------------------------------------
+
+
+def match_position(spec: dict, token: Token, ds: DsCollection | None) -> bool:
+    """Evaluate a single-position predicate dict against one token."""
+    if len(spec) != 1:
+        raise ValueError(f"pattern position must have exactly 1 key: {spec}")
+    op, arg = next(iter(spec.items()))
+    text = token.text
+
+    if op == "equal":
+        return text == arg
+    if op == "re_match":
+        return re.match(arg, text) is not None
+    if op == "is_initials":
+        return (len(text) <= 4 and text.isupper()) == arg
+    if op == "like_name":
+        return (
+            len(text) >= 3 and text.istitle() and not any(c.isdigit() for c in text)
+        ) == arg
+    if op == "lookup":
+        return text in ds[arg]
+    if op == "neg_lookup":
+        return text not in ds[arg]
+    if op == "and":
+        return all(match_position(sub, token, ds) for sub in arg)
+    if op == "or":
+        return any(match_position(sub, token, ds) for sub in arg)
+    raise NotImplementedError(f"unknown pattern predicate: {op}")
+
+
+def _step(token: Token | None, direction: str, skip: set[str]) -> Token | None:
+    """Neighbouring token in the given direction, skipping tokens whose text
+    is in ``skip``."""
+    while token is not None:
+        token = token.next() if direction == "right" else token.previous()
+        if token is None or token.text not in skip:
+            break
+    return token
+
+
+class TokenPatternAnnotator(Annotator):
+    """Matches a sequence of per-token predicates along the token chain.
+
+    An optional first-position ``lookup`` prefilters candidate start tokens
+    through the token index (reference: annotator.py:111-129, 211-217).
+    """
+
+    def __init__(
+        self,
+        pattern: list[dict],
+        tag: str,
+        ds: DsCollection | None = None,
+        skip: Sequence[str] | None = None,
+        priority: int = 0,
+    ) -> None:
+        super().__init__(tag, priority)
+        self.pattern = pattern
+        self.ds = ds
+        self.skip = set(skip or [])
+        self._start_values: set[str] | None = None
+        self._start_pipeline = None
+        if pattern and "lookup" in pattern[0]:
+            if ds is None:
+                raise RuntimeError("lookup pattern requires lookup structures")
+            struct = ds[pattern[0]["lookup"]]
+            if not isinstance(struct, LookupSet):
+                raise ValueError("first-position lookup must name a LookupSet")
+            self._start_values = struct.items()
+            self._start_pipeline = struct.matching_pipeline
+
+    def match_sequence(
+        self,
+        text: str,
+        pattern: Sequence[dict],
+        start_token: Token,
+        direction: str = "right",
+        skip: set[str] | None = None,
+    ) -> Annotation | None:
+        skip = skip or set()
+        ordered = pattern if direction == "right" else list(reversed(pattern))
+
+        current: Token | None = start_token
+        last = start_token
+        for spec in ordered:
+            if current is None or not match_position(spec, current, self.ds):
+                return None
+            last = current
+            current = _step(current, direction, skip)
+
+        left, right = (start_token, last) if direction == "right" else (last, start_token)
+        return Annotation(
+            text=text[left.start_char : right.end_char],
+            start_char=left.start_char,
+            end_char=right.end_char,
+            tag=self.tag,
+            priority=self.priority,
+            start_token=left,
+            end_token=right,
+        )
+
+    def annotate(self, doc: Document) -> list[Annotation]:
+        tokens = doc.get_tokens()
+        if self._start_values is not None:
+            candidates = tokens.token_lookup(self._start_values, self._start_pipeline)
+        else:
+            candidates = tokens
+
+        found = []
+        for token in candidates:
+            ann = self.match_sequence(
+                doc.text, self.pattern, token, direction="right", skip=self.skip
+            )
+            if ann is not None:
+                found.append(ann)
+        return found
+
+
+class ContextAnnotator(TokenPatternAnnotator):
+    """Iteratively extends existing annotations left/right using context
+    patterns keyed on the first/last component of the existing tag
+    (reference: annotator.py:230-340)."""
+
+    def __init__(
+        self,
+        pattern: list[dict],
+        ds: DsCollection | None = None,
+        iterative: bool = True,
+    ) -> None:
+        super().__init__(pattern=pattern, tag="_", ds=ds)
+        self.iterative = iterative
+
+    def _extend_with_pattern(
+        self, text: str, annotations: AnnotationSet, ctx: dict
+    ) -> AnnotationSet:
+        direction = ctx["direction"]
+        skip = set(ctx.get("skip", []))
+
+        for ann in list(annotations):
+            parts = ann.tag.split("+")
+            component = parts[-1] if direction == "right" else parts[0]
+            if component not in ctx["pre_tag"]:
+                continue
+
+            anchor = ann.end_token if direction == "right" else ann.start_token
+            if anchor is None:
+                continue
+            start_token = _step(anchor, direction, skip)
+            if start_token is None:
+                continue
+
+            extension = self.match_sequence(
+                text, ctx["pattern"], start_token, direction=direction, skip=skip
+            )
+            if extension is None:
+                continue
+
+            left, right = (
+                (ann, extension) if direction == "right" else (extension, ann)
+            )
+            merged = Annotation(
+                text=text[left.start_char : right.end_char],
+                start_char=left.start_char,
+                end_char=right.end_char,
+                tag=ctx["tag"].format(tag=ann.tag),
+                priority=ann.priority,
+                start_token=left.start_token,
+                end_token=right.end_token,
+            )
+            annotations.discard(ann)
+            annotations.add(merged)
+
+        return annotations
+
+    def _expand(self, text: str, annotations: AnnotationSet) -> AnnotationSet:
+        original = AnnotationSet(annotations)
+
+        for ctx in self.pattern:
+            annotations = self._extend_with_pattern(text, annotations, ctx)
+
+        if self.iterative:
+            changed = AnnotationSet(annotations - original)
+            annotations = AnnotationSet(annotations & original)
+            if changed:
+                annotations.update(self._expand(text, changed))
+
+        return annotations
+
+    def annotate(self, doc: Document) -> list[Annotation]:
+        doc.annotations = self._expand(doc.text, doc.annotations)
+        return []
+
+
+# ---------------------------------------------------------------------------
+# multi-token lexicon lookup
+# ---------------------------------------------------------------------------
+
+
+class MultiTokenLookupAnnotator(Annotator):
+    """Longest-prefix trie match over token texts, with candidate start
+    tokens prefiltered through the document's token index."""
+
+    def __init__(
+        self, trie: LookupTrie, tag: str, overlapping: bool = False, priority: int = 0
+    ) -> None:
+        super().__init__(tag, priority)
+        self.trie = trie
+        self.overlapping = overlapping
+        self._start_words = trie.start_words()
+
+    def annotate(self, doc: Document) -> list[Annotation]:
+        tokens = doc.get_tokens()
+        starts = tokens.token_lookup(self._start_words, self.trie.matching_pipeline)
+        if not starts:
+            return []
+
+        texts = tokens.texts()
+        found = []
+        min_i = 0
+        for token in starts:
+            i = token.index
+            if i < min_i:
+                continue
+            span = self.trie.longest_matching_prefix(texts, start_i=i)
+            if span == 0:
+                continue
+            last = tokens[i + span - 1]
+            found.append(
+                Annotation(
+                    text=doc.text[token.start_char : last.end_char],
+                    start_char=token.start_char,
+                    end_char=last.end_char,
+                    tag=self.tag,
+                    priority=self.priority,
+                    start_token=token,
+                    end_token=last,
+                )
+            )
+            if not self.overlapping:
+                min_i = i + span
+        return found
+
+
+# ---------------------------------------------------------------------------
+# regexp annotators
+# ---------------------------------------------------------------------------
+
+
+class RegexpAnnotator(Annotator):
+    """Regexp matcher with an optional whole-document token gate
+    (``pre_match_words``) that skips documents cheaply."""
+
+    def __init__(
+        self,
+        regexp_pattern: str | re.Pattern,
+        tag: str,
+        capturing_group: int = 0,
+        pre_match_words: Sequence[str] | None = None,
+        priority: int = 0,
+    ) -> None:
+        super().__init__(tag, priority)
+        self.regexp = (
+            re.compile(regexp_pattern)
+            if isinstance(regexp_pattern, str)
+            else regexp_pattern
+        )
+        self.capturing_group = capturing_group
+        self.pre_match_words = set(pre_match_words) if pre_match_words else None
+
+    def _validate_match(self, match: re.Match, doc: Document) -> bool:
+        return True
+
+    def annotate(self, doc: Document) -> list[Annotation]:
+        if self.pre_match_words is not None:
+            words = doc.get_tokens().get_words(_LOWER)
+            if words.isdisjoint(self.pre_match_words):
+                return []
+
+        found = []
+        group = self.capturing_group
+        for match in self.regexp.finditer(doc.text):
+            if not self._validate_match(match, doc):
+                continue
+            text = match.group(group)
+            if text is None:
+                continue
+            start, end = match.span(group)
+            found.append(
+                Annotation(
+                    text=text,
+                    start_char=start,
+                    end_char=end,
+                    tag=self.tag,
+                    priority=self.priority,
+                )
+            )
+        return found
+
+
+class RegexpPseudoAnnotator(RegexpAnnotator):
+    """Regexp annotator that vetoes matches preceded/followed by certain
+    words (reference: annotator.py:488-594, used for ages)."""
+
+    def __init__(
+        self,
+        regexp_pattern: str | re.Pattern,
+        tag: str,
+        pre_pseudo: Sequence[str] | None = None,
+        post_pseudo: Sequence[str] | None = None,
+        lowercase: bool = True,
+        **kwargs,
+    ) -> None:
+        super().__init__(regexp_pattern, tag, **kwargs)
+        self.pre_pseudo = set(pre_pseudo or [])
+        self.post_pseudo = set(post_pseudo or [])
+        self.lowercase = lowercase
+
+    @staticmethod
+    def _is_word_char(char: str) -> bool:
+        return char.isalpha()
+
+    def _previous_word(self, index: int, text: str) -> str:
+        chunk = text[:index].strip()
+        chars = []
+        for ch in reversed(chunk):
+            if not ch.isalpha():
+                break
+            chars.append(ch)
+        return "".join(reversed(chars)).strip()
+
+    def _next_word(self, index: int, text: str) -> str:
+        chunk = text[index:].strip()
+        chars = []
+        for ch in chunk:
+            if not ch.isalpha():
+                break
+            chars.append(ch)
+        return "".join(chars)
+
+    def _validate_match(self, match: re.Match, doc: Document) -> bool:
+        start, end = match.span(0)
+        prev_word = self._previous_word(start, doc.text)
+        next_word = self._next_word(end, doc.text)
+        if self.lowercase:
+            prev_word = prev_word.lower()
+            next_word = next_word.lower()
+        return prev_word not in self.pre_pseudo and next_word not in self.post_pseudo
+
+
+# ---------------------------------------------------------------------------
+# specialized annotators
+# ---------------------------------------------------------------------------
+
+
+class BsnAnnotator(Annotator):
+    """Dutch BSN: 9-digit runs that pass the mod-11 'elfproef'
+    (reference: annotator.py:597-651)."""
+
+    def __init__(
+        self, bsn_regexp: str, tag: str, capture_group: int = 0, priority: int = 0
+    ) -> None:
+        super().__init__(tag, priority)
+        self.regexp = re.compile(bsn_regexp)
+        self.capture_group = capture_group
+
+    @staticmethod
+    def elfproef(bsn: str) -> bool:
+        if len(bsn) != 9 or not bsn.isdigit():
+            raise ValueError("elfproef requires exactly 9 digits")
+        weights = (9, 8, 7, 6, 5, 4, 3, 2, -1)
+        return sum(int(c) * w for c, w in zip(bsn, weights)) % 11 == 0
+
+    def annotate(self, doc: Document) -> list[Annotation]:
+        found = []
+        for match in self.regexp.finditer(doc.text):
+            text = match.group(self.capture_group)
+            digits = re.sub(r"\D", "", text)
+            if self.elfproef(digits):
+                start, end = match.span(self.capture_group)
+                found.append(
+                    Annotation(
+                        text=text,
+                        start_char=start,
+                        end_char=end,
+                        tag=self.tag,
+                        priority=self.priority,
+                    )
+                )
+        return found
+
+
+class PhoneNumberAnnotator(Annotator):
+    """Dutch phone numbers: regexp + digit-count window, max one hyphen,
+    paren trimming, and a -2 digit shift for 0800/0900/0906/0909 numbers
+    (reference: annotator.py:654-722)."""
+
+    def __init__(
+        self,
+        phone_regexp: str,
+        tag: str,
+        min_digits: int = 9,
+        max_digits: int = 11,
+        priority: int = 0,
+    ) -> None:
+        super().__init__(tag, priority)
+        self.regexp = re.compile(phone_regexp)
+        self.min_digits = min_digits
+        self.max_digits = max_digits
+
+    def annotate(self, doc: Document) -> list[Annotation]:
+        found = []
+        for match in self.regexp.finditer(doc.text):
+            full = match.group(0)
+            if full.count("-") > 1:
+                continue
+
+            prefix_with_parens = match.group(1)
+            prefix_digits = "0" + re.sub(r"\D", "", match.group(3))
+            number_digits = re.sub(r"\D", "", match.group(4))
+
+            shift = -2 if prefix_digits in ("0800", "0900", "0906", "0909") else 0
+            n_digits = len(prefix_digits) + len(number_digits)
+            if not (self.min_digits + shift <= n_digits <= self.max_digits + shift):
+                continue
+
+            left_trim = (
+                1
+                if prefix_with_parens.startswith("(")
+                and not prefix_with_parens.endswith(")")
+                else 0
+            )
+            start, end = match.span(0)
+            found.append(
+                Annotation(
+                    text=full[left_trim:],
+                    start_char=start + left_trim,
+                    end_char=end,
+                    tag=self.tag,
+                    priority=self.priority,
+                )
+            )
+        return found
+
+
+class PatientNameAnnotator(Annotator):
+    """Matches the document's own patient metadata (first names incl. fuzzy,
+    initials, multi-token fuzzy surname walk); reference:
+    annotator.py:343-485."""
+
+    def __init__(self, tokenizer: WordTokenizer, tag: str = "_", priority: int = 0) -> None:
+        super().__init__(tag, priority)
+        self.tokenizer = tokenizer
+
+    @staticmethod
+    def _match_first_names(doc: Document, token: Token):
+        for name in doc.metadata["patient"].first_names:
+            if str_match(token.text, name) or (
+                len(token.text) > 3 and str_match(token.text, name, max_edit_distance=1)
+            ):
+                return token, token
+        return None
+
+    @staticmethod
+    def _match_initial_from_name(doc: Document, token: Token):
+        for name in doc.metadata["patient"].first_names:
+            if str_match(token.text, name[0]):
+                nxt = token.next()
+                if nxt is not None and str_match(nxt.text, "."):
+                    return token, nxt
+                return token, token
+        return None
+
+    @staticmethod
+    def _match_initials(doc: Document, token: Token):
+        if str_match(token.text, doc.metadata["patient"].initials):
+            return token, token
+        return None
+
+    def _match_surname(self, doc: Document, token: Token):
+        if doc.metadata["surname_pattern"] is None:
+            doc.metadata["surname_pattern"] = self.tokenizer.tokenize(
+                doc.metadata["patient"].surname
+            )
+        pattern = doc.metadata["surname_pattern"]
+
+        pattern_token = pattern[0]
+        start = token
+        while True:
+            if not str_match(pattern_token.text, token.text, max_edit_distance=1):
+                return None
+            matched_end = token
+            pattern_token = pattern_token.next()
+            token = token.next()
+            if pattern_token is None:
+                return start, matched_end
+            if token is None:
+                return None
+
+    def annotate(self, doc: Document) -> list[Annotation]:
+        patient = doc.metadata["patient"]
+        if patient is None:
+            return []
+
+        matchers = []
+        if patient.first_names is not None:
+            matchers.append((self._match_first_names, "voornaam_patient"))
+            matchers.append((self._match_initial_from_name, "initiaal_patient"))
+        if patient.initials is not None:
+            matchers.append((self._match_initials, "initiaal_patient"))
+        if patient.surname is not None:
+            matchers.append((self._match_surname, "achternaam_patient"))
+
+        found = []
+        for token in doc.get_tokens():
+            for matcher, tag in matchers:
+                match = matcher(doc, token)
+                if match is None:
+                    continue
+                start_token, end_token = match
+                found.append(
+                    Annotation(
+                        text=doc.text[start_token.start_char : end_token.end_char],
+                        start_char=start_token.start_char,
+                        end_char=end_token.end_char,
+                        tag=tag,
+                        priority=self.priority,
+                        start_token=start_token,
+                        end_token=end_token,
+                    )
+                )
+        return found

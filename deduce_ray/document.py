@@ -1,0 +1,48 @@
+"""Per-row document state: text + metadata + cached tokens + annotations."""
+
+from __future__ import annotations
+
+from deduce_ray.annotation import AnnotationSet
+from deduce_ray.tokenizer import TokenList, WordTokenizer
+
+
+class MetaData:
+    """Dict-like metadata where missing keys read as None."""
+
+    __slots__ = ("_items",)
+
+    def __init__(self, items: dict | None = None) -> None:
+        self._items = dict(items or {})
+
+    def __getitem__(self, key: str):
+        return self._items.get(key)
+
+    def __setitem__(self, key: str, value) -> None:
+        self._items[key] = value
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._items
+
+
+class Document:
+    __slots__ = ("text", "metadata", "annotations", "deidentified_text", "_tokenizer", "_tokens")
+
+    def __init__(
+        self,
+        text: str,
+        tokenizer: WordTokenizer | None = None,
+        metadata: dict | None = None,
+    ) -> None:
+        self.text = text
+        self.metadata = MetaData(metadata)
+        self.annotations = AnnotationSet()
+        self.deidentified_text: str | None = None
+        self._tokenizer = tokenizer
+        self._tokens: TokenList | None = None
+
+    def get_tokens(self) -> TokenList:
+        if self._tokens is None:
+            if self._tokenizer is None:
+                raise RuntimeError("document has no tokenizer")
+            self._tokens = self._tokenizer.tokenize(self.text)
+        return self._tokens

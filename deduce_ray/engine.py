@@ -1,0 +1,228 @@
+"""Single-document engine facade.
+
+Builds the ordered processor tree from config + compiled lexicon and runs it
+over one document at a time.  This object is the per-actor state of the Ray
+annotate stage: constructed once in the actor's ``__init__`` (from the
+broadcast lexicon artifact), then applied to every row of every batch.
+
+Stage order mirrors the reference (base_config.json order plus code-appended
+processors, deduce.py:293-326):
+
+    names:        6 token patterns, 2 lookup tries, patient_name,
+                  name_context (iterative), eponymous_disease,
+                  person_annotation_converter*
+    locations:    placename, street_pattern, street_lookup, housenumber,
+                  postal_code, postbus, remove_street_tags*, clean_street_tags*
+    institutions: hospital, institution
+    dates:        date_dmy_1/2, date_ymd_1/2
+    ages:         age
+    identifiers:  bsn, identifier
+    phone_numbers / email_addresses / urls
+    post_processing: overlap_resolver -> merge_adjacent_annotations -> redactor
+    (* appended in code)
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from deduce_ray import annotators as ann_mod
+from deduce_ray.annotation import AnnotationSet
+from deduce_ray.config import default_config
+from deduce_ray.document import Document
+from deduce_ray.lexicon import DEFAULT_LOOKUP_PATH, load_or_build_lexicon
+from deduce_ray.linker import DeduceRedactor, assign_entity_ids
+from deduce_ray.person import Person
+from deduce_ray.processors import (
+    AnnotationProcessor,
+    CleanAnnotationTag,
+    DeduceMergeAdjacentAnnotations,
+    OverlapResolver,
+    PersonAnnotationConverter,
+    RemoveAnnotations,
+)
+from deduce_ray.structures import DsCollection
+from deduce_ray.tokenizer import WordTokenizer
+
+
+class DeduceEngine:
+    """The full rule pipeline over single documents."""
+
+    def __init__(
+        self,
+        lookup_data_path: str | Path = DEFAULT_LOOKUP_PATH,
+        cache_dir: str | Path | None = None,
+        config: dict | None = None,
+        build_lookup_structs: bool = False,
+        lexicon: tuple[DsCollection, WordTokenizer] | None = None,
+    ) -> None:
+        self.config = default_config(config)
+        if lexicon is not None:
+            self.lookup_structs, self.tokenizer = lexicon
+        else:
+            self.lookup_structs, self.tokenizer = load_or_build_lexicon(
+                lookup_data_path, cache_dir=cache_dir, build=build_lookup_structs
+            )
+        self._build_processors()
+
+    # ------------------------------------------------------------------
+    # construction
+    # ------------------------------------------------------------------
+
+    def _make_annotator(self, spec: dict) -> ann_mod.Annotator:
+        kind = spec["type"]
+        args = dict(spec["args"])
+        ds = self.lookup_structs
+
+        if kind == "token_pattern":
+            return ann_mod.TokenPatternAnnotator(ds=ds, **args)
+        if kind == "context":
+            return ann_mod.ContextAnnotator(ds=ds, **args)
+        if kind == "multi_token_lookup":
+            trie = ds[args.pop("lookup_values")]
+            return ann_mod.MultiTokenLookupAnnotator(trie=trie, **args)
+        if kind == "patient_name":
+            return ann_mod.PatientNameAnnotator(tokenizer=self.tokenizer, **args)
+        if kind == "regexp":
+            return ann_mod.RegexpAnnotator(**args)
+        if kind == "regexp_pseudo":
+            return ann_mod.RegexpPseudoAnnotator(**args)
+        if kind == "bsn":
+            return ann_mod.BsnAnnotator(**args)
+        if kind == "phone":
+            return ann_mod.PhoneNumberAnnotator(**args)
+        raise ValueError(f"unknown annotator type: {kind}")
+
+    def _build_processors(self) -> None:
+        # groups: ordered dict of group name -> list[(name, processor)]
+        groups: dict[str, list] = {}
+        for name, spec in self.config["annotators"].items():
+            groups.setdefault(spec["group"], []).append(
+                (name, self._make_annotator(spec))
+            )
+
+        groups.setdefault("names", []).append(
+            ("person_annotation_converter", PersonAnnotationConverter())
+        )
+        groups.setdefault("locations", []).append(
+            ("remove_street_tags", RemoveAnnotations(tags=["straat"]))
+        )
+        groups["locations"].append(
+            (
+                "clean_street_tags",
+                CleanAnnotationTag(
+                    tag_map={
+                        "straat+huisnummer": "locatie",
+                        "straat+huisnummer+huisnummerletter": "locatie",
+                    }
+                ),
+            )
+        )
+
+        strategy = self.config["resolve_overlap_strategy"]
+        callbacks = {
+            attr: ((lambda x: x) if asc else (lambda x: -x))
+            for attr, asc in zip(strategy["attributes"], strategy["ascending"])
+        }
+        self.redactor = DeduceRedactor(
+            open_char=self.config["redactor_open_char"],
+            close_char=self.config["redactor_close_char"],
+        )
+        groups["post_processing"] = [
+            (
+                "overlap_resolver",
+                OverlapResolver(
+                    sort_by=tuple(strategy["attributes"]),
+                    sort_by_callbacks=callbacks,
+                ),
+            ),
+            (
+                "merge_adjacent_annotations",
+                DeduceMergeAdjacentAnnotations(
+                    slack_regexp=self.config["adjacent_annotations_slack"],
+                    check_overlap=False,
+                ),
+            ),
+            ("redactor", self.redactor),
+        ]
+        self.processor_groups = groups
+
+    def group_names(self, group: str) -> set[str]:
+        """Names that enable a whole group: the group name plus its members
+        (mirrors the reference regression harness,
+        tests/regression/test_regression.py:37-38)."""
+        return {name for name, _ in self.processor_groups[group]} | {group}
+
+    # ------------------------------------------------------------------
+    # execution
+    # ------------------------------------------------------------------
+
+    def deidentify(
+        self,
+        text: str,
+        metadata: dict | None = None,
+        enabled: set[str] | None = None,
+        disabled: set[str] | None = None,
+    ) -> Document:
+        if enabled is not None and disabled is not None:
+            raise ValueError("pass either enabled or disabled, not both")
+
+        doc = Document(text, tokenizer=self.tokenizer, metadata=metadata)
+
+        for group_name, members in self.processor_groups.items():
+            if enabled is not None and group_name not in enabled:
+                continue
+            if disabled is not None and group_name in disabled:
+                continue
+            for name, proc in members:
+                if enabled is not None and name not in enabled:
+                    continue
+                if disabled is not None and name in disabled:
+                    continue
+                self._run_processor(proc, doc)
+        return doc
+
+    @staticmethod
+    def _run_processor(proc, doc: Document) -> None:
+        if isinstance(proc, ann_mod.Annotator):
+            new = proc.annotate(doc)
+            if new:
+                doc.annotations.update(new)
+        elif isinstance(proc, AnnotationProcessor):
+            doc.annotations = proc.process_annotations(doc.annotations, doc.text)
+        elif isinstance(proc, DeduceRedactor):
+            doc.deidentified_text = proc.redact(doc.text, doc.annotations)
+        else:
+            raise TypeError(f"unknown processor: {proc!r}")
+
+    # ------------------------------------------------------------------
+    # KG view: mentions + per-doc entity links
+    # ------------------------------------------------------------------
+
+    def extract_mentions(
+        self,
+        text: str,
+        patient: Person | None = None,
+        enabled: set[str] | None = None,
+        disabled: set[str] | None = None,
+        with_redacted: bool = False,
+    ) -> dict:
+        """Run the pipeline and return mention rows + entity assignment for
+        the triple table (sorted by span for deterministic output)."""
+        metadata = {"patient": patient} if patient is not None else None
+        doc = self.deidentify(text, metadata=metadata, enabled=enabled, disabled=disabled)
+        entity_ids = assign_entity_ids(doc.annotations)
+        mentions = [
+            {
+                "pred": ann.tag,
+                "obj": ann.text,
+                "start_char": ann.start_char,
+                "end_char": ann.end_char,
+                "entity_id": entity_ids[ann],
+            }
+            for ann in doc.annotations.sorted_by(("start_char",))
+        ]
+        out = {"mentions": mentions}
+        if with_redacted:
+            out["redacted"] = doc.deidentified_text
+        return out

@@ -1,0 +1,196 @@
+"""Tokenization.
+
+Token semantics mirror the reference tokenizer
+(/root/reference/deduce/tokenizer.py:6, 111-136): a token is a run of word
+characters, a single newline/CR/tab, a run of 4+ spaces, or any single
+non-space character; runs of 1-3 spaces are not tokens.  Multi-word merge
+terms (name prefixes/interfixes such as "van der") are re-joined into single
+tokens via a trie over token texts (tokenizer.py:68-109).
+
+Unlike the reference's doubly-linked token objects, tokens here live in one
+list and navigate by index — cheaper to build per document and trivially
+serializable.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterable, Sequence
+
+from deduce_ray.strproc import apply_pipeline
+from deduce_ray.structures import LookupTrie
+
+TOKEN_RE = re.compile(r"\w+|[\n\r\t]| {4,}|[^ ]", re.IGNORECASE | re.MULTILINE)
+
+
+class Token:
+    """One token; knows its neighbours through the owning list."""
+
+    __slots__ = ("text", "start_char", "end_char", "_tokens", "_i")
+
+    def __init__(
+        self,
+        text: str,
+        start_char: int,
+        end_char: int,
+        tokens: list | None = None,
+        i: int = -1,
+    ) -> None:
+        self.text = text
+        self.start_char = start_char
+        self.end_char = end_char
+        self._tokens = tokens
+        self._i = i
+
+    def next(self) -> "Token | None":
+        if self._tokens is None or self._i + 1 >= len(self._tokens):
+            return None
+        return self._tokens[self._i + 1]
+
+    def previous(self) -> "Token | None":
+        if self._tokens is None or self._i <= 0:
+            return None
+        return self._tokens[self._i - 1]
+
+    @property
+    def index(self) -> int:
+        return self._i
+
+    def __eq__(self, other) -> bool:
+        if not isinstance(other, Token):
+            return NotImplemented
+        return (
+            self.text == other.text
+            and self.start_char == other.start_char
+            and self.end_char == other.end_char
+        )
+
+    def __hash__(self) -> int:
+        return hash((self.text, self.start_char, self.end_char))
+
+    def __repr__(self) -> str:
+        return f"Token({self.text!r}, {self.start_char}, {self.end_char})"
+
+
+class TokenList:
+    """Indexable token sequence with a lazily-built inverted index used to
+    prefilter candidate start tokens for lookup annotators."""
+
+    __slots__ = ("_tokens", "_word_index_cache")
+
+    def __init__(self, tokens: list[Token]) -> None:
+        self._tokens = tokens
+        self._word_index_cache: dict = {}
+
+    def __len__(self) -> int:
+        return len(self._tokens)
+
+    def __getitem__(self, i: int) -> Token:
+        return self._tokens[i]
+
+    def __iter__(self):
+        return iter(self._tokens)
+
+    def texts(self) -> list[str]:
+        return [t.text for t in self._tokens]
+
+    def _word_index(self, pipeline_key: tuple, pipeline: Sequence) -> dict:
+        index = self._word_index_cache.get(pipeline_key)
+        if index is None:
+            index = {}
+            for tok in self._tokens:
+                text = tok.text
+                if pipeline:
+                    text = apply_pipeline(text, pipeline)
+                    if text is None:
+                        continue
+                index.setdefault(text, []).append(tok)
+            self._word_index_cache[pipeline_key] = index
+        return index
+
+    @staticmethod
+    def _pipeline_key(pipeline: Sequence | None) -> tuple:
+        return tuple(type(p).__name__ for p in (pipeline or ()))
+
+    def get_words(self, pipeline: Sequence | None = None) -> set[str]:
+        return set(self._word_index(self._pipeline_key(pipeline), pipeline or ()))
+
+    def token_lookup(
+        self, lookup_values: set[str], matching_pipeline: Sequence | None = None
+    ) -> list[Token]:
+        """Tokens whose (normalized) text is in ``lookup_values``, in
+        document order."""
+        index = self._word_index(
+            self._pipeline_key(matching_pipeline), matching_pipeline or ()
+        )
+        hits: list[Token] = []
+        if len(lookup_values) < len(index):
+            for value in lookup_values:
+                found = index.get(value)
+                if found:
+                    hits.extend(found)
+            hits.sort(key=lambda t: t.start_char)
+        else:
+            for text, toks in index.items():
+                if text in lookup_values:
+                    hits.extend(toks)
+            hits.sort(key=lambda t: t.start_char)
+        return hits
+
+
+class WordTokenizer:
+    """Regex tokenizer with multi-word merge terms."""
+
+    def __init__(self, merge_terms: Iterable[str] | None = None) -> None:
+        self._merge_trie: LookupTrie | None = None
+        self._merge_start_words: set[str] = set()
+        if merge_terms is not None:
+            trie = LookupTrie()
+            for term in merge_terms:
+                parts = [m.group(0) for m in TOKEN_RE.finditer(term)]
+                if not parts:
+                    continue
+                trie.add_item(parts)
+                self._merge_start_words.add(parts[0])
+            self._merge_trie = trie
+
+    def tokenize(self, text: str) -> TokenList:
+        raw: list[Token] = [
+            Token(m.group(0), m.start(), m.end()) for m in TOKEN_RE.finditer(text)
+        ]
+
+        if self._merge_trie is not None and raw:
+            raw = self._merge(text, raw)
+
+        for i, tok in enumerate(raw):
+            tok._tokens = raw
+            tok._i = i
+        return TokenList(raw)
+
+    def _merge(self, text: str, tokens: list[Token]) -> list[Token]:
+        texts = [t.text for t in tokens]
+        out: list[Token] = []
+        i = 0
+        n = len(tokens)
+        start_words = self._merge_start_words
+        trie = self._merge_trie
+        while i < n:
+            if texts[i] not in start_words:
+                out.append(tokens[i])
+                i += 1
+                continue
+            span = trie.longest_matching_prefix(texts, start_i=i)
+            if span <= 1:
+                out.append(tokens[i])
+                i += 1
+            else:
+                first, last = tokens[i], tokens[i + span - 1]
+                out.append(
+                    Token(
+                        text[first.start_char : last.end_char],
+                        first.start_char,
+                        last.end_char,
+                    )
+                )
+                i += span
+        return out
