@@ -236,42 +236,36 @@ class ContextAnnotator(TokenPatternAnnotator):
 
 
 class MultiTokenLookupAnnotator(Annotator):
-    """Longest-prefix trie match over token texts, with candidate start
-    tokens prefiltered through the document's token index."""
+    """Longest-prefix lexicon match over token texts.  Accepts either a
+    build-time LookupTrie or a compiled PackedTrie — anything exposing
+    ``find_spans(texts) -> [(start_index, length)]``."""
 
     def __init__(
-        self, trie: LookupTrie, tag: str, overlapping: bool = False, priority: int = 0
+        self, trie, tag: str, overlapping: bool = False, priority: int = 0
     ) -> None:
         super().__init__(tag, priority)
         self.trie = trie
         self.overlapping = overlapping
-        self._start_words = trie.start_words()
 
     def annotate(self, doc: Document) -> list[Annotation]:
         tokens = doc.get_tokens()
-        starts = tokens.token_lookup(self._start_words, self.trie.matching_pipeline)
-        if not starts:
+        if not len(tokens):
             return []
 
-        texts = tokens.texts()
         found = []
         min_i = 0
-        for token in starts:
-            i = token.index
+        for i, span in self.trie.find_spans(tokens.texts()):
             if i < min_i:
                 continue
-            span = self.trie.longest_matching_prefix(texts, start_i=i)
-            if span == 0:
-                continue
-            last = tokens[i + span - 1]
+            first, last = tokens[i], tokens[i + span - 1]
             found.append(
                 Annotation(
-                    text=doc.text[token.start_char : last.end_char],
-                    start_char=token.start_char,
+                    text=doc.text[first.start_char : last.end_char],
+                    start_char=first.start_char,
                     end_char=last.end_char,
                     tag=self.tag,
                     priority=self.priority,
-                    start_token=token,
+                    start_token=first,
                     end_token=last,
                 )
             )

@@ -23,6 +23,7 @@ import re
 from pathlib import Path
 
 from deduce_ray import strproc as sp
+from deduce_ray.packed_trie import PackedTrie
 from deduce_ray.structures import DsCollection, LookupSet, LookupTrie
 from deduce_ray.tokenizer import WordTokenizer
 
@@ -157,6 +158,10 @@ def set_to_trie(lookup_set: LookupSet, tokenizer: WordTokenizer) -> LookupTrie:
     for item in lookup_set.items():
         trie.add_item([tok.text for tok in tokenizer.tokenize(item)])
     return trie
+
+
+def pack_trie(trie: LookupTrie) -> PackedTrie:
+    return PackedTrie.from_lookup_trie(trie)
 
 
 def load_prefix(raw: dict[str, set[str]]) -> LookupSet:
@@ -332,7 +337,9 @@ def compile_lexicon(
     for name, loader in SET_LOADERS.items():
         structs[name] = loader(raw)
     for name, loader in TRIE_LOADERS.items():
-        structs[name] = loader(raw, tokenizer)
+        # compile to the numpy-packed form: loads in milliseconds per actor
+        # instead of tens of seconds for nested-dict tries
+        structs[name] = pack_trie(loader(raw, tokenizer))
     return structs, tokenizer
 
 

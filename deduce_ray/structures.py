@@ -166,6 +166,25 @@ class LookupTrie:
                     stack.append(child)
         return count
 
+    def find_spans(self, texts: Sequence[str]) -> list[tuple[int, int]]:
+        """All (start_index, longest_matching_length) spans over token texts
+        (same contract as PackedTrie.find_spans)."""
+        spans = []
+        root = self._root
+        norm = self._norm if self.matching_pipeline else None
+        for i in range(len(texts)):
+            tok = texts[i]
+            if norm is not None:
+                tok = norm(tok)
+                if tok is None:
+                    continue
+            if tok not in root:
+                continue
+            length = self.longest_matching_prefix(texts, start_i=i)
+            if length:
+                spans.append((i, length))
+        return spans
+
 
 class DsCollection(dict):
     """Named collection of lookup structures (plain dict subclass)."""

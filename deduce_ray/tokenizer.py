@@ -76,11 +76,12 @@ class TokenList:
     """Indexable token sequence with a lazily-built inverted index used to
     prefilter candidate start tokens for lookup annotators."""
 
-    __slots__ = ("_tokens", "_word_index_cache")
+    __slots__ = ("_tokens", "_word_index_cache", "_texts")
 
     def __init__(self, tokens: list[Token]) -> None:
         self._tokens = tokens
         self._word_index_cache: dict = {}
+        self._texts: list[str] | None = None
 
     def __len__(self) -> int:
         return len(self._tokens)
@@ -92,7 +93,9 @@ class TokenList:
         return iter(self._tokens)
 
     def texts(self) -> list[str]:
-        return [t.text for t in self._tokens]
+        if self._texts is None:
+            self._texts = [t.text for t in self._tokens]
+        return self._texts
 
     def _word_index(self, pipeline_key: tuple, pipeline: Sequence) -> dict:
         index = self._word_index_cache.get(pipeline_key)

@@ -1,0 +1,86 @@
+import random
+
+from deduce_ray import strproc as sp
+from deduce_ray.packed_trie import PackedTrie
+from deduce_ray.structures import LookupSet, LookupTrie
+
+
+def test_lookup_set_matching_pipeline():
+    ls = LookupSet(matching_pipeline=[sp.Lowercase()])
+    ls.add_items_from_iterable(["Utrecht", "AMSTERDAM"])
+    assert "utrecht" in ls
+    assert "UTRECHT" in ls
+    assert "Amsterdam" in ls
+    assert "Rotterdam" not in ls
+
+
+def test_lookup_set_cleaning_pipeline():
+    ls = LookupSet()
+    ls.add_items_from_iterable(["ab", "c", "def"], cleaning_pipeline=[sp.FilterByLength(min_len=2)])
+    assert ls.items() == {"ab", "def"}
+
+
+def test_lookup_set_self_variants():
+    ls = LookupSet()
+    ls.add_items_from_iterable(["van", "de"])
+    ls.add_items_from_self(cleaning_pipeline=[sp.UppercaseFirstChar()])
+    assert ls.items() == {"van", "de", "Van", "De"}
+
+
+def test_lookup_set_algebra():
+    a = LookupSet().add_items_from_iterable(["x", "y", "z"])
+    b = LookupSet().add_items_from_iterable(["y"])
+    assert (a - b).items() == {"x", "z"}
+    assert (a + b).items() == {"x", "y", "z"}
+
+
+def test_trie_longest_prefix():
+    trie = LookupTrie()
+    trie.add_item(["Bergen"])
+    trie.add_item(["Bergen", "op", "Zoom"])
+    texts = ["in", "Bergen", "op", "Zoom", "."]
+    assert trie.longest_matching_prefix(texts, start_i=1) == 3
+    assert trie.longest_matching_prefix(texts, start_i=0) == 0
+    assert trie.longest_matching_prefix(["Bergen", "op"], start_i=0) == 1
+
+
+def test_trie_matching_pipeline():
+    trie = LookupTrie(matching_pipeline=[sp.Lowercase()])
+    trie.add_item(["UMC", "Utrecht"])
+    assert trie.longest_matching_prefix(["umc", "utrecht"], 0) == 2
+    assert trie.longest_matching_prefix(["UMC", "UTRECHT"], 0) == 2
+
+
+def test_packed_trie_equivalence_random():
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    trie = LookupTrie()
+    for _ in range(300):
+        seq = [rng.choice(vocab) for _ in range(rng.randint(1, 5))]
+        trie.add_item(seq)
+    packed = PackedTrie.from_lookup_trie(trie)
+
+    for _ in range(200):
+        texts = [rng.choice(vocab) for _ in range(rng.randint(1, 30))]
+        assert trie.find_spans(texts) == packed.find_spans(texts)
+        for i in range(len(texts)):
+            assert trie.longest_matching_prefix(texts, i) == packed.longest_matching_prefix(texts, i)
+
+
+def test_packed_trie_pipeline():
+    trie = LookupTrie(matching_pipeline=[sp.Lowercase()])
+    trie.add_item(["UMC", "Utrecht"])
+    trie.add_item(["AMC"])
+    packed = PackedTrie.from_lookup_trie(trie)
+    assert packed.find_spans(["naar", "het", "umc", "UTRECHT"]) == [(2, 2)]
+    assert packed.find_spans(["amc"]) == [(0, 1)]
+
+
+def test_packed_trie_pickle_roundtrip():
+    import pickle
+
+    trie = LookupTrie()
+    trie.add_item(["a", "b"])
+    trie.add_item(["a"])
+    packed = pickle.loads(pickle.dumps(PackedTrie.from_lookup_trie(trie)))
+    assert packed.find_spans(["a", "b", "a"]) == [(0, 2), (2, 1)]
