@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline on sf0.001.  ``queries()`` exposes
+one callable per implemented operator/pipeline (SURVEY.md §2 inventory +
+the training-data ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for
+every SQL-expressible query (same column names, exact-match numerics).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +14,359 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_LEX_REF = None
+
+
+def _lexicon_ref():
+    global _LEX_REF
+    if _LEX_REF is None:
+        from deduce_ray.rayops.annotate import broadcast_lexicon
+
+        _LEX_REF = broadcast_lexicon()
+    return _LEX_REF
+
+
+def _repo_table(sf_dir: str):
+    from deduce_ray.corpus import read_repo_table
+
+    return read_repo_table(sf_dir)
+
+
+def _triples(sf_dir: str, enabled=None):
+    from deduce_ray.rayops.annotate import extract_triples
+
+    return extract_triples(
+        _repo_table(sf_dir), lexicon_ref=_lexicon_ref(), enabled=enabled
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: documents -> repo table -> annotate actor pool -> dedup'd
+    triple graph (sf0.001)."""
+    from deduce_ray.rayops.kg import dedup_triples
+
+    return dedup_triples(_triples("/root/testdata/sf0.001"))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_kg_triples(sf_dir: str):
+    return _triples(sf_dir).select_columns(
+        ["doc_id", "pred", "obj", "start_char", "end_char", "entity_id"]
+    )
+
+
+def _q_kg_triples_by_pred(sf_dir: str):
+    from deduce_ray.ops.agg import grouped_agg
+
+    return grouped_agg(
+        _triples(sf_dir).select_columns(["pred"]),
+        keys=["pred"],
+        aggs={"n_mentions": (None, "count")},
+    )
+
+
+def _q_kg_graph(sf_dir: str):
+    from deduce_ray.rayops.kg import dedup_triples
+
+    return dedup_triples(_triples(sf_dir))
+
+
+def _q_kg_entities(sf_dir: str):
+    from deduce_ray.rayops.kg import canonical_entities
+
+    return canonical_entities(_triples(sf_dir))
+
+
+def _mentions_query(enabled: set[str], pred: str):
+    def run(sf_dir: str):
+        ds = _triples(sf_dir, enabled=enabled)
+
+        def project(batch):
+            import pyarrow.compute as pc
+
+            batch = batch.filter(pc.equal(batch.column("pred"), pred))
+            return batch.select(["doc_id", "obj"])
+
+        return ds.map_batches(project, batch_format="pyarrow")
+
+    return run
+
+
+def _q_doc_token_counts(sf_dir: str):
+    import ray.data
+
+    from deduce_ray.ops.textstats import token_count_batch
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(token_count_batch, batch_format="pyarrow")
+
+
+def _q_doc_quality(sf_dir: str):
+    import ray.data
+
+    from deduce_ray.ops.textstats import quality_batch
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(quality_batch, batch_format="pyarrow")
+
+
+def _q_doc_fingerprints(sf_dir: str):
+    import ray.data
+
+    from deduce_ray.ops.textstats import fingerprint_batch
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def _q_doc_langid(sf_dir: str):
+    import ray.data
+
+    from deduce_ray.ops.agg import grouped_agg
+    from deduce_ray.ops.textstats import langid_batch
+
+    per_doc = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(langid_batch, batch_format="pyarrow")
+    return grouped_agg(
+        per_doc, keys=["predicted_lang"], aggs={"n_docs": (None, "count")}
+    )
+
+
+def _q_exact_dedup(sf_dir: str):
+    import ray.data
+
+    from deduce_ray.ops.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    )
+
+
+def _q_minhash_pairs(sf_dir: str):
+    import ray.data
+
+    from deduce_ray.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        threshold=0.5,
+    )
+
+
+def _q_simhash_pairs(sf_dir: str):
+    import ray.data
+
+    from deduce_ray.ops.dedup import simhash_pairs
+
+    return simhash_pairs(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    )
+
+
+def _q_embedding_neardup(sf_dir: str):
+    import ray.data
+
+    from deduce_ray.ops.dedup import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.9
+    )
+
+
+def _load_query_vectors(sf_dir: str, n: int = 5):
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    import numpy as np
+    import pyarrow.compute as pc
+
+    mask = pc.less(tbl.column("vec_id"), n)
+    sub = tbl.filter(mask)
+    order = np.argsort(np.asarray(sub.column("vec_id").to_pylist()))
+    vecs = np.asarray(sub.column("embedding").to_pylist(), dtype=np.float64)
+    return vecs[order]
+
+
+def _q_ann_topk(sf_dir: str):
+    import ray.data
+
+    from deduce_ray.ops.similarity import brute_force_topk
+
+    return brute_force_topk(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        queries=_load_query_vectors(sf_dir),
+        k=10,
+    )
+
+
+def _q_ann_topk_lsh(sf_dir: str):
+    import ray.data
+
+    from deduce_ray.ops.similarity import lsh_bucketed_topk
+
+    return lsh_bucketed_topk(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        queries=_load_query_vectors(sf_dir),
+        k=10,
+    )
+
+
+def _q_media_features(sf_dir: str):
+    import ray.data
+
+    from deduce_ray.ops.multimodal import extract_media_features, synthesize_media_batch
+
+    media = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(synthesize_media_batch, batch_format="pyarrow")
+    return extract_media_features(media, fake_decoder=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from deduce_ray.ops import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
+    return {
+        # --- KG construction pipeline (flagship) ---
+        "kg_triples": _q_kg_triples,
+        "kg_triples_by_pred": _q_kg_triples_by_pred,
+        "kg_graph": _q_kg_graph,
+        "kg_entities": _q_kg_entities,
+        # --- single annotator groups, value-checked against DuckDB regex ---
+        "kg_emails": _mentions_query({"email_addresses", "email"}, "emailadres"),
+        "kg_identifiers": _mentions_query({"identifiers", "identifier"}, "id"),
+        "kg_urls": _mentions_query({"urls", "url"}, "url"),
+        "kg_postbus": _mentions_query({"locations", "postbus"}, "locatie"),
+        # --- text analysis ---
+        "doc_token_counts": _q_doc_token_counts,
+        "doc_quality": _q_doc_quality,
+        "doc_fingerprints": _q_doc_fingerprints,
+        "doc_langid": _q_doc_langid,
+        # --- dedup family ---
+        "exact_dedup": _q_exact_dedup,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_neardup": _q_embedding_neardup,
+        # --- similarity search ---
+        "ann_topk": _q_ann_topk,
+        "ann_topk_lsh": _q_ann_topk_lsh,
+        # --- multimodal plumbing (stubbed decode) ---
+        "media_features": _q_media_features,
+        # --- relational ops over the TPC-H-ish tables ---
+        "pricing_summary": rel.pricing_summary,
+        "top_customers": rel.top_customers,
+        "events_by_type": rel.events_by_type,
+        "brand_volume": rel.brand_volume,
+        "region_customers": rel.region_customers,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE_SQL = (
+    "(([-a-zA-Z0-9:%._\\+~#=]{1,256})@([-a-zA-Z0-9:%._\\+~#=]{1,256})(\\.)"
+    "(com|net|org|co|us|uk|nl|be|fr|sp|gov|nu))"
+)
+_URL_RE_SQL = (
+    "((https?:\\/\\/(?:www\\.)?)?([-a-zA-Z0-9:%._\\+~#=]{1,256})(\\.)"
+    "(com|net|org|co|us|uk|nl|be|fr|sp|gov|nu)(\\b)"
+    "([():%_\\+.~,]*[-a-zA-Z-0-9#?&/=]+)*)"
+)
+
+
+def _mention_oracle(pattern: str) -> str:
+    from deduce_ray.corpus import sql_content_expr
+
+    content = sql_content_expr()
+    return f"""
+        WITH docs AS (
+          SELECT doc_id, {content} AS content FROM documents
+        )
+        SELECT lower(sha256(content)) AS doc_id,
+               unnest(regexp_extract_all(content, '{pattern}')) AS obj
+        FROM docs
     """
-    return {}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from deduce_ray.ops import relational as rel
+
+    return {
+        "kg_emails": _mention_oracle(_EMAIL_RE_SQL),
+        "kg_identifiers": _mention_oracle("[0-9]{7,}"),
+        "kg_urls": _mention_oracle(_URL_RE_SQL),
+        "kg_postbus": _mention_oracle("[Pp]ostbus[ \\t\\n][0-9]{1,5}(\\.[0-9]{2,4})?"),
+        "doc_token_counts": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+'))
+                        AS BIGINT) AS n_ws_tokens,
+                   CAST(length(regexp_extract_all(text,
+                        '[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n\\r\\f]'))
+                        AS BIGINT) AS n_re_tokens
+            FROM documents
+        """,
+        "doc_quality": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        AS BIGINT) AS n_alpha,
+                   CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                        AS BIGINT) AS n_digit,
+                   CAST(length(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+'))
+                        AS BIGINT) AS n_ws_tokens,
+                   CAST(floor(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        AS DOUBLE) * 1000000 / length(text)) AS BIGINT) AS alpha_ppm,
+                   CAST(floor(CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                        AS DOUBLE) * 1000000 / length(text)) AS BIGINT) AS digit_ppm
+            FROM documents
+        """,
+        "doc_fingerprints": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "exact_dedup": """
+            SELECT md5(text) AS content_hash,
+                   MIN(doc_id) AS keep_id,
+                   COUNT(*) AS n_dupes
+            FROM documents
+            GROUP BY md5(text)
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+                       AS score
+              FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, score,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, vec_id
+                     ) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, score, rank FROM ranked WHERE rank <= 10
+        """,
+        "pricing_summary": rel.pricing_summary_sql(),
+        "top_customers": rel.top_customers_sql(),
+        "events_by_type": rel.events_by_type_sql(),
+        "brand_volume": rel.brand_volume_sql(),
+        "region_customers": rel.region_customers_sql(),
+    }

@@ -1,0 +1,117 @@
+"""Deterministic synthesis of the engine's input table.
+
+BASELINE.json's input_hint fixes the input schema:
+    (repo: string, path: string, commit: string, lang: string, content: string)
+
+The driver-provided ``documents.parquet`` (doc_id, text, lang, source,
+n_chars) supplies neutral bulk text; this module deterministically maps it
+into that shape (FIXTURES.md §1/§6):
+
+  - ``repo``:   Zipf-skewed — 30%% of rows land in one hot repo, the rest
+                spread over 37 repos (exercises skew-aware shuffling).
+  - ``path``/``commit``: derived from doc_id (commit = sha256 hex, 40 chars).
+  - ``content``: text + one PHI-bearing snippet chosen by doc_id %% N, so the
+                annotators have something to find.  The construction is a
+                pure function of (doc_id, text) and is also expressible in
+                SQL — DuckDB oracles rebuild the identical content.
+
+Snippets are original sentences in the style of the reference's corpus (not
+copied from it).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+# One snippet per PHI category mix; index = doc_id % len(SNIPPETS).
+SNIPPETS = [
+    "Patient Jan Jansen, bsn 111222333, werd gezien door dr. Peter de Visser.",
+    "Mevrouw Maria van den Berg is 57 jaar en woont in Rotterdam.",
+    "Opname op 14-03-2021 in het UMCU, ontslag volgde op 2 april 2021.",
+    "Contact via m.vandenberg@ziekenhuis.nl of telefonisch 088 755 55 55.",
+    "Verwezen naar Sint Antonius te Utrecht, patientnummer 4567890.",
+    "Huisarts E. Bakker, praktijk aan de Prinsengracht 21, Amsterdam.",
+    "Controle over 3 maanden; zie ook www.thuisarts.nl voor informatie.",
+    "De heer K. de Groot, geboren 01-01-1980, bsn 123456782.",
+    "Telefonisch bereikbaar op (06)12345678 na 17 uur.",
+    "Besproken in MDO van 2018-11-05 met collega Pietersen.",
+    "Adres: Postbus 85500, 3508 GA Utrecht.",
+    "Zus van patient, Emma, was aanwezig bij het gesprek.",
+]
+
+HOT_REPO_PCT = 30  # doc_id % 100 < 30 -> hot repo
+N_COLD_REPOS = 37
+
+
+def repo_for_doc_id(doc_id: int) -> str:
+    if doc_id % 100 < HOT_REPO_PCT:
+        return "org/monorepo"
+    return f"org/repo-{doc_id % N_COLD_REPOS:04d}"
+
+
+def path_for_doc_id(doc_id: int) -> str:
+    return f"notes/{doc_id:08d}.txt"
+
+
+def commit_for_doc_id(doc_id: int) -> str:
+    return hashlib.sha256(f"commit:{doc_id}".encode()).hexdigest()[:40]
+
+
+def content_for(doc_id: int, text: str) -> str:
+    return text + " " + SNIPPETS[doc_id % len(SNIPPETS)]
+
+
+def decorate_batch(batch):
+    """pyarrow batch (doc_id, text, lang, ...) -> repo-table batch.
+
+    Stateless map_batches task; all columns derive from (doc_id, text).
+    """
+    import pyarrow as pa
+
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "repo": pa.array([repo_for_doc_id(d) for d in doc_ids]),
+            "path": pa.array([path_for_doc_id(d) for d in doc_ids]),
+            "commit": pa.array([commit_for_doc_id(d) for d in doc_ids]),
+            "lang": pa.array(langs),
+            "content": pa.array(
+                [content_for(d, t) for d, t in zip(doc_ids, texts)]
+            ),
+        }
+    )
+
+
+def read_repo_table(sf_dir: str, columns: list[str] | None = None):
+    """documents.parquet -> repo-shaped Dataset (streaming, column-pruned)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    ds = ds.map_batches(decorate_batch, batch_format="pyarrow")
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def sql_content_expr(text_col: str = "text", doc_id_col: str = "doc_id") -> str:
+    """DuckDB expression that reconstructs ``content`` exactly."""
+    cases = " ".join(
+        f"WHEN {i} THEN '{s.replace(chr(39), chr(39) * 2)}'"
+        for i, s in enumerate(SNIPPETS)
+    )
+    return (
+        f"({text_col} || ' ' || (CASE ({doc_id_col} % {len(SNIPPETS)}) "
+        f"{cases} END))"
+    )
+
+
+def sql_repo_expr(doc_id_col: str = "doc_id") -> str:
+    return (
+        f"(CASE WHEN {doc_id_col} % 100 < {HOT_REPO_PCT} THEN 'org/monorepo' "
+        f"ELSE 'org/repo-' || lpad(CAST({doc_id_col} % {N_COLD_REPOS} AS VARCHAR), 4, '0') END)"
+    )

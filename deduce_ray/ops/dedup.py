@@ -1,0 +1,309 @@
+"""Deduplication over document tables, Ray-Data-first.
+
+All variants follow the same scale shape:
+
+  1. per-batch signature computation (stateless map_batches, no shuffle);
+  2. flat_map signatures to bucket keys (band hash / prefix);
+  3. ONE hash-shuffle groupby on the bucket key;
+  4. in-group verification (exact compare / Jaccard / Hamming) emitting
+     either survivors or near-duplicate pairs.
+
+Hashing is md5-based and seed-free, so results are deterministic across
+processes and cluster sizes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Hash-partition + per-group first: one row per distinct text with the
+    surviving (minimum) id and the duplicate count."""
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        return pa.table(
+            {
+                "content_hash": pa.array(
+                    [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+                ),
+                id_col: batch.column(id_col),
+            }
+        )
+
+    def pick_first(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby("content_hash", as_index=False)
+            .agg(keep_id=(id_col, "min"), n_dupes=(id_col, "count"))
+        )
+
+    hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
+    # local combiner then one shuffle on the hash
+    return hashed.map_batches(
+        lambda df: pick_first(df), batch_format="pandas"
+    ).groupby("content_hash").map_groups(
+        lambda df: df.groupby("content_hash", as_index=False).agg(
+            keep_id=("keep_id", "min"), n_dupes=("n_dupes", "sum")
+        ),
+        batch_format="pandas",
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash
+# ---------------------------------------------------------------------------
+
+
+def _stable_hash64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
+def word_shingles(text: str, k: int = 3) -> set[int]:
+    words = text.split()
+    if not words:
+        return set()
+    if len(words) < k:
+        return {_stable_hash64(" ".join(words))}
+    return {
+        _stable_hash64(" ".join(words[i : i + k]))
+        for i in range(len(words) - k + 1)
+    }
+
+
+def _minhash_params(n_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    # deterministic a/b parameters derived from md5, no RNG state
+    a = np.array(
+        [_stable_hash64(f"minhash-a-{i}") | 1 for i in range(n_perm)],
+        dtype=np.uint64,
+    )
+    b = np.array(
+        [_stable_hash64(f"minhash-b-{i}") for i in range(n_perm)],
+        dtype=np.uint64,
+    )
+    return a, b
+
+
+def minhash_signature(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Min over (a*x + b) mod 2^64 per permutation — uint64 wraparound is a
+    deterministic mixing permutation for odd a, vectorized over shingles."""
+    if not shingles:
+        return np.zeros(len(a), dtype=np.uint64)
+    x = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
+    prod = a[:, None] * x[None, :] + b[:, None]
+    return prod.min(axis=1)
+
+
+def jaccard(s1: set[int], s2: set[int]) -> float:
+    if not s1 and not s2:
+        return 1.0
+    inter = len(s1 & s2)
+    return inter / (len(s1) + len(s2) - inter)
+
+
+def minhash_lsh_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+):
+    """MinHash+LSH near-duplicate pairs with exact Jaccard verification.
+
+    shingle -> minhash -> band -> bucket groupby -> in-bucket verify.
+    Shingle sets ride along into the bucket groups so verification happens
+    in-group (no second join); pairs are deduplicated across bands by a
+    final distinct on (id_a, id_b).
+    """
+    rows_per_band = n_perm // bands
+    a, b = _minhash_params(n_perm)
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out = {"bucket": [], id_col: [], "shingles": []}
+        for i, t in zip(ids, texts):
+            sh = word_shingles(t or "", k)
+            sig = minhash_signature(sh, a, b)
+            sh_list = list(sh)
+            for band in range(bands):
+                band_slice = sig[band * rows_per_band : (band + 1) * rows_per_band]
+                bucket = hashlib.md5(
+                    struct.pack("<i", band) + band_slice.tobytes()
+                ).hexdigest()[:16]
+                out["bucket"].append(bucket)
+                out[id_col].append(i)
+                out["shingles"].append(sh_list)
+        return pa.table(
+            {
+                "bucket": pa.array(out["bucket"]),
+                id_col: pa.array(out[id_col], type=pa.int64()),
+                "shingles": pa.array(out["shingles"], type=pa.list_(pa.uint64())),
+            }
+        )
+
+    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = []
+        # distinct docs in this bucket (a doc can appear once per band-bucket)
+        docs = df.drop_duplicates(subset=[id_col])
+        if len(docs) > 1:
+            items = [
+                (int(r[id_col]), set(int(x) for x in r["shingles"]))
+                for _, r in docs.iterrows()
+            ]
+            items.sort(key=lambda t: t[0])
+            for i in range(len(items)):
+                for j in range(i + 1, len(items)):
+                    sim = jaccard(items[i][1], items[j][1])
+                    if sim >= threshold:
+                        pairs.append(
+                            {
+                                "id_a": items[i][0],
+                                "id_b": items[j][0],
+                                "jaccard": round(sim, 6),
+                            }
+                        )
+        return pd.DataFrame(pairs, columns=["id_a", "id_b", "jaccard"])
+
+    sigs = ds.map_batches(signatures, batch_format="pyarrow")
+    pairs = sigs.groupby("bucket").map_groups(verify_bucket, batch_format="pandas")
+    # drop duplicate pairs found via multiple bands
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda df: df.head(1), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    acc = np.zeros(64, dtype=np.int64)
+    for word in text.split():
+        h = _stable_hash64(word)
+        bits = np.unpackbits(
+            np.frombuffer(struct.pack(">Q", h), dtype=np.uint8)
+        ).astype(np.int64)
+        acc += bits * 2 - 1
+    return int(
+        np.packbits((acc > 0).astype(np.uint8)).view(">u8")[0]
+    )
+
+
+def simhash_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+):
+    """SimHash near-dup pairs: 4x16-bit band bucketing guarantees recall for
+    Hamming distance <= 3; in-bucket exact Hamming verification."""
+
+    def signatures(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out = {"bucket": [], id_col: [], "simhash": []}
+        for i, t in zip(ids, texts):
+            h = simhash64(t or "")
+            for band in range(4):
+                chunk = (h >> (band * 16)) & 0xFFFF
+                out["bucket"].append(f"{band}:{chunk:04x}")
+                out[id_col].append(i)
+                out["simhash"].append(h)
+        return pa.table(
+            {
+                "bucket": pa.array(out["bucket"]),
+                id_col: pa.array(out[id_col], type=pa.int64()),
+                "simhash": pa.array(out["simhash"], type=pa.uint64()),
+            }
+        )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        docs = df.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        pairs = []
+        items = list(zip(docs[id_col].astype(int), docs["simhash"].astype(np.uint64)))
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                dist = int(bin(int(items[i][1]) ^ int(items[j][1])).count("1"))
+                if dist <= max_hamming:
+                    pairs.append(
+                        {"id_a": items[i][0], "id_b": items[j][0], "hamming": dist}
+                    )
+        return pd.DataFrame(pairs, columns=["id_a", "id_b", "hamming"])
+
+    sigs = ds.map_batches(signatures, batch_format="pyarrow")
+    pairs = sigs.groupby("bucket").map_groups(verify, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda df: df.head(1), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup_pairs(
+    ds_embeddings,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.97,
+    n_planes: int = 12,
+):
+    """Cosine near-duplicates via random-hyperplane LSH buckets + exact
+    in-bucket verification.  Hyperplanes are seeded deterministically."""
+    def signatures(batch: pa.Table) -> pa.Table:
+        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        planes = np.random.default_rng(12345).standard_normal(
+            (vecs.shape[1], n_planes)
+        )
+        bits = (vecs @ planes) > 0
+        buckets = [
+            "".join("1" if x else "0" for x in row) for row in bits
+        ]
+        return pa.table(
+            {
+                "bucket": pa.array(buckets),
+                id_col: batch.column(id_col),
+                vec_col: batch.column(vec_col),
+            }
+        )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        docs = df.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        if len(docs) < 2:
+            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+        ids = docs[id_col].astype(int).to_numpy()
+        mat = np.asarray(list(docs[vec_col]), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = mat / norms
+        sims = unit @ unit.T
+        pairs = []
+        n = len(ids)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if sims[i, j] >= threshold:
+                    pairs.append(
+                        {
+                            "id_a": int(ids[i]),
+                            "id_b": int(ids[j]),
+                            "cosine": round(float(sims[i, j]), 6),
+                        }
+                    )
+        return pd.DataFrame(pairs, columns=["id_a", "id_b", "cosine"])
+
+    sigs = ds_embeddings.map_batches(signatures, batch_format="pyarrow")
+    return sigs.groupby("bucket").map_groups(verify, batch_format="pandas")

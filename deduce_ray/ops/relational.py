@@ -1,0 +1,370 @@
+"""Relational pipelines over the TPC-H-ish test tables, Ray-Data-first.
+
+Patterns demonstrated (SURVEY.md §2.6 mapping):
+  - column-pruned reads (``read_parquet(columns=...)``),
+  - vectorized per-batch filters/projections (pyarrow.compute),
+  - partial aggregation before the shuffle (ops.agg.grouped_agg),
+  - broadcast hash joins for small dimension tables (ray.put once, probe
+    per batch — never a shuffle join against a small side),
+  - distributed sort + limit for top-k.
+
+All money columns are aggregated in integer cents so results match the
+DuckDB oracles bit-for-bit (no float-sum drift).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from deduce_ray.ops.agg import grouped_agg
+
+
+def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary over lineitem."""
+    import ray.data
+
+    cutoff = pd.Timestamp("1998-09-02")
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.less_equal(batch.column("l_shipdate"), pa.scalar(cutoff))
+        )
+        ext_cents = _cents(batch.column("l_extendedprice"))
+        disc_cents = pc.cast(
+            pc.round(pc.multiply(pc.subtract(1.0, batch.column("l_discount")), 100.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": pc.cast(pc.round(batch.column("l_quantity")), pa.int64()),
+                "ext_cents": ext_cents,
+                "disc_units": pc.multiply(ext_cents, disc_cents),
+            }
+        )
+
+    agged = grouped_agg(
+        ds.map_batches(project, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "sum_qty": ("qty", "sum"),
+            "sum_base_cents": ("ext_cents", "sum"),
+            "sum_disc_units": ("disc_units", "sum"),
+            "count_order": (None, "count"),
+        },
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "l_linestatus": df["l_linestatus"],
+                "sum_qty": df["sum_qty"].astype("int64"),
+                "sum_base_price": df["sum_base_cents"] / 100.0,
+                "sum_disc_price": df["sum_disc_units"] / 10000.0,
+                "avg_qty": df["sum_qty"] / df["count_order"],
+                "count_order": df["count_order"].astype("int64"),
+            }
+        )
+        return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+    return agged.map_batches(finish, batch_format="pandas")
+
+
+def pricing_summary_sql() -> str:
+    return """
+        SELECT
+          l_returnflag,
+          l_linestatus,
+          CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+          SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+            AS sum_base_price,
+          SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 10000.0
+            AS sum_disc_price,
+          SUM(CAST(round(l_quantity) AS BIGINT)) * 1.0 / COUNT(*) AS avg_qty,
+          COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """
+
+
+def top_customers(sf_dir: str, k: int = 10):
+    """Top-k customers by order revenue: partial agg over orders, then a
+    broadcast join against the small customer dimension."""
+    import ray
+    import ray.data
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "cents": _cents(batch.column("o_totalprice")),
+            }
+        )
+
+    agged = grouped_agg(
+        orders.map_batches(project, batch_format="pyarrow"),
+        keys=["o_custkey"],
+        aggs={"revenue_cents": ("cents", "sum"), "n_orders": (None, "count")},
+    )
+
+    top = agged.sort(["revenue_cents", "o_custkey"], descending=[True, False]).limit(k)
+
+    # broadcast the (small) customer name map; at scale this is ray.put once
+    import pyarrow.parquet as pq
+
+    names_tbl = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    names_ref = ray.put(
+        dict(
+            zip(
+                names_tbl.column("c_custkey").to_pylist(),
+                names_tbl.column("c_name").to_pylist(),
+            )
+        )
+    )
+
+    def attach_names(batch: pa.Table) -> pa.Table:
+        names = ray.get(names_ref)
+        keys = batch.column("o_custkey").to_pylist()
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "c_name": pa.array([names.get(key) for key in keys]),
+                "n_orders": pc.cast(batch.column("n_orders"), pa.int64()),
+                "revenue": pc.divide(
+                    pc.cast(batch.column("revenue_cents"), pa.float64()), 100.0
+                ),
+            }
+        )
+
+    return top.map_batches(attach_names, batch_format="pyarrow")
+
+
+def top_customers_sql(k: int = 10) -> str:
+    return f"""
+        WITH agg AS (
+          SELECT o_custkey,
+                 SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+                 COUNT(*) AS n_orders
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT a.o_custkey, c.c_name, a.n_orders,
+               a.revenue_cents / 100.0 AS revenue
+        FROM agg a JOIN customer c ON c.c_custkey = a.o_custkey
+        ORDER BY a.revenue_cents DESC, a.o_custkey
+        LIMIT {k}
+    """
+
+
+def events_by_type(sf_dir: str):
+    """Events rollup: count, distinct users, exact value sum and average."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "user_id": batch.column("user_id"),
+                "cents": _cents(batch.column("value")),
+            }
+        )
+
+    projected = ds.map_batches(project, batch_format="pyarrow")
+
+    base = grouped_agg(
+        projected,
+        keys=["event_type"],
+        aggs={"n_events": (None, "count"), "sum_cents": ("cents", "sum")},
+    )
+
+    # exact distinct users: per-batch dedup combiner, then count per group
+    def dedup_pairs(batch: pa.Table) -> pa.Table:
+        return (
+            batch.select(["event_type", "user_id"])
+            .group_by(["event_type", "user_id"])
+            .aggregate([])
+        )
+
+    pairs = projected.map_batches(dedup_pairs, batch_format="pyarrow")
+    users = pairs.groupby("event_type").map_groups(
+        lambda df: df.drop_duplicates()
+        .groupby("event_type", as_index=False)
+        .agg(n_users=("user_id", "count")),
+        batch_format="pandas",
+    )
+
+    base_df = base.to_pandas()
+    users_df = users.to_pandas()
+    out = base_df.merge(users_df, on="event_type")
+    out = pd.DataFrame(
+        {
+            "event_type": out["event_type"],
+            "n_events": out["n_events"].astype("int64"),
+            "n_users": out["n_users"].astype("int64"),
+            "sum_value": out["sum_cents"] / 100.0,
+            "avg_value": (out["sum_cents"] / 100.0) / out["n_events"],
+        }
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def events_by_type_sql() -> str:
+    return """
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users,
+               SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+               (SUM(CAST(round(value * 100) AS BIGINT)) / 100.0) / COUNT(*)
+                 AS avg_value
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """
+
+
+def brand_volume(sf_dir: str):
+    """lineitem x part broadcast join -> quantity by brand."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    part_tbl = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+    brand_ref = ray.put(
+        dict(
+            zip(
+                part_tbl.column("p_partkey").to_pylist(),
+                part_tbl.column("p_brand").to_pylist(),
+            )
+        )
+    )
+
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
+    )
+
+    def join_project(batch: pa.Table) -> pa.Table:
+        brands = ray.get(brand_ref)
+        keys = batch.column("l_partkey").to_pylist()
+        return pa.table(
+            {
+                "p_brand": pa.array([brands.get(key) for key in keys]),
+                "qty": pc.cast(pc.round(batch.column("l_quantity")), pa.int64()),
+            }
+        )
+
+    agged = grouped_agg(
+        lineitem.map_batches(join_project, batch_format="pyarrow"),
+        keys=["p_brand"],
+        aggs={"sum_qty": ("qty", "sum"), "n_items": (None, "count")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sum_qty"] = df["sum_qty"].astype("int64")
+        df["n_items"] = df["n_items"].astype("int64")
+        return df.sort_values("p_brand").reset_index(drop=True)
+
+    return agged.map_batches(finish, batch_format="pandas")
+
+
+def brand_volume_sql() -> str:
+    return """
+        SELECT p.p_brand,
+               CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+               COUNT(*) AS n_items
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand
+        ORDER BY p.p_brand
+    """
+
+
+def region_customers(sf_dir: str):
+    """customer -> nation -> region broadcast join chain, count per region."""
+    import ray
+    import ray.data
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    region_names = dict(
+        zip(
+            region.column("r_regionkey").to_pylist(),
+            region.column("r_name").to_pylist(),
+        )
+    )
+    nation_to_region = {
+        n: region_names[r]
+        for n, r in zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_regionkey").to_pylist(),
+        )
+    }
+    lookup_ref = ray.put(nation_to_region)
+
+    customers = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey"]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        keys = batch.column("c_nationkey").to_pylist()
+        return pa.table({"r_name": pa.array([lookup.get(key) for key in keys])})
+
+    agged = grouped_agg(
+        customers.map_batches(project, batch_format="pyarrow"),
+        keys=["r_name"],
+        aggs={"n_customers": (None, "count")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_customers"] = df["n_customers"].astype("int64")
+        return df.sort_values("r_name").reset_index(drop=True)
+
+    return agged.map_batches(finish, batch_format="pandas")
+
+
+def region_customers_sql() -> str:
+    return """
+        SELECT r.r_name, COUNT(*) AS n_customers
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name
+        ORDER BY r.r_name
+    """

@@ -1,0 +1,147 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — a numpy matmul per batch against a
+broadcast query matrix, local top-k per batch, then one tiny groupby merge
+(the scale-correct "prune locally, merge globally" top-k shape).
+
+Scale path: LSH-bucketed search — vectors are pre-assigned to
+random-hyperplane buckets; queries probe only their own bucket (plus
+Hamming-1 neighbors), cutting the scanned fraction to ~ (1 + n_planes)/2^p.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _as_matrix(column) -> np.ndarray:
+    return np.asarray(column.to_pylist(), dtype=np.float64)
+
+
+def _unit_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def brute_force_topk(
+    ds_embeddings,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Exact cosine top-k for each query row.
+
+    Returns a Dataset of (query_id, vec_id, score, rank); scores rounded to
+    6 decimals, ties broken by vec_id ascending (deterministic).
+    """
+    import ray
+
+    unit_queries = _unit_rows(np.asarray(queries, dtype=np.float64))
+    queries_ref = ray.put(unit_queries)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(queries_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        mat = _unit_rows(_as_matrix(batch.column(vec_col)))
+        sims = mat @ q.T  # (batch, n_queries)
+        out = {"query_id": [], id_col: [], "score": []}
+        top = min(k, len(ids))
+        for qi in range(q.shape[0]):
+            col = sims[:, qi]
+            # local prune: keep only this batch's top-k candidates
+            idx = np.argpartition(-col, top - 1)[:top]
+            for i in idx:
+                out["query_id"].append(qi)
+                out[id_col].append(int(ids[i]))
+                out["score"].append(round(float(col[i]), 6))
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                id_col: pa.array(out[id_col], type=pa.int64()),
+                "score": pa.array(out["score"], type=pa.float64()),
+            }
+        )
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["score", id_col], ascending=[False, True]
+        ).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    local = ds_embeddings.map_batches(local_topk, batch_format="pyarrow")
+    return local.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
+def lsh_bucketed_topk(
+    ds_embeddings,
+    queries: np.ndarray,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Approximate top-k: vectors bucketed by hyperplane signs; each query
+    scans only its bucket and all Hamming-1 neighbor buckets."""
+    import ray
+
+    queries = np.asarray(queries, dtype=np.float64)
+    unit_queries = _unit_rows(queries)
+
+    def bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+        bits = (mat @ planes) > 0
+        return bits @ (1 << np.arange(n_planes))
+
+    probe_sets = []
+    planes_for_queries = np.random.default_rng(54321).standard_normal(
+        (queries.shape[1], n_planes)
+    )
+    qb = bucket_of(unit_queries, planes_for_queries)
+    for qi in range(len(unit_queries)):
+        base = int(qb[qi])
+        probe_sets.append({base} | {base ^ (1 << p) for p in range(n_planes)})
+
+    queries_ref = ray.put((unit_queries, probe_sets))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q, probes = ray.get(queries_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        mat = _unit_rows(_as_matrix(batch.column(vec_col)))
+        planes = np.random.default_rng(54321).standard_normal(
+            (mat.shape[1], n_planes)
+        )
+        buckets = bucket_of(mat, planes)
+        out = {"query_id": [], id_col: [], "score": []}
+        for qi in range(q.shape[0]):
+            mask = np.isin(buckets, list(probes[qi]))
+            if not mask.any():
+                continue
+            sub_ids = ids[mask]
+            sims = mat[mask] @ q[qi]
+            top = min(k, len(sub_ids))
+            idx = np.argpartition(-sims, top - 1)[:top]
+            for i in idx:
+                out["query_id"].append(qi)
+                out[id_col].append(int(sub_ids[i]))
+                out["score"].append(round(float(sims[i]), 6))
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                id_col: pa.array(out[id_col], type=pa.int64()),
+                "score": pa.array(out["score"], type=pa.float64()),
+            }
+        )
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    local = ds_embeddings.map_batches(local_topk, batch_format="pyarrow")
+    return local.groupby("query_id").map_groups(merge_topk, batch_format="pandas")

@@ -1,0 +1,133 @@
+"""Text analysis over document tables: token counting, quality scoring,
+language identification, fingerprinting.  All stages are stateless
+``map_batches`` transforms, vectorized where the kernel allows; outputs are
+designed so DuckDB can reproduce them exactly (integer counts, md5 hashes,
+ratios derived from integer counts with identical division on both sides).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ASCII word semantics on purpose: matches RE2 (\w is ASCII there), so the
+# DuckDB oracle reproduces counts exactly, CJK text included.
+_WORDISH_RE = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]")
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+_DIGIT_RE = re.compile(r"[0-9]")
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_PROFILES = {
+    "en": {"the", "a", "of", "and", "to", "is", "in", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "ich"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"},
+    "es": {"el", "la", "los", "las", "es", "un", "una", "que", "para", "por"},
+    "nl": {"de", "het", "een", "en", "is", "van", "dat", "niet", "met", "op"},
+}
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace tokens + a BPE-ish regex token count per document."""
+    texts = batch.column(text_col).to_pylist()
+    ws = [len(t.split()) if t else 0 for t in texts]
+    bpe = [len(_WORDISH_RE.findall(t)) if t else 0 for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pc.cast(pc.utf8_length(batch.column(text_col)), pa.int64()),
+            "n_ws_tokens": pa.array(ws, type=pa.int64()),
+            "n_re_tokens": pa.array(bpe, type=pa.int64()),
+        }
+    )
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Quality signals: alpha/digit counts and parts-per-million ratios.
+    Ratios are integer floor divisions (SQL-reproducible, no float
+    rounding ambiguity)."""
+    texts = batch.column(text_col).to_pylist()
+    rows = {
+        "doc_id": batch.column("doc_id").to_pylist(),
+        "n_chars": [],
+        "n_alpha": [],
+        "n_digit": [],
+        "n_ws_tokens": [],
+        "alpha_ppm": [],
+        "digit_ppm": [],
+    }
+    for t in texts:
+        t = t or ""
+        n = len(t)
+        a = len(_ALPHA_RE.findall(t))
+        d = len(_DIGIT_RE.findall(t))
+        rows["n_chars"].append(n)
+        rows["n_alpha"].append(a)
+        rows["n_digit"].append(d)
+        rows["n_ws_tokens"].append(len(t.split()))
+        rows["alpha_ppm"].append((a * 1_000_000) // n if n else 0)
+        rows["digit_ppm"].append((d * 1_000_000) // n if n else 0)
+    return pa.table(
+        {
+            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            "n_chars": pa.array(rows["n_chars"], type=pa.int64()),
+            "n_alpha": pa.array(rows["n_alpha"], type=pa.int64()),
+            "n_digit": pa.array(rows["n_digit"], type=pa.int64()),
+            "n_ws_tokens": pa.array(rows["n_ws_tokens"], type=pa.int64()),
+            "alpha_ppm": pa.array(rows["alpha_ppm"], type=pa.int64()),
+            "digit_ppm": pa.array(rows["digit_ppm"], type=pa.int64()),
+        }
+    )
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Exact document fingerprint (md5 hex, matches DuckDB's md5())."""
+    texts = batch.column(text_col).to_pylist()
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "fingerprint": pa.array(
+                [hashlib.md5((t or "").encode("utf-8")).hexdigest() for t in texts]
+            ),
+        }
+    )
+
+
+def shingle_fingerprint(text: str, k: int = 5) -> int:
+    """Winnowing-style fingerprint: min 64-bit hash over word k-shingles
+    (deterministic; used by near-dup and provenance ops)."""
+    words = text.split()
+    if len(words) < k:
+        shingles = [" ".join(words)] if words else [""]
+    else:
+        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    return min(
+        int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+        for s in shingles
+    )
+
+
+def predict_lang(text: str) -> str:
+    """Stopword/charset heuristic language id (deterministic)."""
+    for ch in text[:400]:
+        if "一" <= ch <= "鿿":
+            return "zh"
+    words = set(w.lower() for w in text.split()[:200])
+    best_lang, best_score = "unknown", 0
+    for lang in sorted(_LANG_PROFILES):
+        score = len(words & _LANG_PROFILES[lang])
+        if score > best_score:
+            best_lang, best_score = lang, score
+    return best_lang
+
+
+def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "predicted_lang": pa.array([predict_lang(t or "") for t in texts]),
+        }
+    )

@@ -1,0 +1,163 @@
+"""The stateful annotate stage: an actor-pool ``map_batches`` UDF.
+
+Design (SURVEY.md §4.3): ONE fused actor stage runs tokenize -> all enabled
+annotators -> per-doc set processors -> entity linking, emitting flat triple
+rows.  The compiled lexicon (numpy-packed tries, see packed_trie.py) is
+broadcast once via ``ray.put`` on the driver and materialized per actor in
+``__init__`` — never per batch, never re-read from the source tree.
+
+Arrow in / Arrow out; the per-document rule engine is intrinsically
+row-wise (span logic over token chains), so the batch loop is Python, but
+all state setup, regex compilation and lexicon probes are amortized across
+the actor's lifetime.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+TRIPLE_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.string()),        # sha256(content): subject + invariant
+        ("repo", pa.string()),
+        ("path", pa.string()),
+        ("commit", pa.string()),
+        ("lang", pa.string()),
+        ("pred", pa.string()),          # PHI category (tag)
+        ("obj", pa.string()),           # mention text
+        ("start_char", pa.int32()),
+        ("end_char", pa.int32()),
+        ("entity_id", pa.string()),     # per-doc canonical entity (linker)
+    ]
+)
+
+
+def broadcast_lexicon(lookup_data_path=None, cache_dir=None):
+    """Compile/load the lexicon on the driver and put it in the object
+    store; returns the ObjectRef handed to every AnnotateBatch actor."""
+    import ray
+
+    from deduce_ray.lexicon import DEFAULT_LOOKUP_PATH, load_or_build_lexicon
+
+    lexicon = load_or_build_lexicon(
+        lookup_data_path or DEFAULT_LOOKUP_PATH, cache_dir=cache_dir
+    )
+    return ray.put(lexicon)
+
+
+class AnnotateBatch:
+    """Callable actor class for ``map_batches``.
+
+    Args:
+        lexicon_ref: ObjectRef from :func:`broadcast_lexicon` (preferred:
+            one object-store copy per node).  If None, the actor loads the
+            fingerprinted cache artifact itself.
+        enabled / disabled: stage masks (group and/or annotator names),
+            mirroring the reference's deidentify() contract.
+        with_redacted: also emit one row per document with
+            pred="_redacted", obj=<deidentified text> (conformance sink).
+    """
+
+    def __init__(
+        self,
+        lexicon_ref=None,
+        lookup_data_path=None,
+        cache_dir=None,
+        enabled=None,
+        disabled=None,
+        with_redacted: bool = False,
+    ) -> None:
+        from deduce_ray.engine import DeduceEngine
+
+        lexicon = None
+        if lexicon_ref is not None:
+            import ray
+
+            lexicon = ray.get(lexicon_ref)
+
+        kwargs = {}
+        if lookup_data_path is not None:
+            kwargs["lookup_data_path"] = lookup_data_path
+        self.engine = DeduceEngine(lexicon=lexicon, cache_dir=cache_dir, **kwargs)
+        self.enabled = set(enabled) if enabled else None
+        self.disabled = set(disabled) if disabled else None
+        self.with_redacted = with_redacted
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from deduce_ray.linker import assign_entity_ids
+
+        repos = batch.column("repo").to_pylist()
+        paths = batch.column("path").to_pylist()
+        commits = batch.column("commit").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        contents = batch.column("content").to_pylist()
+
+        out: dict[str, list] = {name: [] for name in TRIPLE_SCHEMA.names}
+        append = {name: out[name].append for name in out}
+
+        for repo, path, commit, lang, content in zip(
+            repos, paths, commits, langs, contents
+        ):
+            if content is None or content == "":
+                continue
+            doc_id = hashlib.sha256(content.encode("utf-8")).hexdigest()
+            doc = self.engine.deidentify(
+                content, enabled=self.enabled, disabled=self.disabled
+            )
+            entity_ids = assign_entity_ids(doc.annotations)
+
+            for ann in doc.annotations.sorted_by(("start_char",)):
+                append["doc_id"](doc_id)
+                append["repo"](repo)
+                append["path"](path)
+                append["commit"](commit)
+                append["lang"](lang)
+                append["pred"](ann.tag)
+                append["obj"](ann.text)
+                append["start_char"](ann.start_char)
+                append["end_char"](ann.end_char)
+                append["entity_id"](entity_ids[ann])
+
+            if self.with_redacted and doc.deidentified_text is not None:
+                append["doc_id"](doc_id)
+                append["repo"](repo)
+                append["path"](path)
+                append["commit"](commit)
+                append["lang"](lang)
+                append["pred"]("_redacted")
+                append["obj"](doc.deidentified_text)
+                append["start_char"](0)
+                append["end_char"](len(content))
+                append["entity_id"]("")
+
+        return pa.table(out, schema=TRIPLE_SCHEMA)
+
+
+def extract_triples(
+    ds,
+    *,
+    lexicon_ref=None,
+    enabled=None,
+    disabled=None,
+    with_redacted: bool = False,
+    concurrency=(1, 8),
+    batch_size: int = 128,
+    num_cpus: float = 1,
+):
+    """repo-table Dataset -> flat triple Dataset via the actor pool."""
+    return ds.map_batches(
+        AnnotateBatch,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=num_cpus,
+        fn_constructor_kwargs={
+            "lexicon_ref": lexicon_ref,
+            "enabled": enabled,
+            "disabled": disabled,
+            "with_redacted": with_redacted,
+        },
+    )

@@ -1,0 +1,203 @@
+"""Triple-graph pipeline: dedup/canonicalize, skew-aware shuffle, and
+checkpointed, resumable graph materialization partitioned by (repo, lang).
+
+Scale notes (north_rule):
+  - Local combiner first: per-batch dedup/aggregation inside map_batches
+    shrinks the all-to-all shuffle before any groupby.
+  - Partition key is (repo, lang) throughout; the synthetic corpus has a
+    30%-hot monorepo, which the combiner absorbs (the per-partition group
+    task then handles pre-aggregated rows, not raw mentions).
+  - Materialization writes one parquet file + one manifest per partition;
+    a manifest is written only after its data file, so a re-run can skip
+    complete partitions (resume) and re-do partial ones idempotently.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from pathlib import Path
+
+import pyarrow as pa
+
+_GRAPH_KEY = ["repo", "lang", "doc_id", "pred", "obj", "entity_id"]
+
+
+def _dedup_batch(batch: pa.Table) -> pa.Table:
+    """Local combiner: collapse duplicate triples within a batch, counting
+    mentions and keeping the first span as provenance."""
+    if batch.num_rows == 0:
+        return pa.table(
+            {
+                **{k: pa.array([], type=pa.string()) for k in _GRAPH_KEY},
+                "n_mentions": pa.array([], type=pa.int64()),
+                "first_start_char": pa.array([], type=pa.int32()),
+            }
+        )
+    grouped = batch.group_by(_GRAPH_KEY).aggregate(
+        [("start_char", "count"), ("start_char", "min")]
+    )
+    return grouped.rename_columns(_GRAPH_KEY + ["n_mentions", "first_start_char"])
+
+
+def dedup_triples(triples_ds):
+    """Flat mention rows -> deduplicated graph rows.
+
+    Two-phase: per-batch combiner (no shuffle) then a single hash-shuffle
+    groupby over the graph key to merge cross-batch duplicates.
+    """
+    combined = triples_ds.map_batches(_dedup_batch, batch_format="pyarrow")
+
+    def merge_group(df):
+        out = (
+            df.groupby(_GRAPH_KEY, as_index=False)
+            .agg(
+                n_mentions=("n_mentions", "sum"),
+                first_start_char=("first_start_char", "min"),
+            )
+        )
+        return out
+
+    return combined.groupby(_GRAPH_KEY[:2]).map_groups(
+        merge_group, batch_format="pandas"
+    )
+
+
+def canonical_entities(triples_ds):
+    """Cross-document canonical entity table: groupby (pred, obj) with
+    mention/document counts — the global side of entity linking."""
+    import pyarrow.compute as pc
+
+    def combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "pred": pa.array([], type=pa.string()),
+                    "obj_norm": pa.array([], type=pa.string()),
+                    "n_mentions": pa.array([], type=pa.int64()),
+                }
+            )
+        batch = batch.append_column(
+            "obj_norm", pc.utf8_lower(batch.column("obj"))
+        )
+        grouped = batch.group_by(["pred", "obj_norm"]).aggregate([("obj", "count")])
+        return grouped.rename_columns(["pred", "obj_norm", "n_mentions"])
+
+    combined = triples_ds.map_batches(combine, batch_format="pyarrow")
+
+    def merge(df):
+        return df.groupby(["pred", "obj_norm"], as_index=False).agg(
+            n_mentions=("n_mentions", "sum")
+        )
+
+    return combined.groupby("pred").map_groups(merge, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# checkpointed materialization
+# ---------------------------------------------------------------------------
+
+
+def _partition_slug(repo: str, lang: str) -> str:
+    return f"{repo.replace('/', '__')}__{lang}"
+
+
+def completed_partitions(out_dir: str | Path) -> set[str]:
+    manifest_dir = Path(out_dir) / "_manifests"
+    if not manifest_dir.exists():
+        return set()
+    done = set()
+    for mf in manifest_dir.glob("*.json"):
+        try:
+            with open(mf) as fh:
+                manifest = json.load(fh)
+            if manifest.get("complete"):
+                done.add(manifest["partition"])
+        except (json.JSONDecodeError, KeyError):
+            continue
+    return done
+
+
+def materialize_graph(triples_ds, out_dir: str | Path, resume: bool = True):
+    """Write the deduplicated triple graph partitioned by (repo, lang), one
+    parquet file + one lineage manifest per partition.  Returns the metrics
+    dataset (one row per partition written).
+
+    Resume: partitions listed complete in ``_manifests/`` are filtered out
+    *before* the shuffle, so a restarted run neither recomputes nor
+    rewrites them.
+    """
+    import pyarrow.compute as pc
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "_manifests").mkdir(exist_ok=True)
+
+    done = completed_partitions(out_dir) if resume else set()
+    if done:
+        done_list = pa.array(sorted(done))
+
+        def drop_done(batch: pa.Table) -> pa.Table:
+            slug = pc.binary_join_element_wise(
+                pc.replace_substring(batch.column("repo"), "/", "__"),
+                batch.column("lang"),
+                "__",
+            )
+            return batch.filter(pc.invert(pc.is_in(slug, value_set=done_list)))
+
+        triples_ds = triples_ds.map_batches(drop_done, batch_format="pyarrow")
+
+    combined = triples_ds.map_batches(_dedup_batch, batch_format="pyarrow")
+
+    def write_partition(df):
+        import pandas as pd
+
+        t0 = time.time()
+        repo, lang = df["repo"].iloc[0], df["lang"].iloc[0]
+        slug = _partition_slug(repo, lang)
+
+        graph = (
+            df.groupby(_GRAPH_KEY, as_index=False)
+            .agg(
+                n_mentions=("n_mentions", "sum"),
+                first_start_char=("first_start_char", "min"),
+            )
+            .sort_values(["doc_id", "first_start_char", "pred", "obj"])
+            .reset_index(drop=True)
+        )
+
+        part_dir = out_dir / slug
+        part_dir.mkdir(parents=True, exist_ok=True)
+        data_path = part_dir / "triples.parquet"
+        tmp_path = part_dir / f".triples.{os.getpid()}.tmp"
+        graph.to_parquet(tmp_path, index=False)
+        os.replace(tmp_path, data_path)
+
+        content_hash = hashlib.sha256(
+            "\n".join(
+                graph["doc_id"] + "|" + graph["pred"] + "|" + graph["obj"]
+            ).encode()
+        ).hexdigest()
+        manifest = {
+            "partition": slug,
+            "repo": repo,
+            "lang": lang,
+            "rows": int(len(graph)),
+            "docs": int(graph["doc_id"].nunique()),
+            "mentions": int(graph["n_mentions"].sum()),
+            "triples_sha256": content_hash,
+            "duration_s": round(time.time() - t0, 3),
+            "complete": True,
+        }
+        mtmp = out_dir / "_manifests" / f".{slug}.{os.getpid()}.tmp"
+        with open(mtmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(mtmp, out_dir / "_manifests" / f"{slug}.json")
+
+        return pd.DataFrame([{k: v for k, v in manifest.items() if k != "complete"}])
+
+    return combined.groupby(["repo", "lang"]).map_groups(
+        write_partition, batch_format="pandas"
+    )
