@@ -50,6 +50,8 @@ def match_position(spec: dict, token: Token, ds: DsCollection | None) -> bool:
     if op == "equal":
         return text == arg
     if op == "re_match":
+        if isinstance(arg, re.Pattern):
+            return arg.match(text) is not None
         return re.match(arg, text) is not None
     if op == "is_initials":
         return (len(text) <= 4 and text.isupper()) == arg
@@ -66,6 +68,20 @@ def match_position(spec: dict, token: Token, ds: DsCollection | None) -> bool:
     if op == "or":
         return any(match_position(sub, token, ds) for sub in arg)
     raise NotImplementedError(f"unknown pattern predicate: {op}")
+
+
+def compile_pattern_regexps(pattern) -> None:
+    """Precompile every ``re_match`` value inside a (possibly nested)
+    pattern spec in place — avoids the re-cache lookup per token."""
+    if isinstance(pattern, list):
+        for item in pattern:
+            compile_pattern_regexps(item)
+    elif isinstance(pattern, dict):
+        for key, value in pattern.items():
+            if key == "re_match" and isinstance(value, str):
+                pattern[key] = re.compile(value)
+            elif key in ("and", "or", "pattern"):
+                compile_pattern_regexps(value)
 
 
 def _step(token: Token | None, direction: str, skip: set[str]) -> Token | None:
@@ -94,6 +110,7 @@ class TokenPatternAnnotator(Annotator):
         priority: int = 0,
     ) -> None:
         super().__init__(tag, priority)
+        compile_pattern_regexps(pattern)
         self.pattern = pattern
         self.ds = ds
         self.skip = set(skip or [])
@@ -247,6 +264,16 @@ class MultiTokenLookupAnnotator(Annotator):
         self.trie = trie
         self.overlapping = overlapping
 
+    def _spans(self, tokens) -> list[tuple[int, int]]:
+        trie = self.trie
+        if hasattr(trie, "find_spans_encoded"):
+            pipeline = trie.matching_pipeline
+            if not pipeline:
+                return trie.find_spans_encoded(tokens.encoded())
+            if len(pipeline) == 1 and isinstance(pipeline[0], Lowercase):
+                return trie.find_spans_encoded(tokens.encoded_lower())
+        return trie.find_spans(tokens.texts())
+
     def annotate(self, doc: Document) -> list[Annotation]:
         tokens = doc.get_tokens()
         if not len(tokens):
@@ -254,7 +281,7 @@ class MultiTokenLookupAnnotator(Annotator):
 
         found = []
         min_i = 0
-        for i, span in self.trie.find_spans(tokens.texts()):
+        for i, span in self._spans(tokens):
             if i < min_i:
                 continue
             first, last = tokens[i], tokens[i + span - 1]

@@ -72,7 +72,16 @@ class _BlobSet:
 class PackedTrie:
     """Read-only compiled form of a LookupTrie."""
 
-    __slots__ = ("matching_pipeline", "_entries", "_firsts", "_len_masks", "_n_entries")
+    __slots__ = (
+        "matching_pipeline",
+        "_entries",
+        "_firsts",
+        "_len_masks",
+        "_n_entries",
+        "_first_memo",
+    )
+
+    _MEMO_CAP = 262_144  # bound the cross-document first-token memo
 
     def __init__(
         self, sequences: list[list[str]], matching_pipeline: list | None = None
@@ -92,6 +101,7 @@ class PackedTrie:
 
         self._entries = _BlobSet(entry_bytes)
         self._n_entries = len(entry_bytes)
+        self._first_memo: dict[bytes, int] = {}
         firsts_sorted = sorted(first_masks)
         self._firsts = _BlobSet(set(firsts_sorted))
         masks = np.zeros(len(firsts_sorted), dtype=np.uint64)
@@ -131,9 +141,16 @@ class PackedTrie:
         """All (start_index, longest_matching_length) spans over the token
         texts.  Candidate starts are prefiltered against the first-token
         blob (memoized per distinct token text)."""
-        enc = self._norm_encoded(texts)
+        return self.find_spans_encoded(self._norm_encoded(texts))
+
+    def find_spans_encoded(self, enc: list[bytes]) -> list[tuple[int, int]]:
+        """Same as find_spans but over pre-encoded (and pre-normalized)
+        token bytes — lets the caller share one encoding pass across all
+        lexicons probing the same document."""
         n = len(enc)
-        memo: dict[bytes, int] = {}
+        memo = self._first_memo
+        if len(memo) > self._MEMO_CAP:
+            memo.clear()
         firsts = self._firsts
         len_masks = self._len_masks
         entries = self._entries
@@ -193,3 +210,4 @@ class PackedTrie:
             self._len_masks,
             self._n_entries,
         ) = state
+        self._first_memo = {}

@@ -76,12 +76,14 @@ class TokenList:
     """Indexable token sequence with a lazily-built inverted index used to
     prefilter candidate start tokens for lookup annotators."""
 
-    __slots__ = ("_tokens", "_word_index_cache", "_texts")
+    __slots__ = ("_tokens", "_word_index_cache", "_texts", "_encoded", "_encoded_lower")
 
     def __init__(self, tokens: list[Token]) -> None:
         self._tokens = tokens
         self._word_index_cache: dict = {}
         self._texts: list[str] | None = None
+        self._encoded: list[bytes] | None = None
+        self._encoded_lower: list[bytes] | None = None
 
     def __len__(self) -> int:
         return len(self._tokens)
@@ -96,6 +98,18 @@ class TokenList:
         if self._texts is None:
             self._texts = [t.text for t in self._tokens]
         return self._texts
+
+    def encoded(self) -> list[bytes]:
+        """utf-8 token texts, computed once and shared by all lexicon
+        probes over this document."""
+        if self._encoded is None:
+            self._encoded = [t.encode("utf-8") for t in self.texts()]
+        return self._encoded
+
+    def encoded_lower(self) -> list[bytes]:
+        if self._encoded_lower is None:
+            self._encoded_lower = [t.lower().encode("utf-8") for t in self.texts()]
+        return self._encoded_lower
 
     def _word_index(self, pipeline_key: tuple, pipeline: Sequence) -> dict:
         index = self._word_index_cache.get(pipeline_key)
