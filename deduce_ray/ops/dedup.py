@@ -116,10 +116,14 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     n_perm: int = 64,
-    bands: int = 16,
+    bands: int = 32,
     threshold: float = 0.6,
 ):
     """MinHash+LSH near-duplicate pairs with exact Jaccard verification.
+
+    Default banding 32x2 puts the S-curve knee near J~0.2, so candidate
+    recall at J>=0.5 is effectively 1; the exact in-bucket Jaccard check
+    removes the extra candidates.
 
     shingle -> minhash -> band -> bucket groupby -> in-bucket verify.
     Shingle sets ride along into the bucket groups so verification happens
