@@ -87,6 +87,7 @@ class AnnotateBatch:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from deduce_ray.linker import assign_entity_ids
+        from deduce_ray.person import Person
 
         repos = batch.column("repo").to_pylist()
         paths = batch.column("path").to_pylist()
@@ -94,17 +95,36 @@ class AnnotateBatch:
         langs = batch.column("lang").to_pylist()
         contents = batch.column("content").to_pylist()
 
+        # optional per-row patient metadata (struct column mirroring
+        # deduce.person.Person) enables the patient_name annotator
+        if "patient" in batch.schema.names:
+            patients = batch.column("patient").to_pylist()
+        else:
+            patients = [None] * batch.num_rows
+
         out: dict[str, list] = {name: [] for name in TRIPLE_SCHEMA.names}
         append = {name: out[name].append for name in out}
 
-        for repo, path, commit, lang, content in zip(
-            repos, paths, commits, langs, contents
+        for repo, path, commit, lang, content, patient in zip(
+            repos, paths, commits, langs, contents, patients
         ):
             if content is None or content == "":
                 continue
             doc_id = hashlib.sha256(content.encode("utf-8")).hexdigest()
+            metadata = None
+            if patient is not None:
+                metadata = {
+                    "patient": Person(
+                        first_names=patient.get("first_names"),
+                        initials=patient.get("initials"),
+                        surname=patient.get("surname"),
+                    )
+                }
             doc = self.engine.deidentify(
-                content, enabled=self.enabled, disabled=self.disabled
+                content,
+                metadata=metadata,
+                enabled=self.enabled,
+                disabled=self.disabled,
             )
             entity_ids = assign_entity_ids(doc.annotations)
 

@@ -277,3 +277,78 @@ class TestGroupedAgg:
         )
         for col in ["total", "lo", "hi", "n"]:
             assert list(out[col]) == list(want[col]), col
+
+
+class TestPatientMetadataColumn:
+    def test_patient_column_enables_patient_annotator(self, ray_session, lexicon_ref):
+        import ray.data
+
+        from deduce_ray.rayops.annotate import extract_triples
+
+        rows = [
+            {
+                "repo": "org/r",
+                "path": "a.txt",
+                "commit": "0" * 40,
+                "lang": "nl",
+                "content": "De patient Jan Jansen is gezien.",
+                "patient": {
+                    "first_names": ["Jan"],
+                    "initials": None,
+                    "surname": "Jansen",
+                },
+            },
+            {
+                "repo": "org/r",
+                "path": "b.txt",
+                "commit": "1" * 40,
+                "lang": "nl",
+                "content": "De patient Jan Jansen is gezien.",
+                "patient": None,
+            },
+        ]
+        got = extract_triples(
+            ray.data.from_items(rows), lexicon_ref=lexicon_ref
+        ).take_all()
+        by_commit = {}
+        for r in got:
+            by_commit.setdefault(r["commit"], []).append(r)
+        with_meta = [r for r in by_commit["0" * 40] if r["obj"] == "Jan Jansen"]
+        assert with_meta and with_meta[0]["pred"] == "patient"
+        without_meta = [r for r in by_commit["1" * 40] if r["obj"] == "Jan Jansen"]
+        assert without_meta and without_meta[0]["pred"] == "persoon"
+
+
+class TestUserConfigExtension:
+    def test_custom_regexp_annotator_via_config(self, engine):
+        from deduce_ray.engine import DeduceEngine
+
+        custom = DeduceEngine(
+            lexicon=(engine.lookup_structs, engine.tokenizer),
+            config={
+                "annotators": {
+                    "kenteken": {
+                        "type": "regexp",
+                        "group": "identifiers",
+                        "args": {
+                            "regexp_pattern": "[A-Z]{2}-[0-9]{3}-[A-Z]",
+                            "tag": "kenteken",
+                        },
+                    }
+                }
+            },
+        )
+        doc = custom.deidentify(
+            "Auto met kenteken AB-123-C gezien.",
+            enabled={"identifiers", "kenteken"},
+        )
+        assert {(a.text, a.tag) for a in doc.annotations} == {
+            ("AB-123-C", "kenteken")
+        }
+
+    def test_disabled_mask(self, engine):
+        text = "bsn 111222333 en nummer 1234567."
+        full = engine.deidentify(text, enabled={"identifiers", "bsn", "identifier"})
+        assert {a.tag for a in full.annotations} == {"bsn", "id"}
+        masked = engine.deidentify(text, disabled={"bsn"})
+        assert "bsn" not in {a.tag for a in masked.annotations}
