@@ -11,8 +11,17 @@ here calls ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# Make the package importable for THIS process regardless of the driver's
+# CWD.  Ray WORKERS resolve `deduce_ray` through the job's working directory
+# (standard Ray code distribution: the driver must ray.init() from this repo,
+# or ship it via runtime_env working_dir / the cluster image at real scale).
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
 
 _LEX_REF = None
 
@@ -225,6 +234,44 @@ def _q_ann_topk_lsh(sf_dir: str):
     )
 
 
+def _q_kg_redacted(sf_dir: str):
+    from deduce_ray.rayops.annotate import extract_triples
+
+    ds = extract_triples(
+        _repo_table(sf_dir), lexicon_ref=_lexicon_ref(), with_redacted=True
+    )
+
+    def project(batch):
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch.column("pred"), "_redacted"))
+        return batch.select(["doc_id", "obj"])
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _q_doc_shingle_fingerprints(sf_dir: str):
+    import pyarrow as pa
+    import ray.data
+
+    from deduce_ray.ops.textstats import shingle_fingerprint
+
+    def fp_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "shingle_fp": pa.array(
+                    [f"{shingle_fingerprint(t or ''):016x}" for t in texts]
+                ),
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(fp_batch, batch_format="pyarrow")
+
+
 def _q_media_features(sf_dir: str):
     import ray.data
 
@@ -251,9 +298,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_urls": _mentions_query({"urls", "url"}, "url"),
         "kg_postbus": _mentions_query({"locations", "postbus"}, "locatie"),
         # --- text analysis ---
+        "kg_redacted": _q_kg_redacted,
+        # --- text analysis ---
         "doc_token_counts": _q_doc_token_counts,
         "doc_quality": _q_doc_quality,
         "doc_fingerprints": _q_doc_fingerprints,
+        "doc_shingle_fingerprints": _q_doc_shingle_fingerprints,
         "doc_langid": _q_doc_langid,
         # --- dedup family ---
         "exact_dedup": _q_exact_dedup,
@@ -269,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": rel.pricing_summary,
         "top_customers": rel.top_customers,
         "events_by_type": rel.events_by_type,
+        "events_hourly": rel.events_hourly,
         "brand_volume": rel.brand_volume,
         "region_customers": rel.region_customers,
     }
@@ -367,6 +418,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": rel.pricing_summary_sql(),
         "top_customers": rel.top_customers_sql(),
         "events_by_type": rel.events_by_type_sql(),
+        "events_hourly": rel.events_hourly_sql(),
         "brand_volume": rel.brand_volume_sql(),
         "region_customers": rel.region_customers_sql(),
     }

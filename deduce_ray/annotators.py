@@ -182,9 +182,15 @@ class ContextAnnotator(TokenPatternAnnotator):
         pattern: list[dict],
         ds: DsCollection | None = None,
         iterative: bool = True,
+        max_rounds: int = 64,
     ) -> None:
         super().__init__(pattern=pattern, tag="_", ds=ds)
         self.iterative = iterative
+        # Straggler guard: real name chains are a handful of tokens; an
+        # adversarial document ("Jansen " * 2500) otherwise makes the
+        # fixpoint quadratic (one token of growth per round).  The cap only
+        # diverges from the reference on such pathological inputs.
+        self.max_rounds = max_rounds
 
     def _extend_with_pattern(
         self, text: str, annotations: AnnotationSet, ctx: dict
@@ -229,18 +235,30 @@ class ContextAnnotator(TokenPatternAnnotator):
         return annotations
 
     def _expand(self, text: str, annotations: AnnotationSet) -> AnnotationSet:
-        original = AnnotationSet(annotations)
+        """Fixpoint extension.  Iterative rather than recursive: each round
+        re-processes only the annotations changed by the previous round
+        (adversarially long token chains must not hit the recursion
+        limit — a straggler concern at scale, SURVEY.md §4.2)."""
+        if not self.iterative:
+            for ctx in self.pattern:
+                annotations = self._extend_with_pattern(text, annotations, ctx)
+            return annotations
 
-        for ctx in self.pattern:
-            annotations = self._extend_with_pattern(text, annotations, ctx)
-
-        if self.iterative:
-            changed = AnnotationSet(annotations - original)
-            annotations = AnnotationSet(annotations & original)
-            if changed:
-                annotations.update(self._expand(text, changed))
-
-        return annotations
+        settled = AnnotationSet()
+        work = annotations
+        rounds = 0
+        while work:
+            original = AnnotationSet(work)
+            for ctx in self.pattern:
+                work = self._extend_with_pattern(text, work, ctx)
+            changed = AnnotationSet(work - original)
+            settled.update(work & original)
+            work = changed
+            rounds += 1
+            if rounds >= self.max_rounds:
+                settled.update(work)
+                break
+        return settled
 
     def annotate(self, doc: Document) -> list[Annotation]:
         doc.annotations = self._expand(doc.text, doc.annotations)

@@ -28,8 +28,12 @@ from deduce_ray.structures import DsCollection, LookupSet, LookupTrie
 from deduce_ray.tokenizer import WordTokenizer
 
 DEFAULT_LOOKUP_PATH = Path("/root/reference/deduce/data/lookup")
+# repo-local derived-data cache (gitignored, never committed); override with
+# DEDUCE_RAY_CACHE
 DEFAULT_CACHE_DIR = Path(
-    os.environ.get("DEDUCE_RAY_CACHE", "/tmp/deduce_ray_cache")
+    os.environ.get(
+        "DEDUCE_RAY_CACHE", str(Path(__file__).resolve().parent.parent / ".lexicon_cache")
+    )
 )
 
 # Registry of raw lists (mirrors deduce/data/lookup/src/__init__.py:1-17).

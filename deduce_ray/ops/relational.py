@@ -255,6 +255,58 @@ def events_by_type_sql() -> str:
     """
 
 
+def events_hourly(sf_dir: str):
+    """Windowed aggregate: per (event_type, hour) event counts and exact
+    value sums — the batch shape of a streaming tumbling window."""
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        micros = pc.cast(batch.column("ts"), pa.int64())
+        hour_epoch = pc.multiply(pc.divide(micros, 3_600_000_000), 3600)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "hour_epoch": pc.cast(hour_epoch, pa.int64()),
+                "cents": _cents(batch.column("value")),
+            }
+        )
+
+    agged = grouped_agg(
+        ds.map_batches(project, batch_format="pyarrow"),
+        keys=["event_type", "hour_epoch"],
+        aggs={"n_events": (None, "count"), "sum_cents": ("cents", "sum")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "hour_epoch": df["hour_epoch"].astype("int64"),
+                "n_events": df["n_events"].astype("int64"),
+                "sum_value": df["sum_cents"] / 100.0,
+            }
+        )
+        return out.sort_values(["event_type", "hour_epoch"]).reset_index(drop=True)
+
+    return agged.map_batches(finish, batch_format="pandas")
+
+
+def events_hourly_sql() -> str:
+    return """
+        SELECT event_type,
+               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+               COUNT(*) AS n_events,
+               SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+
+
 def brand_volume(sf_dir: str):
     """lineitem x part broadcast join -> quantity by brand."""
     import ray

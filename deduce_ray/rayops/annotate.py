@@ -68,6 +68,7 @@ class AnnotateBatch:
         enabled=None,
         disabled=None,
         with_redacted: bool = False,
+        max_content_chars: int = 2_000_000,
     ) -> None:
         from deduce_ray.engine import DeduceEngine
 
@@ -84,6 +85,9 @@ class AnnotateBatch:
         self.enabled = set(enabled) if enabled else None
         self.disabled = set(disabled) if disabled else None
         self.with_redacted = with_redacted
+        # straggler guard: annotate only the first N chars of pathological
+        # documents and flag them with a pred="_truncated" row
+        self.max_content_chars = max_content_chars
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from deduce_ray.linker import assign_entity_ids
@@ -111,6 +115,10 @@ class AnnotateBatch:
             if content is None or content == "":
                 continue
             doc_id = hashlib.sha256(content.encode("utf-8")).hexdigest()
+            original_len = len(content)
+            truncated = original_len > self.max_content_chars
+            if truncated:
+                content = content[: self.max_content_chars]
             metadata = None
             if patient is not None:
                 metadata = {
@@ -139,6 +147,18 @@ class AnnotateBatch:
                 append["start_char"](ann.start_char)
                 append["end_char"](ann.end_char)
                 append["entity_id"](entity_ids[ann])
+
+            if truncated:
+                append["doc_id"](doc_id)
+                append["repo"](repo)
+                append["path"](path)
+                append["commit"](commit)
+                append["lang"](lang)
+                append["pred"]("_truncated")
+                append["obj"](str(original_len))
+                append["start_char"](0)
+                append["end_char"](len(content))
+                append["entity_id"]("")
 
             if self.with_redacted and doc.deidentified_text is not None:
                 append["doc_id"](doc_id)
