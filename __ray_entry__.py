@@ -174,6 +174,18 @@ def _q_minhash_pairs(sf_dir: str):
     )
 
 
+def _q_minhash_clusters(sf_dir: str):
+    import ray.data
+
+    from deduce_ray.ops.dedup import minhash_lsh_pairs, neardup_clusters
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    return neardup_clusters(pairs)
+
+
 def _q_simhash_pairs(sf_dir: str):
     import ray.data
 
@@ -320,8 +332,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": rel.top_customers,
         "events_by_type": rel.events_by_type,
         "events_hourly": rel.events_hourly,
+        "user_sessions": rel.user_sessions,
         "brand_volume": rel.brand_volume,
+        "bucketed_join_revenue": rel.bucketed_join_revenue,
         "region_customers": rel.region_customers,
+        "minhash_clusters": _q_minhash_clusters,
     }
 
 
@@ -419,6 +434,8 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": rel.top_customers_sql(),
         "events_by_type": rel.events_by_type_sql(),
         "events_hourly": rel.events_hourly_sql(),
+        "user_sessions": rel.user_sessions_sql(),
+        "bucketed_join_revenue": rel.bucketed_join_revenue_sql(),
         "brand_volume": rel.brand_volume_sql(),
         "region_customers": rel.region_customers_sql(),
     }

@@ -20,6 +20,7 @@ import struct
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -185,6 +186,145 @@ def minhash_lsh_pairs(
     # drop duplicate pairs found via multiple bands
     return pairs.groupby(["id_a", "id_b"]).map_groups(
         lambda df: df.head(1), batch_format="pandas"
+    )
+
+
+# ---------------------------------------------------------------------------
+# connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def neardup_clusters(
+    pairs_ds,
+    nodes_ds=None,
+    rounds: int = 4,
+    driver_threshold: int = 1_000_000,
+):
+    """Cluster near-duplicate pairs into components.
+
+    When the candidate pair set is provably small (<= driver_threshold,
+    checked with a cheap count), collapse it with a driver-side union-find
+    — near-dup pair sets are tiny relative to the corpus, and each
+    distributed round costs two full shuffles.  Otherwise run iterative
+    min-label propagation (each round: every node broadcasts its label to
+    its neighbours via one groupby, then takes the min; ``rounds`` bounds
+    the longest chain resolved at 2^rounds hops).
+
+    pairs_ds: rows with id_a/id_b.  nodes_ds: optional rows with doc_id for
+    singleton nodes.  Returns (doc_id, cluster_id) with cluster_id = min
+    doc id in the component.
+    """
+    import ray.data
+
+    if driver_threshold and pairs_ds.count() <= driver_threshold:
+        pairs = pairs_ds.select_columns(["id_a", "id_b"]).take_all()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.setdefault(root, root) != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in pairs:
+            ra, rb = find(int(row["id_a"])), find(int(row["id_b"]))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        if nodes_ds is not None:
+            for row in nodes_ds.select_columns(["doc_id"]).take_all():
+                find(int(row["doc_id"]))
+        out = pd.DataFrame(
+            sorted((node, find(node)) for node in parent),
+            columns=["doc_id", "cluster_id"],
+        )
+        return ray.data.from_pandas(out)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_pylist()
+        b = batch.column("id_b").to_pylist()
+        return pa.table(
+            {
+                "node": pa.array(a + b, type=pa.int64()),
+                "peer": pa.array(b + a, type=pa.int64()),
+            }
+        )
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow")
+
+    def to_self(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        return pa.table(
+            {"node": ids, "peer": ids},
+            schema=pa.schema([("node", pa.int64()), ("peer", pa.int64())]),
+        )
+
+    if nodes_ds is not None:
+        edges = edges.union(
+            nodes_ds.map_batches(to_self, batch_format="pyarrow")
+        )
+
+    # labels start as each node's own id (derived from the edge list)
+    labels = edges.map_batches(
+        lambda t: pa.table(
+            {"node": t.column("node"), "label": t.column("node")}
+        ),
+        batch_format="pyarrow",
+    ).groupby("node").map_groups(
+        lambda df: df.head(1), batch_format="pandas"
+    )
+
+    def _with_peer(labels_batch: pa.Table) -> pa.Table:
+        n = labels_batch.num_rows
+        return pa.table(
+            {
+                "node": labels_batch.column("node"),
+                "label": pc.cast(labels_batch.column("label"), pa.int64()),
+                "peer": pa.nulls(n, type=pa.int64()),
+            }
+        )
+
+    def _with_label(edges_batch: pa.Table) -> pa.Table:
+        n = edges_batch.num_rows
+        return pa.table(
+            {
+                "node": edges_batch.column("node"),
+                "label": pa.nulls(n, type=pa.int64()),
+                "peer": edges_batch.column("peer"),
+            }
+        )
+
+    for _ in range(rounds):
+        tagged = labels.map_batches(_with_peer, batch_format="pyarrow").union(
+            edges.map_batches(_with_label, batch_format="pyarrow")
+        )
+
+        def send(df: pd.DataFrame) -> pd.DataFrame:
+            label = int(df["label"].dropna().min())
+            peers = df["peer"].dropna().astype("int64")
+            out = pd.DataFrame(
+                {
+                    "node": pd.concat(
+                        [peers, df["node"].iloc[:1].astype("int64")],
+                        ignore_index=True,
+                    ),
+                }
+            )
+            out["label"] = label
+            return out
+
+        messages = tagged.groupby("node").map_groups(send, batch_format="pandas")
+        labels = messages.groupby("node").map_groups(
+            lambda df: df.groupby("node", as_index=False).agg(
+                label=("label", "min")
+            ),
+            batch_format="pandas",
+        )
+
+    return labels.map_batches(
+        lambda df: df.rename(columns={"node": "doc_id", "label": "cluster_id"}),
+        batch_format="pandas",
     )
 
 

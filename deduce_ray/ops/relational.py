@@ -365,6 +365,156 @@ def brand_volume_sql() -> str:
     """
 
 
+def bucketed_join_revenue(sf_dir: str, n_buckets: int = 32):
+    """Large x large join via explicit bucketed hash join: both sides get a
+    ``bucket = key % B`` column, one groupby co-locates matching buckets,
+    and the join happens per bucket inside map_groups — the portable
+    pattern when neither side fits a broadcast.  Output: revenue per
+    o_orderpriority.
+    """
+    import ray.data
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    lineitem = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_orderkey")
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(keys, n_buckets - 1), pa.int32()
+                ),
+                "key": keys,
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "disc_units": pa.nulls(batch.num_rows, type=pa.int64()),
+            }
+        )
+
+    def tag_lineitem(batch: pa.Table) -> pa.Table:
+        keys = batch.column("l_orderkey")
+        ext_cents = _cents(batch.column("l_extendedprice"))
+        disc_cents = pc.cast(
+            pc.round(pc.multiply(pc.subtract(1.0, batch.column("l_discount")), 100.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "bucket": pc.cast(
+                    pc.bit_wise_and(keys, n_buckets - 1), pa.int32()
+                ),
+                "key": keys,
+                "o_orderpriority": pa.nulls(batch.num_rows, type=pa.string()),
+                "disc_units": pc.multiply(ext_cents, disc_cents),
+            }
+        )
+
+    both = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        lineitem.map_batches(tag_lineitem, batch_format="pyarrow")
+    )
+
+    def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        dims = df[df["disc_units"].isna()][["key", "o_orderpriority"]]
+        facts = df[df["disc_units"].notna()][["key", "disc_units"]]
+        joined = facts.merge(dims, on="key", how="inner")
+        return (
+            joined.groupby("o_orderpriority", as_index=False)
+            .agg(disc_units=("disc_units", "sum"), n_items=("key", "count"))
+        )
+
+    per_bucket = both.groupby("bucket").map_groups(
+        join_bucket, batch_format="pandas"
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("o_orderpriority", as_index=False).agg(
+            disc_units=("disc_units", "sum"), n_items=("n_items", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "o_orderpriority": out["o_orderpriority"],
+                "revenue": out["disc_units"] / 10000.0,
+                "n_items": out["n_items"].astype("int64"),
+            }
+        ).sort_values("o_orderpriority").reset_index(drop=True)
+
+    # final merge across buckets is tiny (<= priorities x buckets rows)
+    return finish(per_bucket.to_pandas())
+
+
+def bucketed_join_revenue_sql() -> str:
+    return """
+        SELECT o.o_orderpriority,
+               SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l.l_discount) * 100) AS BIGINT)) / 10000.0
+                 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization: per-user tumbling-gap windows over the event log —
+    the batch shape of stream session windows.  Events are grouped by
+    user (one shuffle), sorted by (ts, event_id) within the group, and a
+    new session starts when the gap to the previous event exceeds
+    ``gap_minutes``.
+    """
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        new_session = (df["ts"].diff() > gap) | df["ts"].diff().isna()
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].iloc[:1].astype("int64"),
+                "n_sessions": [int(new_session.sum())],
+                "n_events": [int(len(df))],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        for col in ("user_id", "n_sessions", "n_events"):
+            df[col] = df[col].astype("int64")
+        return df.sort_values("user_id").reset_index(drop=True)
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+def user_sessions_sql(gap_minutes: int = 30) -> str:
+    return f"""
+        WITH ordered AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts - lag(ts) OVER w > INTERVAL {gap_minutes} MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id,
+               CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM ordered
+        GROUP BY user_id
+        ORDER BY user_id
+    """
+
+
 def region_customers(sf_dir: str):
     """customer -> nation -> region broadcast join chain, count per region."""
     import ray

@@ -352,3 +352,79 @@ class TestUserConfigExtension:
         assert {a.tag for a in full.annotations} == {"bsn", "id"}
         masked = engine.deidentify(text, disabled={"bsn"})
         assert "bsn" not in {a.tag for a in masked.annotations}
+
+
+class TestClustersAndJoins:
+    def test_neardup_clusters_union_find(self, ray_session):
+        import ray.data
+
+        from deduce_ray.ops.dedup import neardup_clusters
+
+        pairs = ray.data.from_items(
+            [
+                {"id_a": 1, "id_b": 2},
+                {"id_a": 2, "id_b": 3},
+                {"id_a": 7, "id_b": 9},
+            ]
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"] for r in neardup_clusters(pairs).take_all()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    def test_neardup_clusters_distributed_matches(self, ray_session):
+        import ray.data
+
+        from deduce_ray.ops.dedup import neardup_clusters
+
+        rows = [
+            {"id_a": 1, "id_b": 2},
+            {"id_a": 2, "id_b": 3},
+            {"id_a": 3, "id_b": 4},
+            {"id_a": 10, "id_b": 11},
+        ]
+        fast = {
+            r["doc_id"]: r["cluster_id"]
+            for r in neardup_clusters(ray.data.from_items(rows)).take_all()
+        }
+        dist = {
+            r["doc_id"]: r["cluster_id"]
+            for r in neardup_clusters(
+                ray.data.from_items(rows), driver_threshold=0
+            ).take_all()
+        }
+        assert fast == dist == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_bucketed_join_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from deduce_ray.ops.relational import (
+            bucketed_join_revenue,
+            bucketed_join_revenue_sql,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        mine = bucketed_join_revenue(sf)
+        con = duckdb.connect()
+        for t in ("orders", "lineitem"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+            )
+        oracle = con.execute(bucketed_join_revenue_sql()).df()
+        assert list(mine["revenue"]) == list(oracle["revenue"])
+        assert list(mine["n_items"]) == list(oracle["n_items"])
+
+    def test_user_sessions_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from deduce_ray.ops.relational import user_sessions, user_sessions_sql
+
+        sf = "/root/testdata/sf0.001"
+        mine = user_sessions(sf).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+        )
+        oracle = con.execute(user_sessions_sql()).df()
+        assert list(mine["n_sessions"]) == list(oracle["n_sessions"])
+        assert list(mine["n_events"]) == list(oracle["n_events"])
