@@ -1,0 +1,175 @@
+"""Command-line entry points.
+
+    python -m deduce_ray extract --input docs.parquet --output /tmp/graph
+    python -m deduce_ray deidentify --text "Jan Jansen, bsn 111222333"
+    python -m deduce_ray compile-lexicon
+
+``extract`` accepts either the repo schema (repo,path,commit,lang,content)
+or the documents schema (doc_id,text,lang) — the latter is decorated into
+the repo shape deterministically (corpus.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+
+
+def cmd_extract(args) -> int:
+    import ray
+    import ray.data
+
+    from deduce_ray.corpus import decorate_batch
+    from deduce_ray.rayops.annotate import broadcast_lexicon, extract_triples
+    from deduce_ray.rayops.kg import dedup_triples, materialize_graph
+
+    _init_ray(args.num_cpus)
+    ds = ray.data.read_parquet(args.input)
+    names = set(ds.schema().names)
+    if "content" not in names and "text" in names:
+        ds = ds.map_batches(decorate_batch, batch_format="pyarrow")
+
+    lexicon_ref = broadcast_lexicon(lookup_data_path=args.lookup_data_path)
+    enabled = set(args.enabled.split(",")) if args.enabled else None
+    triples = extract_triples(
+        ds,
+        lexicon_ref=lexicon_ref,
+        enabled=enabled,
+        with_redacted=args.with_redacted,
+    )
+
+    if args.output:
+        metrics = materialize_graph(
+            triples, args.output, resume=not args.no_resume
+        ).to_pandas()
+        print(
+            json.dumps(
+                {
+                    "partitions_written": int(len(metrics)),
+                    "rows": int(metrics["rows"].sum()) if len(metrics) else 0,
+                    "docs": int(metrics["docs"].sum()) if len(metrics) else 0,
+                    "output": str(args.output),
+                }
+            )
+        )
+    else:
+        graph = dedup_triples(triples)
+        print(json.dumps({"triples": graph.count()}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_deidentify(args) -> int:
+    from deduce_ray.engine import DeduceEngine
+    from deduce_ray.person import Person
+
+    kwargs = (
+        {"lookup_data_path": args.lookup_data_path} if args.lookup_data_path else {}
+    )
+    engine = DeduceEngine(**kwargs)
+    metadata = None
+    if args.patient_first_names or args.patient_surname or args.patient_initials:
+        metadata = {
+            "patient": Person.from_keywords(
+                patient_first_names=args.patient_first_names or "",
+                patient_initials=args.patient_initials or "",
+                patient_surname=args.patient_surname or "",
+            )
+        }
+    text = args.text if args.text is not None else sys.stdin.read()
+    doc = engine.deidentify(
+        text,
+        metadata=metadata,
+        enabled=set(args.enabled.split(",")) if args.enabled else None,
+        disabled=set(args.disabled.split(",")) if args.disabled else None,
+    )
+    print(
+        json.dumps(
+            {
+                "annotations": [
+                    {
+                        "text": a.text,
+                        "start_char": a.start_char,
+                        "end_char": a.end_char,
+                        "tag": a.tag,
+                    }
+                    for a in doc.annotations.sorted_by(("start_char",))
+                ],
+                "deidentified_text": doc.deidentified_text,
+            },
+            ensure_ascii=False,
+        )
+    )
+    return 0
+
+
+def cmd_compile_lexicon(args) -> int:
+    import time
+
+    from deduce_ray.lexicon import DEFAULT_LOOKUP_PATH, load_or_build_lexicon
+
+    t0 = time.time()
+    structs, _ = load_or_build_lexicon(
+        args.lookup_data_path or DEFAULT_LOOKUP_PATH,
+        cache_dir=args.cache_dir,
+        build=args.force,
+    )
+    print(
+        json.dumps(
+            {
+                "lists": sorted(structs),
+                "sizes": {name: len(struct) for name, struct in structs.items()},
+                "seconds": round(time.time() - t0, 1),
+            }
+        )
+    )
+    return 0
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser(prog="deduce_ray")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("extract", help="parquet in -> triple graph out")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", help="graph directory (omit: just count triples)")
+    p.add_argument("--enabled", help="comma-separated stage names")
+    p.add_argument("--with-redacted", action="store_true")
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--num-cpus", type=int)
+    p.add_argument("--lookup-data-path")
+    p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("deidentify", help="one document -> annotations JSON")
+    p.add_argument("--text", help="document text (default: stdin)")
+    p.add_argument("--enabled")
+    p.add_argument("--disabled")
+    p.add_argument("--patient-first-names")
+    p.add_argument("--patient-initials")
+    p.add_argument("--patient-surname")
+    p.add_argument("--lookup-data-path")
+    p.set_defaults(fn=cmd_deidentify)
+
+    p = sub.add_parser("compile-lexicon", help="build + cache the lexicon")
+    p.add_argument("--lookup-data-path")
+    p.add_argument("--cache-dir")
+    p.add_argument("--force", action="store_true")
+    p.set_defaults(fn=cmd_compile_lexicon)
+
+    args = parser.parse_args()
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

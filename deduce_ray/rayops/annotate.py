@@ -42,7 +42,8 @@ def broadcast_lexicon(lookup_data_path=None, cache_dir=None):
     from deduce_ray.lexicon import DEFAULT_LOOKUP_PATH, load_or_build_lexicon
 
     lexicon = load_or_build_lexicon(
-        lookup_data_path or DEFAULT_LOOKUP_PATH, cache_dir=cache_dir
+        lookup_data_path if lookup_data_path is not None else DEFAULT_LOOKUP_PATH,
+        cache_dir=cache_dir,
     )
     return ray.put(lexicon)
 
