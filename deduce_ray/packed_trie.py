@@ -32,41 +32,54 @@ def _pack_sorted(items: list[bytes]) -> tuple[bytes, np.ndarray]:
     return b"".join(items), offsets
 
 
-class _BlobSet:
-    """Sorted-unique byte strings packed in one buffer; exact bisect probe."""
+def _prefix64(b: bytes) -> int:
+    return int.from_bytes(b[:8].ljust(8, b"\x00"), "big")
 
-    __slots__ = ("blob", "offsets", "n")
+
+class _BlobSet:
+    """Sorted-unique byte strings packed in one buffer.
+
+    Probe = numpy searchsorted over the 8-byte big-endian prefixes (C
+    speed), then exact byte compares only within the (usually length-1)
+    equal-prefix run.  Byte order and uint64 big-endian order agree, so
+    the prefix array is sorted exactly like the strings.
+    """
+
+    __slots__ = ("blob", "offsets", "n", "prefixes")
 
     def __init__(self, items: set[bytes]) -> None:
         ordered = sorted(items)
         self.blob, self.offsets = _pack_sorted(ordered)
         self.n = len(ordered)
+        self.prefixes = np.fromiter(
+            (_prefix64(b) for b in ordered), dtype=np.uint64, count=self.n
+        )
 
     def _at(self, i: int) -> bytes:
         return self.blob[self.offsets[i] : self.offsets[i + 1]]
 
     def index(self, probe: bytes) -> int:
         """Index of probe, or -1."""
-        lo, hi = 0, self.n
-        blob, offsets = self.blob, self.offsets
-        while lo < hi:
-            mid = (lo + hi) >> 1
-            if blob[offsets[mid] : offsets[mid + 1]] < probe:
-                lo = mid + 1
-            else:
-                hi = mid
-        if lo < self.n and blob[offsets[lo] : offsets[lo + 1]] == probe:
-            return lo
+        key = np.uint64(_prefix64(probe))
+        lo = int(np.searchsorted(self.prefixes, key, side="left"))
+        blob, offsets, n, prefixes = self.blob, self.offsets, self.n, self.prefixes
+        while lo < n and prefixes[lo] == key:
+            entry = blob[offsets[lo] : offsets[lo + 1]]
+            if entry == probe:
+                return lo
+            if entry > probe:
+                return -1
+            lo += 1
         return -1
 
     def __contains__(self, probe: bytes) -> bool:
         return self.index(probe) >= 0
 
     def __getstate__(self):
-        return (self.blob, self.offsets, self.n)
+        return (self.blob, self.offsets, self.n, self.prefixes)
 
     def __setstate__(self, state):
-        self.blob, self.offsets, self.n = state
+        self.blob, self.offsets, self.n, self.prefixes = state
 
 
 class PackedTrie:
