@@ -120,20 +120,54 @@ def completed_partitions(out_dir: str | Path) -> set[str]:
     return done
 
 
-def materialize_graph(triples_ds, out_dir: str | Path, resume: bool = True):
+def materialize_graph(
+    triples_ds,
+    out_dir: str | Path,
+    resume: bool = True,
+    hot_keys: set[str] | None = None,
+    n_salts: int = 8,
+    run_id: str | None = None,
+):
     """Write the deduplicated triple graph partitioned by (repo, lang), one
-    parquet file + one lineage manifest per partition.  Returns the metrics
-    dataset (one row per partition written).
+    parquet file + one lineage manifest per (partition, salt) unit.
+    Returns the metrics dataset (one row per unit written).
 
-    Resume: partitions listed complete in ``_manifests/`` are filtered out
+    Skew: a hot partition (e.g. a monorepo holding 30% of the corpus)
+    would serialize behind one group task.  Repos named in ``hot_keys``
+    (from a cheap pre-scan of per-repo volumes, or domain knowledge) are
+    salted with ``doc_id-hash % n_salts`` so their group work and output
+    fan out across ``n_salts`` units (``part-<salt>.parquet`` files under
+    the partition directory); cold partitions keep a single unit.  Dedup
+    stays exact under salting because the salt derives from doc_id, which
+    is part of the graph key.
+
+    Resume: units listed complete in ``_manifests/`` are filtered out
     *before* the shuffle, so a restarted run neither recomputes nor
-    rewrites them.
+    rewrites them.  A ``_manifests/_run_<id>.json`` summary records the
+    run-level lineage.
     """
     import pyarrow.compute as pc
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     (out_dir / "_manifests").mkdir(exist_ok=True)
+
+    combined = triples_ds.map_batches(_dedup_batch, batch_format="pyarrow")
+
+    hot = frozenset(hot_keys or ())
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("salt", pa.array([], type=pa.int32()))
+        repos = batch.column("repo").to_pylist()
+        doc_ids = batch.column("doc_id").to_pylist()
+        salts = [
+            int(d[:4], 16) % n_salts if (r in hot and d) else 0
+            for r, d in zip(repos, doc_ids)
+        ]
+        return batch.append_column("salt", pa.array(salts, type=pa.int32()))
+
+    salted = combined.map_batches(add_salt, batch_format="pyarrow")
 
     done = completed_partitions(out_dir) if resume else set()
     if done:
@@ -143,20 +177,20 @@ def materialize_graph(triples_ds, out_dir: str | Path, resume: bool = True):
             slug = pc.binary_join_element_wise(
                 pc.replace_substring(batch.column("repo"), "/", "__"),
                 batch.column("lang"),
+                pc.cast(batch.column("salt"), pa.string()),
                 "__",
             )
             return batch.filter(pc.invert(pc.is_in(slug, value_set=done_list)))
 
-        triples_ds = triples_ds.map_batches(drop_done, batch_format="pyarrow")
+        salted = salted.map_batches(drop_done, batch_format="pyarrow")
 
-    combined = triples_ds.map_batches(_dedup_batch, batch_format="pyarrow")
-
-    def write_partition(df):
+    def write_unit(df):
         import pandas as pd
 
         t0 = time.time()
         repo, lang = df["repo"].iloc[0], df["lang"].iloc[0]
-        slug = _partition_slug(repo, lang)
+        salt = int(df["salt"].iloc[0])
+        slug = f"{_partition_slug(repo, lang)}__{salt}"
 
         graph = (
             df.groupby(_GRAPH_KEY, as_index=False)
@@ -168,10 +202,10 @@ def materialize_graph(triples_ds, out_dir: str | Path, resume: bool = True):
             .reset_index(drop=True)
         )
 
-        part_dir = out_dir / slug
+        part_dir = out_dir / _partition_slug(repo, lang)
         part_dir.mkdir(parents=True, exist_ok=True)
-        data_path = part_dir / "triples.parquet"
-        tmp_path = part_dir / f".triples.{os.getpid()}.tmp"
+        data_path = part_dir / f"part-{salt}.parquet"
+        tmp_path = part_dir / f".part-{salt}.{os.getpid()}.tmp"
         graph.to_parquet(tmp_path, index=False)
         os.replace(tmp_path, data_path)
 
@@ -184,6 +218,7 @@ def materialize_graph(triples_ds, out_dir: str | Path, resume: bool = True):
             "partition": slug,
             "repo": repo,
             "lang": lang,
+            "salt": salt,
             "rows": int(len(graph)),
             "docs": int(graph["doc_id"].nunique()),
             "mentions": int(graph["n_mentions"].sum()),
@@ -198,6 +233,22 @@ def materialize_graph(triples_ds, out_dir: str | Path, resume: bool = True):
 
         return pd.DataFrame([{k: v for k, v in manifest.items() if k != "complete"}])
 
-    return combined.groupby(["repo", "lang"]).map_groups(
-        write_partition, batch_format="pandas"
+    metrics = salted.groupby(["repo", "lang", "salt"]).map_groups(
+        write_unit, batch_format="pandas"
     )
+
+    if run_id is not None:
+        summary = metrics.to_pandas()
+        run_manifest = {
+            "run_id": run_id,
+            "units_written": int(len(summary)),
+            "rows": int(summary["rows"].sum()) if len(summary) else 0,
+            "docs": int(summary["docs"].sum()) if len(summary) else 0,
+            "resumed_units_skipped": len(done),
+        }
+        with open(out_dir / "_manifests" / f"_run_{run_id}.json", "w") as fh:
+            json.dump(run_manifest, fh)
+        import ray.data
+
+        return ray.data.from_pandas(summary) if len(summary) else metrics
+    return metrics

@@ -104,9 +104,45 @@ class TestGraphMaterialize:
         # partition files exist and are readable
         import pyarrow.parquet as pq
 
-        slug = metrics.iloc[0]["partition"]
-        part = pq.read_table(out / slug / "triples.parquet")
-        assert part.num_rows == metrics.iloc[0]["rows"]
+        row = metrics.iloc[0]
+        part_dir = out / f"{row['repo'].replace('/', '__')}__{row['lang']}"
+        part = pq.read_table(part_dir / f"part-{row['salt']}.parquet")
+        assert part.num_rows == row["rows"]
+
+    def test_hot_key_salting(self, ray_session, lexicon_ref, tmp_path):
+        from deduce_ray.rayops.annotate import extract_triples
+        from deduce_ray.rayops.kg import materialize_graph
+
+        out = tmp_path / "salted"
+        triples = extract_triples(_repo_ds(), lexicon_ref=lexicon_ref)
+        metrics = materialize_graph(
+            triples, out, hot_keys={"org/monorepo"}, n_salts=4, run_id="r1"
+        ).to_pandas()
+
+        mono = metrics[metrics["repo"] == "org/monorepo"]
+        cold = metrics[metrics["repo"] != "org/monorepo"]
+        assert mono["salt"].nunique() > 1, "hot repo should fan out over salts"
+        assert set(cold["salt"]) == {0}
+        assert (out / "_manifests" / "_run_r1.json").exists()
+
+        # salted rows reassemble to the same graph as the unsalted write
+        import pyarrow.parquet as pq
+
+        plain_out = tmp_path / "plain"
+        triples2 = extract_triples(_repo_ds(), lexicon_ref=lexicon_ref)
+        materialize_graph(triples2, plain_out).to_pandas()
+
+        def all_rows(root):
+            frames = []
+            for f in sorted(root.glob("*/part-*.parquet")):
+                frames.append(pq.read_table(f).to_pandas())
+            import pandas as pd
+
+            df = pd.concat(frames, ignore_index=True).drop(columns=[], errors="ignore")
+            return df.sort_values(["doc_id", "pred", "obj", "first_start_char"]).reset_index(drop=True)
+
+        a, b = all_rows(out), all_rows(plain_out)
+        assert a.equals(b)
 
 
 class TestDedupOps:
