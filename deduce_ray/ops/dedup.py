@@ -133,11 +133,15 @@ def minhash_lsh_pairs(
     """
     rows_per_band = n_perm // bands
     a, b = _minhash_params(n_perm)
+    n_shards = 256  # shuffle key granularity: most band-buckets are global
+    # singletons, so grouping directly by bucket would launch one task per
+    # bucket; sharding keeps it to <= n_shards group tasks, with the
+    # per-bucket work vectorized in pandas inside each shard.
 
     def signatures(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        out = {"bucket": [], id_col: [], "shingles": []}
+        out = {"shard": [], "bucket": [], id_col: [], "shingles": []}
         for i, t in zip(ids, texts):
             sh = word_shingles(t or "", k)
             sig = minhash_signature(sh, a, b)
@@ -147,43 +151,55 @@ def minhash_lsh_pairs(
                 bucket = hashlib.md5(
                     struct.pack("<i", band) + band_slice.tobytes()
                 ).hexdigest()[:16]
+                out["shard"].append(int(bucket[:4], 16) % n_shards)
                 out["bucket"].append(bucket)
                 out[id_col].append(i)
                 out["shingles"].append(sh_list)
         return pa.table(
             {
+                "shard": pa.array(out["shard"], type=pa.int32()),
                 "bucket": pa.array(out["bucket"]),
                 id_col: pa.array(out[id_col], type=pa.int64()),
                 "shingles": pa.array(out["shingles"], type=pa.list_(pa.uint64())),
             }
         )
 
-    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        pairs = []
-        # distinct docs in this bucket (a doc can appear once per band-bucket)
-        docs = df.drop_duplicates(subset=[id_col])
-        if len(docs) > 1:
-            items = [
-                (int(r[id_col]), set(int(x) for x in r["shingles"]))
-                for _, r in docs.iterrows()
-            ]
-            items.sort(key=lambda t: t[0])
-            for i in range(len(items)):
-                for j in range(i + 1, len(items)):
-                    sim = jaccard(items[i][1], items[j][1])
-                    if sim >= threshold:
-                        pairs.append(
-                            {
-                                "id_a": items[i][0],
-                                "id_b": items[j][0],
-                                "jaccard": round(sim, 6),
-                            }
-                        )
-        return pd.DataFrame(pairs, columns=["id_a", "id_b", "jaccard"])
+    def verify_shard(df: pd.DataFrame) -> pd.DataFrame:
+        pairs: dict[tuple[int, int], float] = {}
+        shingle_cache: dict[int, set] = {}
+        sizes = df.groupby("bucket")[id_col].nunique()
+        hot_buckets = set(sizes[sizes > 1].index)
+        if hot_buckets:
+            sub = df[df["bucket"].isin(hot_buckets)]
+            for _, group in sub.groupby("bucket"):
+                docs = group.drop_duplicates(subset=[id_col])
+                ids = docs[id_col].astype("int64").tolist()
+                if len(ids) < 2:
+                    continue
+                for doc_id, shingles in zip(ids, docs["shingles"]):
+                    if doc_id not in shingle_cache:
+                        shingle_cache[doc_id] = set(int(x) for x in shingles)
+                ids.sort()
+                for i in range(len(ids)):
+                    for j in range(i + 1, len(ids)):
+                        key = (ids[i], ids[j])
+                        if key in pairs:
+                            continue
+                        sim = jaccard(shingle_cache[ids[i]], shingle_cache[ids[j]])
+                        if sim >= threshold:
+                            pairs[key] = round(sim, 6)
+                        else:
+                            pairs[key] = -1.0  # remember rejection
+        rows = [
+            {"id_a": k[0], "id_b": k[1], "jaccard": v}
+            for k, v in pairs.items()
+            if v >= 0
+        ]
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
 
     sigs = ds.map_batches(signatures, batch_format="pyarrow")
-    pairs = sigs.groupby("bucket").map_groups(verify_bucket, batch_format="pandas")
-    # drop duplicate pairs found via multiple bands
+    pairs = sigs.groupby("shard").map_groups(verify_shard, batch_format="pandas")
+    # drop duplicate pairs found via buckets in different shards
     return pairs.groupby(["id_a", "id_b"]).map_groups(
         lambda df: df.head(1), batch_format="pandas"
     )
@@ -355,40 +371,53 @@ def simhash_pairs(
     """SimHash near-dup pairs: 4x16-bit band bucketing guarantees recall for
     Hamming distance <= 3; in-bucket exact Hamming verification."""
 
+    n_shards = 256
+
     def signatures(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        out = {"bucket": [], id_col: [], "simhash": []}
+        out = {"shard": [], "bucket": [], id_col: [], "simhash": []}
         for i, t in zip(ids, texts):
             h = simhash64(t or "")
             for band in range(4):
                 chunk = (h >> (band * 16)) & 0xFFFF
+                out["shard"].append((band * 65536 + chunk) % n_shards)
                 out["bucket"].append(f"{band}:{chunk:04x}")
                 out[id_col].append(i)
                 out["simhash"].append(h)
         return pa.table(
             {
+                "shard": pa.array(out["shard"], type=pa.int32()),
                 "bucket": pa.array(out["bucket"]),
                 id_col: pa.array(out[id_col], type=pa.int64()),
                 "simhash": pa.array(out["simhash"], type=pa.uint64()),
             }
         )
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        docs = df.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        pairs = []
-        items = list(zip(docs[id_col].astype(int), docs["simhash"].astype(np.uint64)))
-        for i in range(len(items)):
-            for j in range(i + 1, len(items)):
-                dist = int(bin(int(items[i][1]) ^ int(items[j][1])).count("1"))
-                if dist <= max_hamming:
-                    pairs.append(
-                        {"id_a": items[i][0], "id_b": items[j][0], "hamming": dist}
-                    )
-        return pd.DataFrame(pairs, columns=["id_a", "id_b", "hamming"])
+    def verify_shard(df: pd.DataFrame) -> pd.DataFrame:
+        pairs: dict[tuple[int, int], int] = {}
+        sizes = df.groupby("bucket")[id_col].nunique()
+        for bucket in sizes[sizes > 1].index:
+            docs = df[df["bucket"] == bucket].drop_duplicates(subset=[id_col])
+            items = sorted(
+                zip(docs[id_col].astype(int), docs["simhash"].astype(np.uint64))
+            )
+            for i in range(len(items)):
+                for j in range(i + 1, len(items)):
+                    key = (items[i][0], items[j][0])
+                    if key in pairs:
+                        continue
+                    dist = int(bin(int(items[i][1]) ^ int(items[j][1])).count("1"))
+                    pairs[key] = dist
+        rows = [
+            {"id_a": k[0], "id_b": k[1], "hamming": v}
+            for k, v in pairs.items()
+            if v <= max_hamming
+        ]
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
 
     sigs = ds.map_batches(signatures, batch_format="pyarrow")
-    pairs = sigs.groupby("bucket").map_groups(verify, batch_format="pandas")
+    pairs = sigs.groupby("shard").map_groups(verify_shard, batch_format="pandas")
     return pairs.groupby(["id_a", "id_b"]).map_groups(
         lambda df: df.head(1), batch_format="pandas"
     )
