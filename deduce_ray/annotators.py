@@ -284,6 +284,10 @@ class MultiTokenLookupAnnotator(Annotator):
 
     def _spans(self, tokens) -> list[tuple[int, int]]:
         trie = self.trie
+        if hasattr(trie, "spans_for_tokens"):
+            # member of a merged multi-lexicon: one shared probe pass per
+            # document, cached on the token list
+            return trie.spans_for_tokens(tokens)
         if hasattr(trie, "find_spans_encoded"):
             pipeline = trie.matching_pipeline
             if not pipeline:

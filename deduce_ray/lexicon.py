@@ -23,7 +23,7 @@ import re
 from pathlib import Path
 
 from deduce_ray import strproc as sp
-from deduce_ray.packed_trie import PackedTrie
+from deduce_ray.packed_trie import MemberTrieView, MultiPackedTrie, PackedTrie
 from deduce_ray.structures import DsCollection, LookupSet, LookupTrie
 from deduce_ray.tokenizer import WordTokenizer
 
@@ -340,10 +340,21 @@ def compile_lexicon(
         structs[name] = default
     for name, loader in SET_LOADERS.items():
         structs[name] = loader(raw)
-    for name, loader in TRIE_LOADERS.items():
-        # compile to the numpy-packed form: loads in milliseconds per actor
-        # instead of tens of seconds for nested-dict tries
-        structs[name] = pack_trie(loader(raw, tokenizer))
+
+    # compile tries to numpy-packed forms: loads in milliseconds per actor
+    # instead of tens of seconds for nested-dict tries.  The pipeline-free
+    # lexicons are additionally merged into ONE probe structure so every
+    # document is scanned once for all of them (MultiPackedTrie).
+    built = {name: loader(raw, tokenizer) for name, loader in TRIE_LOADERS.items()}
+    merged = [
+        (name, trie) for name, trie in built.items() if not trie.matching_pipeline
+    ]
+    multi = MultiPackedTrie(merged)
+    for idx, (name, _) in enumerate(merged):
+        structs[name] = MemberTrieView(multi, idx)
+    for name, trie in built.items():
+        if trie.matching_pipeline:
+            structs[name] = pack_trie(trie)
     return structs, tokenizer
 
 

@@ -61,15 +61,22 @@ class _BlobSet:
     def index(self, probe: bytes) -> int:
         """Index of probe, or -1."""
         key = np.uint64(_prefix64(probe))
-        lo = int(np.searchsorted(self.prefixes, key, side="left"))
-        blob, offsets, n, prefixes = self.blob, self.offsets, self.n, self.prefixes
-        while lo < n and prefixes[lo] == key:
-            entry = blob[offsets[lo] : offsets[lo + 1]]
-            if entry == probe:
-                return lo
-            if entry > probe:
-                return -1
-            lo += 1
+        prefixes = self.prefixes
+        lo = int(np.searchsorted(prefixes, key, side="left"))
+        if lo >= self.n or prefixes[lo] != key:
+            return -1
+        # binary search inside the equal-prefix run (runs can be long for
+        # lexicons with shared prefixes, e.g. street names)
+        hi = int(np.searchsorted(prefixes, key, side="right"))
+        blob, offsets = self.blob, self.offsets
+        while lo < hi:
+            mid = (lo + hi) >> 1
+            if blob[offsets[mid] : offsets[mid + 1]] < probe:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo < self.n and blob[offsets[lo] : offsets[lo + 1]] == probe:
+            return lo
         return -1
 
     def __contains__(self, probe: bytes) -> bool:
@@ -224,3 +231,167 @@ class PackedTrie:
             self._n_entries,
         ) = state
         self._first_memo = {}
+
+
+class MultiPackedTrie:
+    """Several lexicons (no matching pipeline) merged into ONE probe
+    structure: the entry and first-token blobs are unioned, with per-item
+    bitmasks recording which lexicons contain them.  A document's tokens
+    are then scanned once for ALL member lexicons instead of once per
+    lexicon (the lexicon probe is the hottest part of the annotate stage).
+
+    ``find_all(enc)`` returns one span list per member lexicon, each
+    identical to what that lexicon's own PackedTrie.find_spans would
+    produce (verified by tests).
+    """
+
+    __slots__ = ("names", "_entries", "_entry_masks", "_firsts", "_len_masks", "_first_memo", "_sizes")
+
+    _MEMO_CAP = 262_144
+
+    def __init__(self, tries: list[tuple[str, object]]) -> None:
+        # tries: (name, build-time LookupTrie) pairs, all pipeline-free
+        if any(t.matching_pipeline for _, t in tries):
+            raise ValueError("MultiPackedTrie members must have no pipeline")
+        self.names = [name for name, _ in tries]
+        n_tries = len(tries)
+
+        entry_masks: dict[bytes, int] = {}
+        first_masks: dict[bytes, list[int]] = {}
+        self._sizes = []
+        for t_idx, (_, trie) in enumerate(tries):
+            sequences: list[list[str]] = []
+
+            def walk(node: dict, prefix: list[str]) -> None:
+                for key, child in node.items():
+                    if key == "":
+                        sequences.append(list(prefix))
+                    else:
+                        prefix.append(key)
+                        walk(child, prefix)
+                        prefix.pop()
+
+            walk(trie._root, [])
+            self._sizes.append(len(sequences))
+            for seq in sequences:
+                if not seq or len(seq) > _MAX_LEN:
+                    continue
+                enc = [s.encode("utf-8") for s in seq]
+                joined = _SEP.join(enc)
+                entry_masks[joined] = entry_masks.get(joined, 0) | (1 << t_idx)
+                row = first_masks.setdefault(enc[0], [0] * n_tries)
+                row[t_idx] |= 1 << (len(seq) - 1)
+
+        self._entries = _BlobSet(set(entry_masks))
+        masks = np.zeros(self._entries.n, dtype=np.uint32)
+        for joined, mask in entry_masks.items():
+            masks[self._entries.index(joined)] = mask
+        self._entry_masks = masks
+
+        self._firsts = _BlobSet(set(first_masks))
+        len_masks = np.zeros((self._firsts.n, n_tries), dtype=np.uint64)
+        for tok, row in first_masks.items():
+            len_masks[self._firsts.index(tok)] = row
+        self._len_masks = len_masks
+        self._first_memo: dict[bytes, int] = {}
+
+    def find_all(self, enc: list[bytes]) -> list[list[tuple[int, int]]]:
+        n = len(enc)
+        n_tries = len(self.names)
+        spans: list[list[tuple[int, int]]] = [[] for _ in range(n_tries)]
+        memo = self._first_memo
+        if len(memo) > self._MEMO_CAP:
+            memo.clear()
+        firsts = self._firsts
+        entries = self._entries
+        entry_masks = self._entry_masks
+        len_masks = self._len_masks
+
+        for i, tok in enumerate(enc):
+            fi = memo.get(tok)
+            if fi is None:
+                fi = firsts.index(tok)
+                memo[tok] = fi
+            if fi < 0:
+                continue
+            row = len_masks[fi]
+            union_mask = 0
+            trie_masks = []
+            for t in range(n_tries):
+                m = int(row[t])
+                trie_masks.append(m)
+                union_mask |= m
+            if union_mask == 0:
+                continue
+            pending = [t for t in range(n_tries) if trie_masks[t]]
+            length = union_mask.bit_length()
+            while length > 0 and pending:
+                if (union_mask >> (length - 1)) & 1 and i + length <= n:
+                    if length == 1:
+                        # a set length-1 bit in trie t implies the entry
+                        for t in list(pending):
+                            if (trie_masks[t] >> (length - 1)) & 1:
+                                spans[t].append((i, 1))
+                                pending.remove(t)
+                    else:
+                        ei = entries.index(_SEP.join(enc[i : i + length]))
+                        if ei >= 0:
+                            e_mask = int(entry_masks[ei])
+                            for t in list(pending):
+                                if (trie_masks[t] >> (length - 1)) & 1 and (
+                                    e_mask >> t
+                                ) & 1:
+                                    spans[t].append((i, length))
+                                    pending.remove(t)
+                length -= 1
+        return spans
+
+    def __getstate__(self):
+        return (
+            self.names,
+            self._entries,
+            self._entry_masks,
+            self._firsts,
+            self._len_masks,
+            self._sizes,
+        )
+
+    def __setstate__(self, state):
+        (
+            self.names,
+            self._entries,
+            self._entry_masks,
+            self._firsts,
+            self._len_masks,
+            self._sizes,
+        ) = state
+        self._first_memo = {}
+
+
+class MemberTrieView:
+    """One lexicon's view into a MultiPackedTrie.  Satisfies the
+    MultiTokenLookupAnnotator contract; the underlying single probe pass
+    is computed once per document and cached on the TokenList."""
+
+    __slots__ = ("multi", "index", "matching_pipeline")
+
+    def __init__(self, multi: MultiPackedTrie, index: int) -> None:
+        self.multi = multi
+        self.index = index
+        self.matching_pipeline: list = []
+
+    def __len__(self) -> int:
+        return self.multi._sizes[self.index]
+
+    def spans_for_tokens(self, tokens) -> list[tuple[int, int]]:
+        cache = tokens._word_index_cache
+        key = ("multilex", id(self.multi))
+        all_spans = cache.get(key)
+        if all_spans is None:
+            all_spans = self.multi.find_all(tokens.encoded())
+            cache[key] = all_spans
+        return all_spans[self.index]
+
+    def find_spans(self, texts: list[str]) -> list[tuple[int, int]]:
+        enc = [t.encode("utf-8") for t in texts]
+        return self.multi.find_all(enc)[self.index]

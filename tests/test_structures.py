@@ -84,3 +84,39 @@ def test_packed_trie_pickle_roundtrip():
     trie.add_item(["a"])
     packed = pickle.loads(pickle.dumps(PackedTrie.from_lookup_trie(trie)))
     assert packed.find_spans(["a", "b", "a"]) == [(0, 2), (2, 1)]
+
+
+def test_multi_packed_trie_matches_individual():
+    rng = random.Random(11)
+    vocab = [f"t{i}" for i in range(30)]
+    tries = []
+    for name in ["lexA", "lexB", "lexC"]:
+        trie = LookupTrie()
+        for _ in range(150):
+            trie.add_item([rng.choice(vocab) for _ in range(rng.randint(1, 4))])
+        tries.append((name, trie))
+
+    from deduce_ray.packed_trie import MultiPackedTrie
+
+    multi = MultiPackedTrie(tries)
+    for _ in range(100):
+        texts = [rng.choice(vocab) for _ in range(rng.randint(1, 25))]
+        enc = [t.encode() for t in texts]
+        got = multi.find_all(enc)
+        for idx, (_, trie) in enumerate(tries):
+            assert got[idx] == trie.find_spans(texts), (idx, texts)
+
+
+def test_multi_packed_trie_pickle():
+    import pickle
+
+    from deduce_ray.packed_trie import MemberTrieView, MultiPackedTrie
+
+    trie = LookupTrie()
+    trie.add_item(["a", "b"])
+    trie.add_item(["a"])
+    multi = pickle.loads(pickle.dumps(MultiPackedTrie([("x", trie)])))
+    assert multi.find_all([b"a", b"b"]) == [[(0, 2)]]
+    view = MemberTrieView(multi, 0)
+    assert view.find_spans(["a", "b"]) == [(0, 2)]
+    assert len(view) == 2
