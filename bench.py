@@ -264,8 +264,8 @@ def run_scaling(args) -> None:
         marker = "\n## Measured scaling (this engine)\n"
         section = (
             f"{marker}\n"
-            f"- input: {args.sf_dir} documents x{KG_REPLICATE} replicas "
-            f"({results[hi]['docs']} docs)\n"
+            f"- input: {args.sf_dir} documents x{os.environ['KG_REPLICATE']} "
+            f"replicas ({results[hi]['docs']} docs)\n"
             f"- {lo} CPUs: {tput_lo} docs/s ({results[lo]['sec']} s)\n"
             f"- {hi} CPUs: {tput_hi} docs/s ({results[hi]['sec']} s)\n"
             f"- scaling efficiency ({lo} -> {hi} CPUs, fresh processes, "
