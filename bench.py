@@ -220,14 +220,16 @@ def run_scaling(args) -> None:
     scaling.  Override with SCALE_CPUS=8,32.
     """
     # larger corpus than the default suite so fixed startup cost doesn't
-    # dilute the high-parallelism run; best-of-2 per level damps co-tenant
-    # noise (same input, steady-state workers)
+    # dilute the high-parallelism run.  The sandbox shares hardware with
+    # co-tenants and throughput swings +-30% over minutes, so the two
+    # levels are run ALTERNATELY in fresh processes and the best time per
+    # level is kept — temporal noise then degrades both levels together
+    # instead of biasing the ratio.
     if "KG_REPLICATE" not in os.environ:
         os.environ["KG_REPLICATE"] = "160"
-    if "KG_BENCH_REPEATS" not in os.environ:
-        os.environ["KG_BENCH_REPEATS"] = "2"
-    results = {}
-    for cpus in SCALE_CPUS:
+    trials = int(os.environ.get("SCALE_TRIALS", "2"))
+
+    def one_run(cpus: int) -> dict:
         proc = subprocess.run(
             [
                 sys.executable,
@@ -244,7 +246,15 @@ def run_scaling(args) -> None:
             env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
         )
         line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        return json.loads(line)
+
+    results = {}
+    for _ in range(trials):
+        for cpus in SCALE_CPUS:
+            run = one_run(cpus)
+            best = results.get(cpus)
+            if best is None or run["sec"] < best["sec"]:
+                results[cpus] = run
 
     lo, hi = SCALE_CPUS
     tput_lo = results[lo]["docs_per_sec"]

@@ -288,7 +288,10 @@ class MultiTokenLookupAnnotator(Annotator):
             # member of a merged multi-lexicon: one shared probe pass per
             # document, cached on the token list
             return trie.spans_for_tokens(tokens)
-        if hasattr(trie, "find_spans_encoded"):
+        if (
+            hasattr(trie, "find_spans_encoded")
+            and getattr(trie, "_overlay", None) is None
+        ):
             pipeline = trie.matching_pipeline
             if not pipeline:
                 return trie.find_spans_encoded(tokens.encoded())

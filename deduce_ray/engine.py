@@ -147,6 +147,49 @@ class DeduceEngine:
         ]
         self.processor_groups = groups
 
+    # ------------------------------------------------------------------
+    # programmatic pipeline surgery (mirrors the reference's
+    # deduce.processors interaction, docs/source/tutorial.md:163-200)
+    # ------------------------------------------------------------------
+
+    def add_processor(
+        self,
+        name: str,
+        processor,
+        group: str,
+        position: int | None = None,
+    ) -> None:
+        """Insert a custom annotator/processor into a group (created if
+        missing, placed before post_processing).  ``position`` indexes
+        within the group; default appends."""
+        if group not in self.processor_groups:
+            groups = list(self.processor_groups.items())
+            insert_at = next(
+                (i for i, (g, _) in enumerate(groups) if g == "post_processing"),
+                len(groups),
+            )
+            groups.insert(insert_at, (group, []))
+            self.processor_groups = dict(groups)
+        members = self.processor_groups[group]
+        entry = (name, processor)
+        if position is None:
+            members.append(entry)
+        else:
+            members.insert(position, entry)
+
+    def remove_processor(self, name: str) -> None:
+        """Remove a whole group by name, or a single member from whichever
+        group holds it."""
+        if name in self.processor_groups:
+            del self.processor_groups[name]
+            return
+        for members in self.processor_groups.values():
+            for i, (member_name, _) in enumerate(members):
+                if member_name == name:
+                    del members[i]
+                    return
+        raise KeyError(name)
+
     def group_names(self, group: str) -> set[str]:
         """Names that enable a whole group: the group name plus its members
         (mirrors the reference regression harness,

@@ -57,6 +57,10 @@ ALL_LISTS = [
 
 _SRC = "src"
 
+# bump when the pickled structure layout changes (cache filenames carry it,
+# so stale artifacts are simply ignored)
+_CACHE_FORMAT = 2
+
 
 # ---------------------------------------------------------------------------
 # raw itemset algebra + variation transforms
@@ -382,7 +386,10 @@ def load_or_build_lexicon(
 
     cache_dir = Path(cache_dir) if cache_dir is not None else DEFAULT_CACHE_DIR
     fingerprint = source_fingerprint(lookup_path)
-    cache_file = cache_dir / f"lexicon_{__version__}_{fingerprint[:16]}.pickle"
+    cache_file = (
+        cache_dir
+        / f"lexicon_{__version__}_f{_CACHE_FORMAT}_{fingerprint[:16]}.pickle"
+    )
 
     if not build and cache_file.exists():
         with open(cache_file, "rb") as fh:

@@ -99,6 +99,7 @@ class PackedTrie:
         "_len_masks",
         "_n_entries",
         "_first_memo",
+        "_overlay",
     )
 
     _MEMO_CAP = 262_144  # bound the cross-document first-token memo
@@ -122,6 +123,7 @@ class PackedTrie:
         self._entries = _BlobSet(entry_bytes)
         self._n_entries = len(entry_bytes)
         self._first_memo: dict[bytes, int] = {}
+        self._overlay = None  # runtime-tailoring additions (LookupTrie)
         firsts_sorted = sorted(first_masks)
         self._firsts = _BlobSet(set(firsts_sorted))
         masks = np.zeros(len(firsts_sorted), dtype=np.uint64)
@@ -157,11 +159,23 @@ class PackedTrie:
             return out
         return [t.encode("utf-8") for t in texts]
 
+    def add_item(self, tokens: list[str]) -> None:
+        """Runtime tailoring: additions go to a small overlay trie merged
+        at probe time."""
+        from deduce_ray.structures import LookupTrie
+
+        if self._overlay is None:
+            self._overlay = LookupTrie(matching_pipeline=self.matching_pipeline)
+        self._overlay.add_item(tokens)
+
     def find_spans(self, texts: list[str]) -> list[tuple[int, int]]:
         """All (start_index, longest_matching_length) spans over the token
         texts.  Candidate starts are prefiltered against the first-token
         blob (memoized per distinct token text)."""
-        return self.find_spans_encoded(self._norm_encoded(texts))
+        spans = self.find_spans_encoded(self._norm_encoded(texts))
+        if self._overlay is not None:
+            spans = merge_spans(spans, self._overlay.find_spans(texts))
+        return spans
 
     def find_spans_encoded(self, enc: list[bytes]) -> list[tuple[int, int]]:
         """Same as find_spans but over pre-encoded (and pre-normalized)
@@ -220,6 +234,7 @@ class PackedTrie:
             self._firsts,
             self._len_masks,
             self._n_entries,
+            self._overlay,
         )
 
     def __setstate__(self, state):
@@ -229,7 +244,9 @@ class PackedTrie:
             self._firsts,
             self._len_masks,
             self._n_entries,
+            *rest,
         ) = state
+        self._overlay = rest[0] if rest else None
         self._first_memo = {}
 
 
@@ -368,20 +385,59 @@ class MultiPackedTrie:
         self._first_memo = {}
 
 
+def merge_spans(
+    base: list[tuple[int, int]], extra: list[tuple[int, int]]
+) -> list[tuple[int, int]]:
+    """Merge two longest-prefix span lists: one span per start index,
+    keeping the longer match (longest-prefix semantics)."""
+    if not extra:
+        return base
+    merged = dict(base)
+    for start, length in extra:
+        if length > merged.get(start, 0):
+            merged[start] = length
+    return sorted(merged.items())
+
+
 class MemberTrieView:
     """One lexicon's view into a MultiPackedTrie.  Satisfies the
     MultiTokenLookupAnnotator contract; the underlying single probe pass
-    is computed once per document and cached on the TokenList."""
+    is computed once per document and cached on the TokenList.
 
-    __slots__ = ("multi", "index", "matching_pipeline")
+    Runtime tailoring: ``add_item`` inserts into a small mutable overlay
+    trie whose matches are merged with the packed base at probe time
+    (mirrors the reference's lookup-structure tailoring,
+    docs/source/tutorial.md:163-236)."""
+
+    __slots__ = ("multi", "index", "matching_pipeline", "_overlay")
 
     def __init__(self, multi: MultiPackedTrie, index: int) -> None:
         self.multi = multi
         self.index = index
         self.matching_pipeline: list = []
+        self._overlay = None
+
+    def __getstate__(self):
+        return (self.multi, self.index, self.matching_pipeline, self._overlay)
+
+    def __setstate__(self, state):
+        self.multi, self.index, self.matching_pipeline, *rest = state
+        self._overlay = rest[0] if rest else None
 
     def __len__(self) -> int:
-        return self.multi._sizes[self.index]
+        base = self.multi._sizes[self.index]
+        return base + (len(self._overlay) if self._overlay is not None else 0)
+
+    def add_item(self, tokens: list[str]) -> None:
+        from deduce_ray.structures import LookupTrie
+
+        if self._overlay is None:
+            self._overlay = LookupTrie()
+        self._overlay.add_item(tokens)
+
+    def add_items_from_iterable(self, sequences) -> None:
+        for seq in sequences:
+            self.add_item(seq)
 
     def spans_for_tokens(self, tokens) -> list[tuple[int, int]]:
         cache = tokens._word_index_cache
@@ -390,8 +446,14 @@ class MemberTrieView:
         if all_spans is None:
             all_spans = self.multi.find_all(tokens.encoded())
             cache[key] = all_spans
-        return all_spans[self.index]
+        spans = all_spans[self.index]
+        if self._overlay is not None:
+            spans = merge_spans(spans, self._overlay.find_spans(tokens.texts()))
+        return spans
 
     def find_spans(self, texts: list[str]) -> list[tuple[int, int]]:
         enc = [t.encode("utf-8") for t in texts]
-        return self.multi.find_all(enc)[self.index]
+        spans = self.multi.find_all(enc)[self.index]
+        if self._overlay is not None:
+            spans = merge_spans(spans, self._overlay.find_spans(texts))
+        return spans

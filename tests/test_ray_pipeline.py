@@ -464,3 +464,45 @@ class TestClustersAndJoins:
         oracle = con.execute(user_sessions_sql()).df()
         assert list(mine["n_sessions"]) == list(oracle["n_sessions"])
         assert list(mine["n_events"]) == list(oracle["n_events"])
+
+
+class TestRuntimeTailoring:
+    def test_add_processor_and_remove(self, engine):
+        from deduce_ray.annotators import RegexpAnnotator
+        from deduce_ray.engine import DeduceEngine
+
+        eng = DeduceEngine(lexicon=(engine.lookup_structs, engine.tokenizer))
+        eng.add_processor(
+            "kenteken",
+            RegexpAnnotator(regexp_pattern="[A-Z]{2}-[0-9]{3}-[A-Z]", tag="kenteken"),
+            group="custom",
+        )
+        doc = eng.deidentify("kenteken AB-123-C gezien")
+        assert ("AB-123-C", "kenteken") in {(a.text, a.tag) for a in doc.annotations}
+        # custom group must sit before post_processing so it gets redacted
+        assert "[KENTEKEN-1]" in doc.deidentified_text
+
+        eng.remove_processor("dates")
+        assert "dates" not in eng.processor_groups
+        doc2 = eng.deidentify("op 10-11-2021 gezien")
+        assert not any(a.tag == "datum" for a in doc2.annotations)
+
+    def test_lookup_trie_overlay(self, engine):
+        from deduce_ray.engine import DeduceEngine
+
+        eng = DeduceEngine(lexicon=(engine.lookup_structs, engine.tokenizer))
+        before = eng.deidentify("gezien in Fictiedorpje vandaag")
+        assert not any(a.text == "Fictiedorpje" for a in before.annotations)
+
+        eng.lookup_structs["placename"].add_item(["Fictiedorpje"])
+        after = eng.deidentify("gezien in Fictiedorpje vandaag")
+        assert ("Fictiedorpje", "locatie") in {
+            (a.text, a.tag) for a in after.annotations
+        }
+
+    def test_lookup_set_tailoring(self, engine):
+        from deduce_ray.engine import DeduceEngine
+
+        eng = DeduceEngine(lexicon=(engine.lookup_structs, engine.tokenizer))
+        eng.lookup_structs["whitelist"].add_items_from_iterable(["Fictiewoord"])
+        assert "fictiewoord" in eng.lookup_structs["whitelist"]
