@@ -68,3 +68,27 @@ class TestStrVariations:
     def test_apply_transform_strips(self):
         items = apply_transform({" a "}, {"transforms": {}})
         assert items == {"a"}
+
+
+class TestTextStats:
+    def test_predict_lang(self):
+        from deduce_ray.ops.textstats import predict_lang
+
+        assert predict_lang("the cat sat on the mat and it is a cat") == "en"
+        assert predict_lang("der hund ist nicht mit der katze") == "de"
+        assert predict_lang("一个测试文档") == "zh"
+        assert predict_lang("zzz qqq xxx") == "unknown"
+
+    def test_shingle_fingerprint_deterministic(self):
+        from deduce_ray.ops.textstats import shingle_fingerprint
+
+        a = shingle_fingerprint("the quick brown fox jumps over the dog")
+        b = shingle_fingerprint("the quick brown fox jumps over the dog")
+        c = shingle_fingerprint("a completely different text body here")
+        assert a == b != c
+        assert shingle_fingerprint("short") == shingle_fingerprint("short")
+
+    def test_wordish_tokens_ascii_semantics(self):
+        from deduce_ray.ops.textstats import _WORDISH_RE
+
+        assert _WORDISH_RE.findall("foo bar_1 (x)") == ["foo", "bar_1", "(", "x", ")"]
