@@ -70,6 +70,50 @@ def match_position(spec: dict, token: Token, ds: DsCollection | None) -> bool:
     raise NotImplementedError(f"unknown pattern predicate: {op}")
 
 
+def compile_position(spec: dict, ds: DsCollection | None):
+    """Compile a single-position predicate dict into a closure — the dict
+    dispatch in match_position costs real time at one call per token per
+    pattern position; compiled closures skip it.  Semantics identical to
+    match_position (shared conformance tests)."""
+    if len(spec) != 1:
+        raise ValueError(f"pattern position must have exactly 1 key: {spec}")
+    op, arg = next(iter(spec.items()))
+
+    if op == "equal":
+        return lambda token: token.text == arg
+    if op == "re_match":
+        pattern = arg if isinstance(arg, re.Pattern) else re.compile(arg)
+        match = pattern.match
+        return lambda token: match(token.text) is not None
+    if op == "is_initials":
+        if arg:
+            return lambda token: len(token.text) <= 4 and token.text.isupper()
+        return lambda token: not (len(token.text) <= 4 and token.text.isupper())
+    if op == "like_name":
+        def like_name(token, _want=bool(arg)):
+            text = token.text
+            return (
+                len(text) >= 3
+                and text.istitle()
+                and not any(c.isdigit() for c in text)
+            ) == _want
+
+        return like_name
+    if op == "lookup":
+        struct = ds[arg]
+        return lambda token: token.text in struct
+    if op == "neg_lookup":
+        struct = ds[arg]
+        return lambda token: token.text not in struct
+    if op == "and":
+        subs = [compile_position(sub, ds) for sub in arg]
+        return lambda token: all(fn(token) for fn in subs)
+    if op == "or":
+        subs = [compile_position(sub, ds) for sub in arg]
+        return lambda token: any(fn(token) for fn in subs)
+    raise NotImplementedError(f"unknown pattern predicate: {op}")
+
+
 def compile_pattern_regexps(pattern) -> None:
     """Precompile every ``re_match`` value inside a (possibly nested)
     pattern spec in place — avoids the re-cache lookup per token."""
@@ -114,6 +158,7 @@ class TokenPatternAnnotator(Annotator):
         self.pattern = pattern
         self.ds = ds
         self.skip = set(skip or [])
+        self._compiled = [compile_position(spec, ds) for spec in pattern if spec]
         self._start_values: set[str] | None = None
         self._start_pipeline = None
         if pattern and "lookup" in pattern[0]:
@@ -128,18 +173,24 @@ class TokenPatternAnnotator(Annotator):
     def match_sequence(
         self,
         text: str,
-        pattern: Sequence[dict],
+        pattern: Sequence,
         start_token: Token,
         direction: str = "right",
         skip: set[str] | None = None,
     ) -> Annotation | None:
+        """``pattern`` may hold predicate dicts or precompiled closures."""
         skip = skip or set()
         ordered = pattern if direction == "right" else list(reversed(pattern))
 
         current: Token | None = start_token
         last = start_token
         for spec in ordered:
-            if current is None or not match_position(spec, current, self.ds):
+            if current is None:
+                return None
+            if callable(spec):
+                if not spec(current):
+                    return None
+            elif not match_position(spec, current, self.ds):
                 return None
             last = current
             current = _step(current, direction, skip)
@@ -165,7 +216,7 @@ class TokenPatternAnnotator(Annotator):
         found = []
         for token in candidates:
             ann = self.match_sequence(
-                doc.text, self.pattern, token, direction="right", skip=self.skip
+                doc.text, self._compiled, token, direction="right", skip=self.skip
             )
             if ann is not None:
                 found.append(ann)
@@ -184,7 +235,13 @@ class ContextAnnotator(TokenPatternAnnotator):
         iterative: bool = True,
         max_rounds: int = 64,
     ) -> None:
-        super().__init__(pattern=pattern, tag="_", ds=ds)
+        super().__init__(pattern=[], tag="_", ds=ds)
+        self.pattern = pattern
+        compile_pattern_regexps(pattern)
+        for ctx in pattern:
+            ctx["_compiled"] = [
+                compile_position(spec, ds) for spec in ctx.get("pattern", [])
+            ]
         self.iterative = iterative
         # Straggler guard: real name chains are a handful of tokens; an
         # adversarial document ("Jansen " * 2500) otherwise makes the
@@ -212,7 +269,11 @@ class ContextAnnotator(TokenPatternAnnotator):
                 continue
 
             extension = self.match_sequence(
-                text, ctx["pattern"], start_token, direction=direction, skip=skip
+                text,
+                ctx.get("_compiled") or ctx["pattern"],
+                start_token,
+                direction=direction,
+                skip=skip,
             )
             if extension is None:
                 continue
