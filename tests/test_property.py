@@ -1,0 +1,112 @@
+"""Property-based tests over core primitives (hypothesis)."""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from deduce_ray.annotation import Annotation, AnnotationSet
+from deduce_ray.matching import within_edit_distance_one
+from deduce_ray.processors import OverlapResolver
+from deduce_ray.tokenizer import TOKEN_RE, WordTokenizer
+
+
+def dl_distance(a: str, b: str) -> int:
+    """Reference O(n*m) Damerau-Levenshtein (restricted)."""
+    la, lb = len(a), len(b)
+    dist = [[0] * (lb + 1) for _ in range(la + 1)]
+    for i in range(la + 1):
+        dist[i][0] = i
+    for j in range(lb + 1):
+        dist[0][j] = j
+    for i in range(1, la + 1):
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            dist[i][j] = min(
+                dist[i - 1][j] + 1, dist[i][j - 1] + 1, dist[i - 1][j - 1] + cost
+            )
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                dist[i][j] = min(dist[i][j], dist[i - 2][j - 2] + 1)
+    return dist[la][lb]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abcde", max_size=8), st.text(alphabet="abcde", max_size=8))
+def test_edit_distance_one_matches_dp(a, b):
+    assert within_edit_distance_one(a, b) == (dl_distance(a, b) <= 1)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=200))
+def test_tokenizer_spans_are_consistent(text):
+    tokens = WordTokenizer().tokenize(text)
+    prev_end = -1
+    for tok in tokens:
+        # span maps back to the source text and tokens never overlap
+        assert text[tok.start_char : tok.end_char] == tok.text
+        assert tok.start_char >= prev_end
+        prev_end = tok.end_char
+        # 1-3 space runs are never tokens
+        assert not re.fullmatch(r" {1,3}", tok.text)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),
+            st.integers(min_value=1, max_value=12),
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=3),
+        ),
+        max_size=8,
+    )
+)
+def test_overlap_resolver_output_never_overlaps(spans):
+    text = "x" * 64
+    annotations = AnnotationSet(
+        Annotation(text[s : s + ln], s, s + ln, tag, priority=prio)
+        for s, ln, tag, prio in spans
+        if s + ln <= len(text)
+    )
+    resolver = OverlapResolver(
+        sort_by=("priority", "length"),
+        sort_by_callbacks={"priority": lambda x: -x, "length": lambda x: -x},
+    )
+    resolved = resolver.process_annotations(annotations, text)
+
+    # outputs are non-overlapping and cover exactly the input's character set
+    covered = []
+    for ann in resolved:
+        covered.append((ann.start_char, ann.end_char))
+    covered.sort()
+    for (s1, e1), (s2, _) in zip(covered, covered[1:]):
+        assert e1 <= s2
+
+    want_chars = set()
+    for ann in annotations:
+        want_chars.update(range(ann.start_char, ann.end_char))
+    got_chars = set()
+    for s, e in covered:
+        got_chars.update(range(s, e))
+    assert got_chars == want_chars
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet="ab cd-", max_size=60))
+def test_token_regex_covers_all_nonspace(text):
+    # every non-space character lands in exactly one token
+    spans = [(m.start(), m.end()) for m in TOKEN_RE.finditer(text)]
+    in_token = set()
+    for s, e in spans:
+        for i in range(s, e):
+            assert i not in in_token
+            in_token.add(i)
+    for i, ch in enumerate(text):
+        if ch != " ":
+            assert i in in_token
