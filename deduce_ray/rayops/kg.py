@@ -42,26 +42,50 @@ def _dedup_batch(batch: pa.Table) -> pa.Table:
     return grouped.rename_columns(_GRAPH_KEY + ["n_mentions", "first_start_char"])
 
 
-def dedup_triples(triples_ds):
+def _merge_graph_rows(df):
+    return df.groupby(_GRAPH_KEY, as_index=False).agg(
+        n_mentions=("n_mentions", "sum"),
+        first_start_char=("first_start_char", "min"),
+    )
+
+
+def dedup_triples(triples_ds, by_doc_first: bool = False):
     """Flat mention rows -> deduplicated graph rows.
 
-    Two-phase: per-batch combiner (no shuffle) then a single hash-shuffle
-    groupby over the graph key to merge cross-batch duplicates.
+    Default: per-batch combiner (no shuffle) then one hash-shuffle groupby
+    on (repo, lang) to merge cross-batch duplicates.
+
+    ``by_doc_first=True``: collapse duplicates first under a UNIFORM
+    doc_id-hash bucket key (no skew — sha256 prefixes spread evenly), then
+    run the (repo, lang) exchange over the already-collapsed rows.  Worth
+    it when cross-batch duplication is high (re-crawled corpora, replicas):
+    the skewed second shuffle then moves only unique graph rows.  For
+    low-duplication corpora it adds one same-volume exchange — keep it off.
     """
     combined = triples_ds.map_batches(_dedup_batch, batch_format="pyarrow")
 
-    def merge_group(df):
-        out = (
-            df.groupby(_GRAPH_KEY, as_index=False)
-            .agg(
-                n_mentions=("n_mentions", "sum"),
-                first_start_char=("first_start_char", "min"),
+    if by_doc_first:
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            doc_ids = batch.column("doc_id").to_pylist()
+            buckets = [int(d[:4], 16) % 256 if d else 0 for d in doc_ids]
+            return batch.append_column(
+                "doc_bucket", pa.array(buckets, type=pa.int32())
+            )
+
+        collapsed = (
+            combined.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("doc_bucket")
+            .map_groups(
+                lambda df: _merge_graph_rows(df.drop(columns=["doc_bucket"])),
+                batch_format="pandas",
             )
         )
-        return out
+        return collapsed.groupby(_GRAPH_KEY[:2]).map_groups(
+            _merge_graph_rows, batch_format="pandas"
+        )
 
     return combined.groupby(_GRAPH_KEY[:2]).map_groups(
-        merge_group, batch_format="pandas"
+        _merge_graph_rows, batch_format="pandas"
     )
 
 

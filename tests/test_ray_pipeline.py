@@ -506,3 +506,21 @@ class TestRuntimeTailoring:
         eng = DeduceEngine(lexicon=(engine.lookup_structs, engine.tokenizer))
         eng.lookup_structs["whitelist"].add_items_from_iterable(["Fictiewoord"])
         assert "fictiewoord" in eng.lookup_structs["whitelist"]
+
+
+class TestDedupModes:
+    def test_by_doc_first_matches_baseline(self, ray_session, lexicon_ref):
+        from deduce_ray.rayops.annotate import extract_triples
+        from deduce_ray.rayops.kg import dedup_triples
+
+        def rows(flag):
+            ds = dedup_triples(
+                extract_triples(_repo_ds(), lexicon_ref=lexicon_ref),
+                by_doc_first=flag,
+            )
+            return sorted(
+                (r["doc_id"], r["pred"], r["obj"], r["n_mentions"])
+                for r in ds.take_all()
+            )
+
+        assert rows(False) == rows(True)
