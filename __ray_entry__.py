@@ -333,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": rel.events_by_type,
         "events_hourly": rel.events_hourly,
         "user_sessions": rel.user_sessions,
+        "events_props_stats": rel.events_props_stats,
         "brand_volume": rel.brand_volume,
         "bucketed_join_revenue": rel.bucketed_join_revenue,
         "region_customers": rel.region_customers,
@@ -435,6 +436,7 @@ def oracle_sql() -> dict[str, str]:
         "events_by_type": rel.events_by_type_sql(),
         "events_hourly": rel.events_hourly_sql(),
         "user_sessions": rel.user_sessions_sql(),
+        "events_props_stats": rel.events_props_stats_sql(),
         "bucketed_join_revenue": rel.bucketed_join_revenue_sql(),
         "brand_volume": rel.brand_volume_sql(),
         "region_customers": rel.region_customers_sql(),

@@ -515,6 +515,64 @@ def user_sessions_sql(gap_minutes: int = 30) -> str:
     """
 
 
+def events_props_stats(sf_dir: str):
+    """Semi-structured extraction: parse the JSON ``props`` column, group by
+    the extracted key — the batch shape of log/metadata field extraction."""
+    import json as jsonlib
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["props", "value"]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        props = batch.column("props").to_pylist()
+        ks = []
+        for p in props:
+            try:
+                ks.append(int(jsonlib.loads(p)["k"]))
+            except (TypeError, ValueError, KeyError):
+                ks.append(-1)
+        return pa.table(
+            {
+                "k_bucket": pa.array([k % 10 if k >= 0 else -1 for k in ks],
+                                     type=pa.int64()),
+                "cents": _cents(batch.column("value")),
+            }
+        )
+
+    agged = grouped_agg(
+        ds.map_batches(project, batch_format="pyarrow"),
+        keys=["k_bucket"],
+        aggs={"n_events": (None, "count"), "sum_cents": ("cents", "sum")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "k_bucket": df["k_bucket"].astype("int64"),
+                "n_events": df["n_events"].astype("int64"),
+                "sum_value": df["sum_cents"] / 100.0,
+            }
+        )
+        return out.sort_values("k_bucket").reset_index(drop=True)
+
+    return agged.map_batches(finish, batch_format="pandas")
+
+
+def events_props_stats_sql() -> str:
+    return """
+        SELECT CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT)
+                 AS k_bucket,
+               COUNT(*) AS n_events,
+               SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """
+
+
 def region_customers(sf_dir: str):
     """customer -> nation -> region broadcast join chain, count per region."""
     import ray
