@@ -130,6 +130,13 @@ def minhash_lsh_pairs(
     Shingle sets ride along into the bucket groups so verification happens
     in-group (no second join); pairs are deduplicated across bands by a
     final distinct on (id_a, id_b).
+
+    Scale note: carrying shingles in every band row multiplies shuffle
+    volume by ``bands``.  At petabyte scale, switch verification to the
+    signature-agreement estimate (|sig_a == sig_b| / n_perm, already
+    shuffled at fixed 8*n_perm bytes/row) or run a second join against a
+    (doc_id -> shingles) side table; both trade exactness of the reported
+    Jaccard for constant-size shuffle rows.
     """
     rows_per_band = n_perm // bands
     a, b = _minhash_params(n_perm)
