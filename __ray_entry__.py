@@ -90,6 +90,12 @@ def _q_kg_entities(sf_dir: str):
     return canonical_entities(_triples(sf_dir))
 
 
+def _q_kg_entities_canonical(sf_dir: str):
+    from deduce_ray.rayops.kg import canonicalize_entities
+
+    return canonicalize_entities(_triples(sf_dir))
+
+
 def _mentions_query(enabled: set[str], pred: str):
     def run(sf_dir: str):
         ds = _triples(sf_dir, enabled=enabled)
@@ -304,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_by_pred": _q_kg_triples_by_pred,
         "kg_graph": _q_kg_graph,
         "kg_entities": _q_kg_entities,
+        "kg_entities_canonical": _q_kg_entities_canonical,
         # --- single annotator groups, value-checked against DuckDB regex ---
         "kg_emails": _mentions_query({"email_addresses", "email"}, "emailadres"),
         "kg_identifiers": _mentions_query({"identifiers", "identifier"}, "id"),

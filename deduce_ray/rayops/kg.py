@@ -119,6 +119,65 @@ def canonical_entities(triples_ds):
     return combined.groupby("pred").map_groups(merge, batch_format="pandas")
 
 
+def canonicalize_entities(triples_ds):
+    """Cross-document entity canonicalization: per predicate, cluster
+    mention surface forms whose lowercase texts are within
+    Damerau-Levenshtein distance 1 (the same fuzzy rule the reference's
+    per-document linker uses, applied graph-wide), and pick the most
+    frequent form as the canonical label.
+
+    Blocking: a DL<=1 pair differs by at most one in length, so only forms
+    in the same or adjacent length bucket are compared (exact for DL<=1;
+    swap in an LSH blocker if a predicate's surface vocabulary reaches
+    millions).  Returns (pred, obj_norm, canonical, n_mentions).
+    """
+    import pandas as pd
+
+    counted = canonical_entities(triples_ds)
+
+    def cluster_group(df: pd.DataFrame) -> pd.DataFrame:
+        from deduce_ray.matching import within_edit_distance_one
+
+        forms = (
+            df.groupby("obj_norm", as_index=False)
+            .agg(n_mentions=("n_mentions", "sum"))
+            .sort_values(["n_mentions", "obj_norm"], ascending=[False, True])
+            .reset_index(drop=True)
+        )
+        names = forms["obj_norm"].tolist()
+        parent = list(range(len(names)))
+
+        def find(i):
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        blocks: dict[int, list[int]] = {}
+        for idx, name in enumerate(names):
+            blocks.setdefault(len(name), []).append(idx)
+        for length, members in blocks.items():
+            candidates = members + blocks.get(length + 1, [])
+            for i_pos in range(len(candidates)):
+                for j_pos in range(i_pos + 1, len(candidates)):
+                    i, j = candidates[i_pos], candidates[j_pos]
+                    if find(i) == find(j):
+                        continue
+                    if within_edit_distance_one(names[i], names[j]):
+                        ri, rj = find(i), find(j)
+                        parent[max(ri, rj)] = min(ri, rj)
+
+        # canonical = most frequent form in the cluster (forms are sorted
+        # by frequency, so the cluster root with the smallest index wins)
+        canonical = [names[find(i)] for i in range(len(names))]
+        out = forms.copy()
+        out["canonical"] = canonical
+        out["pred"] = df["pred"].iloc[0]
+        return out[["pred", "obj_norm", "canonical", "n_mentions"]]
+
+    return counted.groupby("pred").map_groups(cluster_group, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # checkpointed materialization
 # ---------------------------------------------------------------------------

@@ -524,3 +524,37 @@ class TestDedupModes:
             )
 
         assert rows(False) == rows(True)
+
+
+class TestEntityCanonicalization:
+    def test_fuzzy_cross_doc_merge(self, ray_session):
+        import ray.data
+
+        from deduce_ray.rayops.kg import canonicalize_entities
+
+        rows = []
+        for i, (obj, n) in enumerate(
+            [("Ommen", 3), ("Emmen", 1), ("Utrecht", 2), ("Rotterdam", 1)]
+        ):
+            for j in range(n):
+                rows.append(
+                    {
+                        "doc_id": f"d{i}_{j}",
+                        "repo": "org/r",
+                        "path": "p",
+                        "commit": "c",
+                        "lang": "nl",
+                        "pred": "locatie",
+                        "obj": obj,
+                        "start_char": 0,
+                        "end_char": len(obj),
+                        "entity_id": "LOCATIE-1",
+                    }
+                )
+        out = canonicalize_entities(ray.data.from_items(rows)).to_pandas()
+        by_form = dict(zip(out["obj_norm"], out["canonical"]))
+        # Ommen (more frequent) absorbs Emmen; Utrecht/Rotterdam stand alone
+        assert by_form["emmen"] == "ommen"
+        assert by_form["ommen"] == "ommen"
+        assert by_form["utrecht"] == "utrecht"
+        assert by_form["rotterdam"] == "rotterdam"
