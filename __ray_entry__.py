@@ -111,6 +111,33 @@ def _mentions_query(enabled: set[str], pred: str):
     return run
 
 
+def _q_kg_triples_sqlpreds(sf_dir: str):
+    """Flagship triples restricted to SQL-decidable predicates (dates, bsn
+    elfproef, id, postbus, postal_code) — value-checked end-to-end against
+    deduce_ray.oracles (extract -> per-doc processors -> entity linking)."""
+    from deduce_ray.oracles import SQLPRED_ENABLED
+
+    return _triples(sf_dir, enabled=set(SQLPRED_ENABLED)).select_columns(
+        ["doc_id", "pred", "obj", "entity_id"]
+    )
+
+
+def _q_kg_graph_sqlpreds(sf_dir: str):
+    """dedup_triples (combiner + (repo,lang) shuffle) over the SQL-decidable
+    predicate set — value-checks the graph groupby machinery."""
+    from deduce_ray.oracles import SQLPRED_ENABLED
+    from deduce_ray.rayops.kg import dedup_triples
+
+    return dedup_triples(_triples(sf_dir, enabled=set(SQLPRED_ENABLED)))
+
+
+def _q_kg_entities_sqlpreds(sf_dir: str):
+    from deduce_ray.oracles import SQLPRED_ENABLED
+    from deduce_ray.rayops.kg import canonical_entities
+
+    return canonical_entities(_triples(sf_dir, enabled=set(SQLPRED_ENABLED)))
+
+
 def _q_doc_token_counts(sf_dir: str):
     import ray.data
 
@@ -316,6 +343,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_identifiers": _mentions_query({"identifiers", "identifier"}, "id"),
         "kg_urls": _mentions_query({"urls", "url"}, "url"),
         "kg_postbus": _mentions_query({"locations", "postbus"}, "locatie"),
+        "kg_dates": _mentions_query(
+            {"dates", "date_dmy_1", "date_dmy_2", "date_ymd_1", "date_ymd_2"},
+            "datum",
+        ),
+        "kg_bsn": _mentions_query({"identifiers", "bsn"}, "bsn"),
+        "kg_postal": _mentions_query({"locations", "postal_code"}, "locatie"),
+        # --- flagship restricted to SQL-decidable predicates (value-checked) ---
+        "kg_triples_sqlpreds": _q_kg_triples_sqlpreds,
+        "kg_graph_sqlpreds": _q_kg_graph_sqlpreds,
+        "kg_entities_sqlpreds": _q_kg_entities_sqlpreds,
         # --- text analysis ---
         "kg_redacted": _q_kg_redacted,
         # --- text analysis ---
@@ -378,9 +415,16 @@ def _mention_oracle(pattern: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from deduce_ray import oracles
     from deduce_ray.ops import relational as rel
 
     return {
+        "kg_dates": oracles.kg_dates_sql(),
+        "kg_bsn": oracles.kg_bsn_sql(),
+        "kg_postal": oracles.kg_postal_sql(),
+        "kg_triples_sqlpreds": oracles.kg_triples_sqlpreds_sql(),
+        "kg_graph_sqlpreds": oracles.kg_graph_sqlpreds_sql(),
+        "kg_entities_sqlpreds": oracles.kg_entities_sqlpreds_sql(),
         "kg_emails": _mention_oracle(_EMAIL_RE_SQL),
         "kg_identifiers": _mention_oracle("[0-9]{7,}"),
         "kg_urls": _mention_oracle(_URL_RE_SQL),

@@ -1,0 +1,212 @@
+"""DuckDB oracle SQL for the SQL-decidable annotator predicates.
+
+The flagship KG queries (kg_triples / kg_graph / kg_entities) run the full
+rule engine, most of which (lexicon tries, context fixpoints, fuzzy patient
+matching) is not expressible in SQL.  The *regex* predicates are:
+
+  - datum   — the 4 date regexps (reference base_config.json:437-474)
+  - bsn     — 9-digit runs passing the mod-11 elfproef
+              (reference annotator.py:617-629)
+  - id      — ``\\d{7,}`` (base_config.json:497-504)
+  - locatie — postbus (:410-418) and postal_code (:401-409)
+
+This module rebuilds those predicates in DuckDB's RE2 dialect so the driver
+can value-check the Ray pipeline end-to-end (extract -> link -> dedup ->
+graph groupby) against an independent engine:
+
+  - Python-`regex` lookarounds ``(?<!\\d)`` / ``(?!\\d)`` become consuming
+    boundary groups ``(^|[^0-9])`` / ``([^0-9]|$)`` — equivalent unless two
+    matches share a boundary character, which cannot happen for the
+    synthetic corpus (digit-bearing spans are isolated).
+  - The ``(?P=sep)`` separator backreference (RE2 has none) is expanded to
+    an explicit alternation over the 4 separators.
+  - The bsn elfproef is an arithmetic WHERE clause over substrings of
+    maximal digit runs (a maximal run of length exactly 9 is precisely
+    ``(?<!\\d)\\d{9}(?!\\d)``).
+  - Per-doc entity ids (linker.py ``TAG-n`` numbering in end_char order)
+    become a window ``row_number()`` over the mention position; the
+    DL<=1 reuse rule never fires within this predicate set on the corpus
+    (no two same-pred mentions of one doc are within edit distance 1),
+    which the side-by-side hash check itself enforces.
+"""
+
+from __future__ import annotations
+
+from deduce_ray.corpus import sql_content_expr, sql_repo_expr
+
+#: enabled-set for the engine run these oracles mirror
+SQLPRED_ENABLED = frozenset(
+    {
+        "dates", "date_dmy_1", "date_dmy_2", "date_ymd_1", "date_ymd_2",
+        "identifiers", "bsn", "identifier",
+        "locations", "postbus", "postal_code",
+        # cross-annotator overlap resolution (bsn priority-100 vs id) and
+        # adjacent-merge run in post_processing; without them the 9-digit
+        # elfproef runs would be double-reported as both bsn and id
+        "post_processing", "overlap_resolver", "merge_adjacent_annotations",
+    }
+)
+
+_DAY = "([1-9]|0[1-9]|[12][0-9]|3[01])"
+_MON = "([1-9]|0[1-9]|1[012])"
+_YR = r"((19|20|''|`)?\d{2})"
+_YR4 = r"((19|20|''|`)\d{2})"
+_MONTHS = (
+    "(januari|jan|februari|feb|maart|mrt|april|apr|mei|juni|jun|juli|jul|"
+    "augustus|aug|september|sep|sept|oktober|okt|november|nov|december|dec)"
+)
+_SEPS = ["-", "/", r"\.", " "]
+
+_DATE_PAT = "|".join(
+    ["|".join(f"{_DAY}{s}{_MON}{s}{_YR}" for s in _SEPS)]
+    + [f"{_DAY}[-/\\. ]{{0,2}}{_MONTHS}[-/\\. ]{_YR}"]
+    + ["|".join(f"{_YR4}{s}{_MON}{s}{_DAY}" for s in _SEPS)]
+    + [f"{_YR4}[-/\\. ]{{0,2}}{_MONTHS}[-/\\. ]{_DAY}"]
+)
+
+_ELFPROEF = (
+    "("
+    + "+".join(
+        f"(10-{i})*TRY_CAST(substring(d,{i},1) AS INT)" for i in range(1, 9)
+    )
+    + "-TRY_CAST(substring(d,9,1) AS INT)) % 11 = 0"
+)
+
+_POSTBUS_PAT = r"[Pp]ostbus[ \t\n][0-9]{1,5}(\.[0-9]{2,4})?"
+_POSTAL_PAT = r"(\d{4}([A-Za-z]{2}| [A-Z]{2}))([^A-Za-z0-9_]|$)"
+
+
+def _mentions_cte() -> str:
+    """CTE chain ending in ``mentions(doc_id, repo, lang, content, pred, obj)``."""
+    content = sql_content_expr()
+    repo = sql_repo_expr()
+    return f"""
+        docs AS (
+          SELECT lower(sha256({content})) AS doc_id, {repo} AS repo, lang,
+                 {content} AS content
+          FROM documents
+        ),
+        date_m AS (
+          SELECT doc_id, repo, lang, content, 'datum' AS pred,
+                 unnest(regexp_extract_all(content,
+                        '(?i)(^|[^0-9])(({_DATE_PAT}))([^0-9]|$)', 2)) AS obj
+          FROM docs
+        ),
+        digit_runs AS (
+          SELECT doc_id, repo, lang, content,
+                 unnest(regexp_extract_all(content, '[0-9]+')) AS d
+          FROM docs
+        ),
+        bsn_m AS (
+          SELECT doc_id, repo, lang, content, 'bsn' AS pred, d AS obj
+          FROM digit_runs WHERE length(d) = 9 AND {_ELFPROEF}
+        ),
+        id_m AS (
+          SELECT doc_id, repo, lang, content, 'id' AS pred, d AS obj
+          FROM digit_runs
+          WHERE length(d) >= 7 AND NOT (length(d) = 9 AND {_ELFPROEF})
+        ),
+        postbus_m AS (
+          SELECT doc_id, repo, lang, content, 'locatie' AS pred,
+                 unnest(regexp_extract_all(content, '{_POSTBUS_PAT}')) AS obj
+          FROM docs
+        ),
+        postal_m AS (
+          SELECT doc_id, repo, lang, content, 'locatie' AS pred, obj
+          FROM (
+            SELECT doc_id, repo, lang, content,
+                   unnest(regexp_extract_all(content, '{_POSTAL_PAT}', 1)) AS obj
+            FROM docs
+          ) WHERE substring(obj, length(obj) - 1, 2) NOT IN ('mg','MG','gr','ie')
+        ),
+        mentions AS (
+          SELECT * FROM date_m
+          UNION ALL SELECT * FROM bsn_m
+          UNION ALL SELECT * FROM id_m
+          UNION ALL SELECT * FROM postbus_m
+          UNION ALL SELECT * FROM postal_m
+        ),
+        linked AS (
+          SELECT doc_id, repo, lang, pred, obj,
+                 upper(pred) || '-' || CAST(row_number() OVER (
+                   PARTITION BY doc_id, pred
+                   ORDER BY strpos(content, obj) + length(obj)
+                 ) AS VARCHAR) AS entity_id,
+                 strpos(content, obj) - 1 AS start_char
+          FROM mentions
+        )
+    """
+
+
+def kg_dates_sql() -> str:
+    content = sql_content_expr()
+    return f"""
+        WITH docs AS (
+          SELECT lower(sha256({content})) AS doc_id, {content} AS content
+          FROM documents
+        )
+        SELECT doc_id,
+               unnest(regexp_extract_all(content,
+                      '(?i)(^|[^0-9])(({_DATE_PAT}))([^0-9]|$)', 2)) AS obj
+        FROM docs
+    """
+
+
+def kg_bsn_sql() -> str:
+    content = sql_content_expr()
+    return f"""
+        WITH docs AS (
+          SELECT lower(sha256({content})) AS doc_id, {content} AS content
+          FROM documents
+        ),
+        runs AS (
+          SELECT doc_id, unnest(regexp_extract_all(content, '[0-9]+')) AS d
+          FROM docs
+        )
+        SELECT doc_id, d AS obj FROM runs
+        WHERE length(d) = 9 AND {_ELFPROEF}
+    """
+
+
+def kg_postal_sql() -> str:
+    content = sql_content_expr()
+    return f"""
+        WITH docs AS (
+          SELECT lower(sha256({content})) AS doc_id, {content} AS content
+          FROM documents
+        ),
+        cand AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(content, '{_POSTAL_PAT}', 1)) AS obj
+          FROM docs
+        )
+        SELECT doc_id, obj FROM cand
+        WHERE substring(obj, length(obj) - 1, 2) NOT IN ('mg','MG','gr','ie')
+    """
+
+
+def kg_triples_sqlpreds_sql() -> str:
+    return f"""
+        WITH {_mentions_cte()}
+        SELECT doc_id, pred, obj, entity_id FROM linked
+    """
+
+
+def kg_graph_sqlpreds_sql() -> str:
+    return f"""
+        WITH {_mentions_cte()}
+        SELECT repo, lang, doc_id, pred, obj, entity_id,
+               COUNT(*) AS n_mentions,
+               MIN(start_char) AS first_start_char
+        FROM linked
+        GROUP BY repo, lang, doc_id, pred, obj, entity_id
+    """
+
+
+def kg_entities_sqlpreds_sql() -> str:
+    return f"""
+        WITH {_mentions_cte()}
+        SELECT pred, lower(obj) AS obj_norm, COUNT(*) AS n_mentions
+        FROM linked
+        GROUP BY pred, lower(obj)
+    """
