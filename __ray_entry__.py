@@ -232,13 +232,20 @@ def _q_simhash_pairs(sf_dir: str):
 
 
 def _q_embedding_neardup(sf_dir: str):
+    """Multi-table hyperplane LSH near-dup over the embeddings table
+    augmented with deterministic planted near-duplicates (scaled copies at
+    cosine exactly 1.0, for which LSH recall is exactly 1) — value-checked
+    against a brute-force DuckDB cosine oracle."""
     import ray.data
 
-    from deduce_ray.ops.dedup import embedding_neardup_pairs
+    from deduce_ray.ops.dedup import embedding_neardup_pairs, plant_embedding_neardups
 
-    return embedding_neardup_pairs(
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"), threshold=0.9
+    planted = plant_embedding_neardups(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
     )
+    return embedding_neardup_pairs(planted, threshold=0.9)
 
 
 def _load_query_vectors(sf_dir: str, n: int = 5):
@@ -461,6 +468,23 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_dupes
             FROM documents
             GROUP BY md5(text)
+        """,
+        "embedding_neardup": """
+            WITH base AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+            ),
+            planted AS (
+              SELECT vec_id + 10000000 AS vec_id,
+                     list_transform(embedding::DOUBLE[], x -> x * 1.5) AS v
+              FROM embeddings WHERE vec_id % 10 = 0
+            ),
+            allv AS (
+              SELECT * FROM base UNION ALL SELECT * FROM planted
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.9
         """,
         "ann_topk": """
             WITH q AS (

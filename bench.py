@@ -152,6 +152,9 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("exact_dedup", lambda: queries["exact_dedup"](sf_dir))
     timed("minhash_pairs", lambda: queries["minhash_pairs"](sf_dir))
     timed("simhash_pairs", lambda: queries["simhash_pairs"](sf_dir))
+    timed("minhash_clusters", lambda: queries["minhash_clusters"](sf_dir))
+    timed("embedding_neardup", lambda: queries["embedding_neardup"](sf_dir))
+    timed("brand_volume", lambda: queries["brand_volume"](sf_dir))
     timed("ann_topk", lambda: queries["ann_topk"](sf_dir))
     timed("doc_quality", lambda: queries["doc_quality"](sf_dir))
     timed("doc_token_counts", lambda: queries["doc_token_counts"](sf_dir))

@@ -91,7 +91,32 @@ class DeduceEngine:
             return ann_mod.BsnAnnotator(**args)
         if kind == "phone":
             return ann_mod.PhoneNumberAnnotator(**args)
+        if "." in kind:
+            return self._load_annotator_class(kind, args)
         raise ValueError(f"unknown annotator type: {kind}")
+
+    def _load_annotator_class(self, kind: str, args: dict) -> ann_mod.Annotator:
+        """Dynamic config-driven loading: ``type: "module.Class"`` imports
+        the class and instantiates it with the spec args, injecting ``ds``
+        and/or ``tokenizer`` when the constructor accepts them (mirrors the
+        reference's extras mechanism, /root/reference/deduce/deduce.py:172-182
+        and utils.py:35-72; tutorial.md:163-236)."""
+        import importlib
+        import inspect
+
+        module_name, _, class_name = kind.rpartition(".")
+        try:
+            cls = getattr(importlib.import_module(module_name), class_name)
+        except (ImportError, AttributeError) as exc:
+            raise ValueError(
+                f"cannot load annotator class {kind!r}: {exc}"
+            ) from exc
+        params = inspect.signature(cls.__init__).parameters
+        extras = {"ds": self.lookup_structs, "tokenizer": self.tokenizer}
+        for name, value in extras.items():
+            if name in params and name not in args:
+                args[name] = value
+        return cls(**args)
 
     def _build_processors(self) -> None:
         # groups: ordered dict of group name -> list[(name, processor)]

@@ -27,7 +27,13 @@ from deduce_ray.packed_trie import MemberTrieView, MultiPackedTrie, PackedTrie
 from deduce_ray.structures import DsCollection, LookupSet, LookupTrie
 from deduce_ray.tokenizer import WordTokenizer
 
-DEFAULT_LOOKUP_PATH = Path("/root/reference/deduce/data/lookup")
+# Lookup source tree (GPL-licensed reference data, NOT vendored into this
+# repo).  Configurable via DEDUCE_RAY_LOOKUP; the sandbox default points at
+# the reference checkout.  A clear error is raised at load time when the
+# directory is absent (see load_or_build_lexicon).
+DEFAULT_LOOKUP_PATH = Path(
+    os.environ.get("DEDUCE_RAY_LOOKUP", "/root/reference/deduce/data/lookup")
+)
 # repo-local derived-data cache (gitignored, never committed); override with
 # DEDUCE_RAY_CACHE
 DEFAULT_CACHE_DIR = Path(
@@ -363,15 +369,26 @@ def compile_lexicon(
 
 
 def source_fingerprint(lookup_path: Path | str = DEFAULT_LOOKUP_PATH) -> str:
-    """Content-identity of the lookup source tree (path, size, mtime)."""
+    """Content-identity of the lookup source tree.
+
+    Hashes relative path + FILE CONTENT (not mtime), so a fresh clone of
+    identical data reuses the cache and any edit invalidates it.
+    """
     lookup_path = Path(lookup_path)
-    entries = []
+    if not lookup_path.exists():
+        raise FileNotFoundError(
+            f"lookup source tree not found at {lookup_path}; set "
+            "DEDUCE_RAY_LOOKUP (or pass lookup_path=) to a checkout of the "
+            "deduce lookup data (deduce/data/lookup)"
+        )
+    digest = hashlib.sha256()
     for file in sorted((lookup_path / _SRC).glob("**/*")):
         if file.is_file():
-            stat = file.stat()
-            entries.append(f"{file.relative_to(lookup_path)}:{stat.st_size}:{stat.st_mtime_ns}")
-    digest = hashlib.sha256("\n".join(entries).encode()).hexdigest()
-    return digest
+            digest.update(str(file.relative_to(lookup_path)).encode())
+            digest.update(b"\x00")
+            digest.update(file.read_bytes())
+            digest.update(b"\x01")
+    return digest.hexdigest()
 
 
 def load_or_build_lexicon(

@@ -111,6 +111,32 @@ def jaccard(s1: set[int], s2: set[int]) -> float:
     return inter / (len(s1) + len(s2) - inter)
 
 
+def _dedup_pairs(pairs_ds, value_col: str, n_shards: int = 256):
+    """Distinct on (id_a, id_b) without one group task per pair: shard by a
+    hash of the pair, drop duplicates vectorized inside each shard task.
+    The verification value is deterministic per pair, so either copy of a
+    pair found via different shards is interchangeable."""
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        shard = ((a * np.uint64(0x9E3779B97F4A7C15) ^ b) % n_shards).astype(
+            np.int32
+        )
+        return batch.append_column("pair_shard", pa.array(shard))
+
+    def drop_dupes(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["id_a", "id_b"])[
+            ["id_a", "id_b", value_col]
+        ]
+
+    return (
+        pairs_ds.map_batches(add_shard, batch_format="pyarrow")
+        .groupby("pair_shard")
+        .map_groups(drop_dupes, batch_format="pandas")
+    )
+
+
 def minhash_lsh_pairs(
     ds,
     text_col: str = "text",
@@ -119,40 +145,46 @@ def minhash_lsh_pairs(
     n_perm: int = 64,
     bands: int = 32,
     threshold: float = 0.6,
+    verify: str = "signature",
 ):
-    """MinHash+LSH near-duplicate pairs with exact Jaccard verification.
+    """MinHash+LSH near-duplicate pairs.
 
     Default banding 32x2 puts the S-curve knee near J~0.2, so candidate
-    recall at J>=0.5 is effectively 1; the exact in-bucket Jaccard check
+    recall at J>=0.5 is effectively 1; the in-bucket verification check
     removes the extra candidates.
 
     shingle -> minhash -> band -> bucket groupby -> in-bucket verify.
-    Shingle sets ride along into the bucket groups so verification happens
-    in-group (no second join); pairs are deduplicated across bands by a
-    final distinct on (id_a, id_b).
 
-    Scale note: carrying shingles in every band row multiplies shuffle
-    volume by ``bands``.  At petabyte scale, switch verification to the
-    signature-agreement estimate (|sig_a == sig_b| / n_perm, already
-    shuffled at fixed 8*n_perm bytes/row) or run a second join against a
-    (doc_id -> shingles) side table; both trade exactness of the reported
-    Jaccard for constant-size shuffle rows.
+    ``verify`` picks the verification payload that rides into the bucket
+    shuffle:
+
+    - ``"signature"`` (default, the scale path): each band row carries the
+      full minhash signature at a fixed 8*n_perm bytes; the in-bucket check
+      thresholds on the signature-agreement estimate of Jaccard
+      (|sig_a == sig_b| / n_perm, unbiased, resolution 1/n_perm).  Shuffle
+      rows are constant-width regardless of document length.
+    - ``"exact"`` (validation mode for small sf): shingle sets ride along
+      and the check computes exact Jaccard.  Payload is O(doc length) and
+      multiplied by ``bands`` in the exchange — do not use at scale.
     """
+    if verify not in ("signature", "exact"):
+        raise ValueError(f"unknown verify mode {verify!r}")
     rows_per_band = n_perm // bands
     a, b = _minhash_params(n_perm)
     n_shards = 256  # shuffle key granularity: most band-buckets are global
     # singletons, so grouping directly by bucket would launch one task per
     # bucket; sharding keeps it to <= n_shards group tasks, with the
     # per-bucket work vectorized in pandas inside each shard.
+    exact = verify == "exact"
 
     def signatures(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        out = {"shard": [], "bucket": [], id_col: [], "shingles": []}
+        out = {"shard": [], "bucket": [], id_col: [], "payload": []}
         for i, t in zip(ids, texts):
             sh = word_shingles(t or "", k)
             sig = minhash_signature(sh, a, b)
-            sh_list = list(sh)
+            payload = list(sh) if exact else sig.tobytes()
             for band in range(bands):
                 band_slice = sig[band * rows_per_band : (band + 1) * rows_per_band]
                 bucket = hashlib.md5(
@@ -161,19 +193,29 @@ def minhash_lsh_pairs(
                 out["shard"].append(int(bucket[:4], 16) % n_shards)
                 out["bucket"].append(bucket)
                 out[id_col].append(i)
-                out["shingles"].append(sh_list)
+                out["payload"].append(payload)
+        payload_type = pa.list_(pa.uint64()) if exact else pa.binary()
         return pa.table(
             {
                 "shard": pa.array(out["shard"], type=pa.int32()),
                 "bucket": pa.array(out["bucket"]),
                 id_col: pa.array(out[id_col], type=pa.int64()),
-                "shingles": pa.array(out["shingles"], type=pa.list_(pa.uint64())),
+                "payload": pa.array(out["payload"], type=payload_type),
             }
         )
 
+    def similarity(pa_load, pb_load) -> float:
+        if exact:
+            return jaccard(
+                set(int(x) for x in pa_load), set(int(x) for x in pb_load)
+            )
+        sig_a = np.frombuffer(pa_load, dtype=np.uint64)
+        sig_b = np.frombuffer(pb_load, dtype=np.uint64)
+        return float(np.mean(sig_a == sig_b))
+
     def verify_shard(df: pd.DataFrame) -> pd.DataFrame:
         pairs: dict[tuple[int, int], float] = {}
-        shingle_cache: dict[int, set] = {}
+        payload_cache: dict[int, object] = {}
         sizes = df.groupby("bucket")[id_col].nunique()
         hot_buckets = set(sizes[sizes > 1].index)
         if hot_buckets:
@@ -183,20 +225,20 @@ def minhash_lsh_pairs(
                 ids = docs[id_col].astype("int64").tolist()
                 if len(ids) < 2:
                     continue
-                for doc_id, shingles in zip(ids, docs["shingles"]):
-                    if doc_id not in shingle_cache:
-                        shingle_cache[doc_id] = set(int(x) for x in shingles)
+                for doc_id, payload in zip(ids, docs["payload"]):
+                    payload_cache.setdefault(doc_id, payload)
                 ids.sort()
                 for i in range(len(ids)):
                     for j in range(i + 1, len(ids)):
                         key = (ids[i], ids[j])
                         if key in pairs:
                             continue
-                        sim = jaccard(shingle_cache[ids[i]], shingle_cache[ids[j]])
-                        if sim >= threshold:
-                            pairs[key] = round(sim, 6)
-                        else:
-                            pairs[key] = -1.0  # remember rejection
+                        sim = similarity(
+                            payload_cache[ids[i]], payload_cache[ids[j]]
+                        )
+                        # remember rejections too, so other buckets in this
+                        # shard skip the recompute
+                        pairs[key] = round(sim, 6) if sim >= threshold else -1.0
         rows = [
             {"id_a": k[0], "id_b": k[1], "jaccard": v}
             for k, v in pairs.items()
@@ -207,9 +249,7 @@ def minhash_lsh_pairs(
     sigs = ds.map_batches(signatures, batch_format="pyarrow")
     pairs = sigs.groupby("shard").map_groups(verify_shard, batch_format="pandas")
     # drop duplicate pairs found via buckets in different shards
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas"
-    )
+    return _dedup_pairs(pairs, "jaccard", n_shards)
 
 
 # ---------------------------------------------------------------------------
@@ -220,24 +260,33 @@ def minhash_lsh_pairs(
 def neardup_clusters(
     pairs_ds,
     nodes_ds=None,
-    rounds: int = 4,
+    rounds: int = 8,
     driver_threshold: int = 1_000_000,
 ):
     """Cluster near-duplicate pairs into components.
 
-    When the candidate pair set is provably small (<= driver_threshold,
-    checked with a cheap count), collapse it with a driver-side union-find
-    — near-dup pair sets are tiny relative to the corpus, and each
-    distributed round costs two full shuffles.  Otherwise run iterative
-    min-label propagation (each round: every node broadcasts its label to
-    its neighbours via one groupby, then takes the min; ``rounds`` bounds
-    the longest chain resolved at 2^rounds hops).
+    The upstream LSH pipeline is executed ONCE: ``pairs_ds`` is materialized
+    before the size check, so the count and the subsequent passes read the
+    cached blocks instead of re-running the shuffle.
+
+    When the pair set is small (<= driver_threshold rows), collapse it with
+    a driver-side union-find — near-dup pair sets are tiny relative to the
+    corpus, and each distributed round costs multiple shuffles.  Otherwise
+    run min-label propagation with POINTER JUMPING: each round first takes
+    the min over direct neighbours' labels, then replaces every node's
+    label with its label's label (path halving), so a chain of diameter d
+    resolves in O(log d) rounds rather than d.  Convergence is detected
+    per round (count of changed labels, computed on the materialized label
+    table); if the ``rounds`` budget is exhausted before fixpoint a warning
+    is logged and the partially-converged labels are returned.
 
     pairs_ds: rows with id_a/id_b.  nodes_ds: optional rows with doc_id for
     singleton nodes.  Returns (doc_id, cluster_id) with cluster_id = min
     doc id in the component.
     """
     import ray.data
+
+    pairs_ds = pairs_ds.materialize()
 
     if driver_threshold and pairs_ds.count() <= driver_threshold:
         pairs = pairs_ds.select_columns(["id_a", "id_b"]).take_all()
@@ -261,7 +310,7 @@ def neardup_clusters(
         out = pd.DataFrame(
             sorted((node, find(node)) for node in parent),
             columns=["doc_id", "cluster_id"],
-        )
+        ).astype({"doc_id": "int64", "cluster_id": "int64"})
         return ray.data.from_pandas(out)
 
     def to_edges(batch: pa.Table) -> pa.Table:
@@ -287,6 +336,7 @@ def neardup_clusters(
         edges = edges.union(
             nodes_ds.map_batches(to_self, batch_format="pyarrow")
         )
+    edges = edges.materialize()
 
     # labels start as each node's own id (derived from the edge list)
     labels = edges.map_batches(
@@ -296,7 +346,7 @@ def neardup_clusters(
         batch_format="pyarrow",
     ).groupby("node").map_groups(
         lambda df: df.head(1), batch_format="pandas"
-    )
+    ).materialize()
 
     def _with_peer(labels_batch: pa.Table) -> pa.Table:
         n = labels_batch.num_rows
@@ -318,7 +368,12 @@ def neardup_clusters(
             }
         )
 
+    # labels only ever decrease (min over node ids), so sum(label) is a
+    # strictly-monotone convergence witness: unchanged sum <=> fixpoint.
+    prev_sum = labels.sum("label")
+    converged = False
     for _ in range(rounds):
+        # -- neighbour-min: every node offers its label to its peers
         tagged = labels.map_batches(_with_peer, batch_format="pyarrow").union(
             edges.map_batches(_with_label, batch_format="pyarrow")
         )
@@ -343,6 +398,60 @@ def neardup_clusters(
                 label=("label", "min")
             ),
             batch_format="pandas",
+        )
+
+        # -- pointer jump (path halving): label[n] <- label[label[n]].
+        # Every label value is itself a node id, so each node's query
+        # (key = its current label) finds exactly one authoritative row.
+        def _queries(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": pc.cast(batch.column("label"), pa.int64()),
+                    "node": batch.column("node"),
+                    "label": pa.nulls(batch.num_rows, type=pa.int64()),
+                }
+            )
+
+        def _haves(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": batch.column("node"),
+                    "node": pa.nulls(batch.num_rows, type=pa.int64()),
+                    "label": pc.cast(batch.column("label"), pa.int64()),
+                }
+            )
+
+        labels = labels.materialize()
+        jump_tagged = labels.map_batches(
+            _queries, batch_format="pyarrow"
+        ).union(labels.map_batches(_haves, batch_format="pyarrow"))
+
+        def jump(df: pd.DataFrame) -> pd.DataFrame:
+            key = int(df["key"].iloc[0])
+            have = df["label"].dropna()
+            label_of_key = int(have.min()) if len(have) else key
+            nodes = df["node"].dropna().astype("int64")
+            return pd.DataFrame({"node": nodes, "label": label_of_key})
+
+        labels = (
+            jump_tagged.groupby("key")
+            .map_groups(jump, batch_format="pandas")
+            .materialize()
+        )
+
+        new_sum = labels.sum("label")
+        if new_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = new_sum
+
+    if not converged:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "neardup_clusters: round budget (%d) exhausted before label "
+            "fixpoint; components wider than resolved may be split",
+            rounds,
         )
 
     return labels.map_batches(
@@ -425,14 +534,67 @@ def simhash_pairs(
 
     sigs = ds.map_batches(signatures, batch_format="pyarrow")
     pairs = sigs.groupby("shard").map_groups(verify_shard, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas"
-    )
+    return _dedup_pairs(pairs, "hamming", n_shards)
 
 
 # ---------------------------------------------------------------------------
 # embedding near-dup
 # ---------------------------------------------------------------------------
+
+
+def lsh_cosine_recall(cosine: float, n_planes: int, n_tables: int) -> float:
+    """Expected probability that a true pair at the given cosine collides in
+    at least one of ``n_tables`` sign-hash tables of ``n_planes`` planes:
+    1 - (1 - p^k)^T with p = 1 - acos(c)/pi."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, cosine))) / math.pi
+    return 1.0 - (1.0 - p**n_planes) ** n_tables
+
+
+def plant_embedding_neardups(
+    ds_embeddings,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    every: int = 10,
+    id_offset: int = 10_000_000,
+    scale: float = 1.5,
+):
+    """Deterministically augment an embedding table with planted
+    near-duplicates: every ``every``-th vector gains a positively scaled
+    copy (cosine exactly 1.0) under ``id + id_offset``.  Positive scaling
+    preserves every hyperplane sign bit, so LSH recall on the planted
+    pairs is exactly 1 regardless of table count — which is what makes the
+    op value-checkable against a brute-force SQL oracle."""
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        vecs = batch.column(vec_col).to_pylist()
+        add_ids, add_vecs = [], []
+        for i, v in zip(ids, vecs):
+            if i % every == 0:
+                add_ids.append(i + id_offset)
+                add_vecs.append([float(x) * scale for x in v])
+        planted = pa.table(
+            {
+                id_col: pa.array(add_ids, type=pa.int64()),
+                vec_col: pa.array(
+                    add_vecs, type=pa.list_(pa.float64())
+                ),
+            }
+        )
+        base = pa.table(
+            {
+                id_col: pa.array([int(x) for x in ids], type=pa.int64()),
+                vec_col: pa.array(
+                    [[float(x) for x in v] for v in vecs],
+                    type=pa.list_(pa.float64()),
+                ),
+            }
+        )
+        return pa.concat_tables([base, planted])
+
+    return ds_embeddings.map_batches(augment, batch_format="pyarrow")
 
 
 def embedding_neardup_pairs(
@@ -441,49 +603,89 @@ def embedding_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.97,
     n_planes: int = 12,
+    n_tables: int = 8,
 ):
-    """Cosine near-duplicates via random-hyperplane LSH buckets + exact
-    in-bucket verification.  Hyperplanes are seeded deterministically."""
+    """Cosine near-duplicates via multi-table random-hyperplane LSH with
+    exact in-bucket verification.
+
+    A single k-plane table finds a true pair at cosine c with probability
+    only p^k (p = 1 - acos(c)/pi), e.g. ~0.38 at c=0.97 for k=12.
+    ``n_tables`` independent tables raise that to 1-(1-p^k)^T
+    (:func:`lsh_cosine_recall`; ~0.978 at c=0.97 with the defaults) at the
+    cost of T signature rows per vector — the standard recall/shuffle
+    trade.  Pairs at cosine exactly 1.0 (scaled copies) share every sign
+    bit, so their recall is 1 in every table.
+
+    Buckets are sharded (hash(bucket) % 256) so the shuffle launches a
+    bounded number of group tasks; per-bucket verification runs vectorized
+    inside each shard and pair results are deduplicated across tables.
+    """
+    import logging
+
+    logging.getLogger(__name__).info(
+        "embedding_neardup_pairs: expected LSH recall at cosine=%.3f is %.3f "
+        "(n_planes=%d, n_tables=%d)",
+        threshold,
+        lsh_cosine_recall(threshold, n_planes, n_tables),
+        n_planes,
+        n_tables,
+    )
+    n_shards = 256
+
     def signatures(batch: pa.Table) -> pa.Table:
         vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
-        planes = np.random.default_rng(12345).standard_normal(
-            (vecs.shape[1], n_planes)
-        )
-        bits = (vecs @ planes) > 0
-        buckets = [
-            "".join("1" if x else "0" for x in row) for row in bits
-        ]
+        ids = batch.column(id_col).to_pylist()
+        out_shard, out_bucket, out_ids, out_vecs = [], [], [], []
+        for t in range(n_tables):
+            planes = np.random.default_rng(1000 + t).standard_normal(
+                (vecs.shape[1], n_planes)
+            )
+            bits = (vecs @ planes) > 0
+            weights = 1 << np.arange(n_planes)
+            codes = bits @ weights
+            for i, code in enumerate(codes):
+                bucket = t * (1 << n_planes) + int(code)
+                out_shard.append(bucket % n_shards)
+                out_bucket.append(bucket)
+                out_ids.append(ids[i])
+                out_vecs.append(vecs[i].tolist())
         return pa.table(
             {
-                "bucket": pa.array(buckets),
-                id_col: batch.column(id_col),
-                vec_col: batch.column(vec_col),
+                "shard": pa.array(out_shard, type=pa.int32()),
+                "bucket": pa.array(out_bucket, type=pa.int64()),
+                id_col: pa.array(out_ids, type=pa.int64()),
+                vec_col: pa.array(out_vecs, type=pa.list_(pa.float64())),
             }
         )
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        docs = df.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        if len(docs) < 2:
-            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
-        ids = docs[id_col].astype(int).to_numpy()
-        mat = np.asarray(list(docs[vec_col]), dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        unit = mat / norms
-        sims = unit @ unit.T
-        pairs = []
-        n = len(ids)
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sims[i, j] >= threshold:
-                    pairs.append(
-                        {
-                            "id_a": int(ids[i]),
-                            "id_b": int(ids[j]),
-                            "cosine": round(float(sims[i, j]), 6),
-                        }
-                    )
-        return pd.DataFrame(pairs, columns=["id_a", "id_b", "cosine"])
+    def verify_shard(df: pd.DataFrame) -> pd.DataFrame:
+        pairs: dict[tuple[int, int], float] = {}
+        sizes = df.groupby("bucket")[id_col].nunique()
+        for bucket in sizes[sizes > 1].index:
+            docs = df[df["bucket"] == bucket].drop_duplicates(subset=[id_col])
+            ids = docs[id_col].astype("int64").to_numpy()
+            order = np.argsort(ids)
+            ids = ids[order]
+            mat = np.asarray(list(docs[vec_col]), dtype=np.float64)[order]
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            unit = mat / norms
+            sims = unit @ unit.T
+            n = len(ids)
+            for i in range(n):
+                for j in range(i + 1, n):
+                    key = (int(ids[i]), int(ids[j]))
+                    if key in pairs:
+                        continue
+                    sim = float(sims[i, j])
+                    pairs[key] = round(sim, 6) if sim >= threshold else -1.0
+        rows = [
+            {"id_a": k[0], "id_b": k[1], "cosine": v}
+            for k, v in pairs.items()
+            if v >= 0
+        ]
+        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
 
     sigs = ds_embeddings.map_batches(signatures, batch_format="pyarrow")
-    return sigs.groupby("bucket").map_groups(verify, batch_format="pandas")
+    pairs = sigs.groupby("shard").map_groups(verify_shard, batch_format="pandas")
+    return _dedup_pairs(pairs, "cosine", n_shards)

@@ -144,21 +144,21 @@ def top_customers(sf_dir: str, k: int = 10):
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
     names_ref = ray.put(
-        dict(
-            zip(
-                names_tbl.column("c_custkey").to_pylist(),
-                names_tbl.column("c_name").to_pylist(),
-            )
+        (
+            names_tbl.column("c_custkey").combine_chunks(),
+            names_tbl.column("c_name").combine_chunks(),
         )
     )
 
     def attach_names(batch: pa.Table) -> pa.Table:
-        names = ray.get(names_ref)
-        keys = batch.column("o_custkey").to_pylist()
+        # vectorized broadcast join: index_in + take (unmatched -> null),
+        # no per-row Python dict probes
+        key_arr, val_arr = ray.get(names_ref)
+        idx = pc.index_in(batch.column("o_custkey"), value_set=key_arr)
         return pa.table(
             {
                 "o_custkey": batch.column("o_custkey"),
-                "c_name": pa.array([names.get(key) for key in keys]),
+                "c_name": val_arr.take(idx),
                 "n_orders": pc.cast(batch.column("n_orders"), pa.int64()),
                 "revenue": pc.divide(
                     pc.cast(batch.column("revenue_cents"), pa.float64()), 100.0
@@ -210,35 +210,54 @@ def events_by_type(sf_dir: str):
         aggs={"n_events": (None, "count"), "sum_cents": ("cents", "sum")},
     )
 
-    # exact distinct users: per-batch dedup combiner, then count per group
-    def dedup_pairs(batch: pa.Table) -> pa.Table:
-        return (
-            batch.select(["event_type", "user_id"])
-            .group_by(["event_type", "user_id"])
-            .aggregate([])
+    # exact distinct users without funnelling all (type, user) pairs into
+    # one task per type: pre-aggregate on the FINE key (event_type, user_id)
+    # — that shuffle spreads by user hash, no skew — then count rows per type
+    distinct_pairs = grouped_agg(
+        projected,
+        keys=["event_type", "user_id"],
+        aggs={"n": (None, "count")},
+    )
+    users = grouped_agg(
+        distinct_pairs,
+        keys=["event_type"],
+        aggs={"n_users": (None, "count")},
+    )
+
+    # distributed merge of the two tiny aggregates (no driver round-trip):
+    # tag-union + one groupby on event_type, returning a Dataset
+    def tag_base(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_type", "n_events", "sum_cents"]].copy()
+        out["n_users"] = pd.NA
+        return out
+
+    def tag_users(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_type", "n_users"]].copy()
+        out["n_events"] = pd.NA
+        out["sum_cents"] = pd.NA
+        return out[["event_type", "n_events", "sum_cents", "n_users"]]
+
+    tagged = base.map_batches(tag_base, batch_format="pandas").union(
+        users.map_batches(tag_users, batch_format="pandas")
+    )
+
+    def merge_type(df: pd.DataFrame) -> pd.DataFrame:
+        n_events = int(df["n_events"].dropna().iloc[0])
+        sum_cents = int(df["sum_cents"].dropna().iloc[0])
+        n_users = int(df["n_users"].dropna().iloc[0])
+        return pd.DataFrame(
+            {
+                "event_type": [df["event_type"].iloc[0]],
+                "n_events": [n_events],
+                "n_users": [n_users],
+                "sum_value": [sum_cents / 100.0],
+                "avg_value": [(sum_cents / 100.0) / n_events],
+            }
         )
 
-    pairs = projected.map_batches(dedup_pairs, batch_format="pyarrow")
-    users = pairs.groupby("event_type").map_groups(
-        lambda df: df.drop_duplicates()
-        .groupby("event_type", as_index=False)
-        .agg(n_users=("user_id", "count")),
-        batch_format="pandas",
+    return tagged.groupby("event_type").map_groups(
+        merge_type, batch_format="pandas"
     )
-
-    base_df = base.to_pandas()
-    users_df = users.to_pandas()
-    out = base_df.merge(users_df, on="event_type")
-    out = pd.DataFrame(
-        {
-            "event_type": out["event_type"],
-            "n_events": out["n_events"].astype("int64"),
-            "n_users": out["n_users"].astype("int64"),
-            "sum_value": out["sum_cents"] / 100.0,
-            "avg_value": (out["sum_cents"] / 100.0) / out["n_events"],
-        }
-    )
-    return out.sort_values("event_type").reset_index(drop=True)
 
 
 def events_by_type_sql() -> str:
@@ -317,11 +336,9 @@ def brand_volume(sf_dir: str):
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
     )
     brand_ref = ray.put(
-        dict(
-            zip(
-                part_tbl.column("p_partkey").to_pylist(),
-                part_tbl.column("p_brand").to_pylist(),
-            )
+        (
+            part_tbl.column("p_partkey").combine_chunks(),
+            part_tbl.column("p_brand").combine_chunks(),
         )
     )
 
@@ -330,11 +347,11 @@ def brand_volume(sf_dir: str):
     )
 
     def join_project(batch: pa.Table) -> pa.Table:
-        brands = ray.get(brand_ref)
-        keys = batch.column("l_partkey").to_pylist()
+        key_arr, val_arr = ray.get(brand_ref)
+        idx = pc.index_in(batch.column("l_partkey"), value_set=key_arr)
         return pa.table(
             {
-                "p_brand": pa.array([brands.get(key) for key in keys]),
+                "p_brand": val_arr.take(idx),
                 "qty": pc.cast(pc.round(batch.column("l_quantity")), pa.int64()),
             }
         )
@@ -587,23 +604,26 @@ def region_customers(sf_dir: str):
             region.column("r_name").to_pylist(),
         )
     )
-    nation_to_region = {
-        n: region_names[r]
-        for n, r in zip(
-            nation.column("n_nationkey").to_pylist(),
-            nation.column("n_regionkey").to_pylist(),
-        )
-    }
-    lookup_ref = ray.put(nation_to_region)
+    # pre-compose the two small dims driver-side, broadcast one arrow pair
+    nat_keys = pa.array(nation.column("n_nationkey").to_pylist(), type=pa.int64())
+    nat_region = pa.array(
+        [
+            region_names[r]
+            for r in nation.column("n_regionkey").to_pylist()
+        ]
+    )
+    lookup_ref = ray.put((nat_keys, nat_region))
 
     customers = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_nationkey"]
     )
 
     def project(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        keys = batch.column("c_nationkey").to_pylist()
-        return pa.table({"r_name": pa.array([lookup.get(key) for key in keys])})
+        key_arr, val_arr = ray.get(lookup_ref)
+        idx = pc.index_in(
+            pc.cast(batch.column("c_nationkey"), pa.int64()), value_set=key_arr
+        )
+        return pa.table({"r_name": val_arr.take(idx)})
 
     agged = grouped_agg(
         customers.map_batches(project, batch_format="pyarrow"),

@@ -43,7 +43,10 @@ def _dedup_batch(batch: pa.Table) -> pa.Table:
 
 
 def _merge_graph_rows(df):
-    return df.groupby(_GRAPH_KEY, as_index=False).agg(
+    # dropna=False: the pyarrow combiner keeps null-keyed groups, so the
+    # pandas merge must too — otherwise null repo/lang triples would be
+    # silently deleted between combine and merge
+    return df.groupby(_GRAPH_KEY, as_index=False, dropna=False).agg(
         n_mentions=("n_mentions", "sum"),
         first_start_char=("first_start_char", "min"),
     )
@@ -112,70 +115,171 @@ def canonical_entities(triples_ds):
     combined = triples_ds.map_batches(combine, batch_format="pyarrow")
 
     def merge(df):
-        return df.groupby(["pred", "obj_norm"], as_index=False).agg(
+        return df.groupby(["pred", "obj_norm"], as_index=False, dropna=False).agg(
             n_mentions=("n_mentions", "sum")
         )
 
     return combined.groupby("pred").map_groups(merge, batch_format="pandas")
 
 
-def canonicalize_entities(triples_ds):
+def _form_node_id(pred: str, obj_norm: str) -> int:
+    """Deterministic positive int64 id for a (pred, surface form) node."""
+    digest = hashlib.md5(f"{pred}\x00{obj_norm}".encode()).digest()
+    return int.from_bytes(digest[:8], "big") & 0x7FFF_FFFF_FFFF_FFFF
+
+
+def canonicalize_entities(triples_ds, cluster_rounds: int = 8):
     """Cross-document entity canonicalization: per predicate, cluster
     mention surface forms whose lowercase texts are within
     Damerau-Levenshtein distance 1 (the same fuzzy rule the reference's
     per-document linker uses, applied graph-wide), and pick the most
     frequent form as the canonical label.
 
-    Blocking: a DL<=1 pair differs by at most one in length, so only forms
-    in the same or adjacent length bucket are compared (exact for DL<=1;
-    swap in an LSH blocker if a predicate's surface vocabulary reaches
-    millions).  Returns (pred, obj_norm, canonical, n_mentions).
+    Scale shape (a DL<=1 pair differs by at most one in length, so length
+    is an EXACT blocking key):
+
+    1. count forms — :func:`canonical_entities` (combiner + one shuffle);
+    2. shuffle on ``(pred, length-block)``, NOT bare ``pred``: each form is
+       sent to its own length block and, as a guest, to the next one, so a
+       block task compares only same-length pairs plus (len, len+1) pairs
+       — parallelism scales with predicates x distinct lengths instead of
+       capping at the predicate count, and no task ever holds a whole
+       predicate's vocabulary;
+    3. DL<=1 edges feed :func:`deduce_ray.ops.dedup.neardup_clusters`
+       (driver union-find for small edge sets, pointer-jumping label
+       propagation at scale);
+    4. one sharded groupby on the cluster id picks the canonical form
+       (max mentions, ties to the lexicographically smallest) and labels
+       every member.
+
+    Within a block the pair check is O(m^2) over that length's vocabulary;
+    swap in an LSH sub-blocker if a single (pred, length) vocabulary
+    reaches millions.  Returns (pred, obj_norm, canonical, n_mentions).
     """
     import pandas as pd
 
-    counted = canonical_entities(triples_ds)
+    from deduce_ray.ops.dedup import neardup_clusters
 
-    def cluster_group(df: pd.DataFrame) -> pd.DataFrame:
+    counted = canonical_entities(triples_ds).materialize()
+
+    def emit_blocks(batch: pa.Table) -> pa.Table:
+        preds = batch.column("pred").to_pylist()
+        forms = batch.column("obj_norm").to_pylist()
+        counts = batch.column("n_mentions").to_pylist()
+        out = {"pred": [], "block": [], "is_home": [], "obj_norm": [], "n_mentions": []}
+        for p, f, n in zip(preds, forms, counts):
+            length = len(f or "")
+            for block, home in ((length, True), (length + 1, False)):
+                out["pred"].append(p)
+                out["block"].append(block)
+                out["is_home"].append(home)
+                out["obj_norm"].append(f)
+                out["n_mentions"].append(n)
+        return pa.table(
+            {
+                "pred": pa.array(out["pred"]),
+                "block": pa.array(out["block"], type=pa.int32()),
+                "is_home": pa.array(out["is_home"], type=pa.bool_()),
+                "obj_norm": pa.array(out["obj_norm"]),
+                "n_mentions": pa.array(out["n_mentions"], type=pa.int64()),
+            }
+        )
+
+    def block_edges(df: pd.DataFrame) -> pd.DataFrame:
+        """Emit DL<=1 edges: home x home (same length) and home x guest
+        (adjacent length).  Each unordered pair lands in exactly one block."""
         from deduce_ray.matching import within_edit_distance_one
 
-        forms = (
-            df.groupby("obj_norm", as_index=False)
-            .agg(n_mentions=("n_mentions", "sum"))
-            .sort_values(["n_mentions", "obj_norm"], ascending=[False, True])
-            .reset_index(drop=True)
+        pred = df["pred"].iloc[0]
+        homes = df[df["is_home"]]["obj_norm"].drop_duplicates().tolist()
+        guests = df[~df["is_home"]]["obj_norm"].drop_duplicates().tolist()
+        edges = []
+        for i in range(len(homes)):
+            for j in range(i + 1, len(homes)):
+                if within_edit_distance_one(homes[i], homes[j]):
+                    edges.append((homes[i], homes[j]))
+            for g in guests:
+                if within_edit_distance_one(homes[i], g):
+                    edges.append((homes[i], g))
+        return pd.DataFrame(
+            {
+                "id_a": [_form_node_id(pred, a) for a, _ in edges],
+                "id_b": [_form_node_id(pred, b) for _, b in edges],
+            },
+            dtype="int64",
         )
-        names = forms["obj_norm"].tolist()
-        parent = list(range(len(names)))
 
-        def find(i):
-            while parent[i] != i:
-                parent[i] = parent[parent[i]]
-                i = parent[i]
-            return i
+    edges = (
+        counted.map_batches(emit_blocks, batch_format="pyarrow")
+        .groupby(["pred", "block"])
+        .map_groups(block_edges, batch_format="pandas")
+    )
+    labels = neardup_clusters(edges, rounds=cluster_rounds)
 
-        blocks: dict[int, list[int]] = {}
-        for idx, name in enumerate(names):
-            blocks.setdefault(len(name), []).append(idx)
-        for length, members in blocks.items():
-            candidates = members + blocks.get(length + 1, [])
-            for i_pos in range(len(candidates)):
-                for j_pos in range(i_pos + 1, len(candidates)):
-                    i, j = candidates[i_pos], candidates[j_pos]
-                    if find(i) == find(j):
-                        continue
-                    if within_edit_distance_one(names[i], names[j]):
-                        ri, rj = find(i), find(j)
-                        parent[max(ri, rj)] = min(ri, rj)
+    # attach cluster ids to forms (forms without an edge keep their own
+    # node id), then pick canonicals inside a sharded cluster groupby
+    n_shards = 1024
 
-        # canonical = most frequent form in the cluster (forms are sorted
-        # by frequency, so the cluster root with the smallest index wins)
-        canonical = [names[find(i)] for i in range(len(names))]
-        out = forms.copy()
-        out["canonical"] = canonical
-        out["pred"] = df["pred"].iloc[0]
+    def tag_forms(batch: pa.Table) -> pa.Table:
+        preds = batch.column("pred").to_pylist()
+        forms = batch.column("obj_norm").to_pylist()
+        node = [_form_node_id(p, f) for p, f in zip(preds, forms)]
+        return pa.table(
+            {
+                "node": pa.array(node, type=pa.int64()),
+                "pred": batch.column("pred"),
+                "obj_norm": batch.column("obj_norm"),
+                "n_mentions": batch.column("n_mentions"),
+                "cluster": pa.nulls(batch.num_rows, type=pa.int64()),
+            }
+        )
+
+    def tag_labels(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "node": batch.column("doc_id"),
+                "pred": pa.nulls(n, type=pa.string()),
+                "obj_norm": pa.nulls(n, type=pa.string()),
+                "n_mentions": pa.nulls(n, type=pa.int64()),
+                "cluster": batch.column("cluster_id"),
+            }
+        )
+
+    tagged = counted.map_batches(tag_forms, batch_format="pyarrow").union(
+        labels.map_batches(tag_labels, batch_format="pyarrow")
+    )
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        clusters = df["cluster"].dropna()
+        cluster = int(clusters.min()) if len(clusters) else int(df["node"].iloc[0])
+        form_rows = df[df["obj_norm"].notna()]
+        out = form_rows[["pred", "obj_norm", "n_mentions"]].copy()
+        out["cluster"] = cluster
+        out["cluster_shard"] = cluster % n_shards
+        return out
+
+    clustered = tagged.groupby("node").map_groups(resolve, batch_format="pandas")
+
+    def pick_canonical(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for _, grp in df.groupby("cluster"):
+            best = grp.sort_values(
+                ["n_mentions", "obj_norm"], ascending=[False, True]
+            ).iloc[0]
+            part = grp[["pred", "obj_norm", "n_mentions"]].copy()
+            part["canonical"] = best["obj_norm"]
+            parts.append(part)
+        if not parts:
+            return pd.DataFrame(
+                columns=["pred", "obj_norm", "canonical", "n_mentions"]
+            )
+        out = pd.concat(parts, ignore_index=True)
         return out[["pred", "obj_norm", "canonical", "n_mentions"]]
 
-    return counted.groupby("pred").map_groups(cluster_group, batch_format="pandas")
+    return clustered.groupby("cluster_shard").map_groups(
+        pick_canonical, batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -227,13 +331,38 @@ def materialize_graph(
     Resume: units listed complete in ``_manifests/`` are filtered out
     *before* the shuffle, so a restarted run neither recomputes nor
     rewrites them.  A ``_manifests/_run_<id>.json`` summary records the
-    run-level lineage.
+    run-level lineage.  Unit manifests record the salting config
+    (hot_keys, n_salts); resuming with a DIFFERENT config is refused,
+    because rows would be re-routed into new salt units while the old
+    part files survive — duplicated graph rows in the output directory.
     """
     import pyarrow.compute as pc
 
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     (out_dir / "_manifests").mkdir(exist_ok=True)
+
+    salting = {
+        "hot_keys": sorted(hot_keys or ()),
+        "n_salts": int(n_salts),
+    }
+    if resume:
+        for mf in (out_dir / "_manifests").glob("*.json"):
+            if mf.name.startswith("_run_"):
+                continue
+            try:
+                with open(mf) as fh:
+                    manifest = json.load(fh)
+            except json.JSONDecodeError:
+                continue
+            recorded = manifest.get("salting")
+            if recorded is not None and recorded != salting:
+                raise ValueError(
+                    f"materialize_graph: resume with salting config {salting} "
+                    f"but completed unit {manifest.get('partition')} was "
+                    f"written with {recorded}; clear the output directory or "
+                    "rerun with the original hot_keys/n_salts"
+                )
 
     combined = triples_ds.map_batches(_dedup_batch, batch_format="pyarrow")
 
@@ -276,7 +405,7 @@ def materialize_graph(
         slug = f"{_partition_slug(repo, lang)}__{salt}"
 
         graph = (
-            df.groupby(_GRAPH_KEY, as_index=False)
+            df.groupby(_GRAPH_KEY, as_index=False, dropna=False)
             .agg(
                 n_mentions=("n_mentions", "sum"),
                 first_start_char=("first_start_char", "min"),
@@ -307,6 +436,7 @@ def materialize_graph(
             "mentions": int(graph["n_mentions"].sum()),
             "triples_sha256": content_hash,
             "duration_s": round(time.time() - t0, 3),
+            "salting": salting,
             "complete": True,
         }
         mtmp = out_dir / "_manifests" / f".{slug}.{os.getpid()}.tmp"
@@ -314,7 +444,9 @@ def materialize_graph(
             json.dump(manifest, fh)
         os.replace(mtmp, out_dir / "_manifests" / f"{slug}.json")
 
-        return pd.DataFrame([{k: v for k, v in manifest.items() if k != "complete"}])
+        return pd.DataFrame(
+            [{k: v for k, v in manifest.items() if k not in ("complete", "salting")}]
+        )
 
     metrics = salted.groupby(["repo", "lang", "salt"]).map_groups(
         write_unit, batch_format="pandas"
@@ -324,6 +456,7 @@ def materialize_graph(
         summary = metrics.to_pandas()
         run_manifest = {
             "run_id": run_id,
+            "salting": salting,
             "units_written": int(len(summary)),
             "rows": int(summary["rows"].sum()) if len(summary) else 0,
             "docs": int(summary["docs"].sum()) if len(summary) else 0,

@@ -144,6 +144,16 @@ class TestGraphMaterialize:
         a, b = all_rows(out), all_rows(plain_out)
         assert a.equals(b)
 
+        # resuming with a different salting config is refused (old part
+        # files would otherwise survive alongside re-routed new units)
+        import pytest
+
+        triples3 = extract_triples(_repo_ds(), lexicon_ref=lexicon_ref)
+        with pytest.raises(ValueError, match="salting config"):
+            materialize_graph(
+                triples3, out, hot_keys={"org/monorepo"}, n_salts=2
+            )
+
 
 class TestDedupOps:
     def test_exact_dedup(self, ray_session):
@@ -211,6 +221,62 @@ class TestDedupOps:
             ray.data.from_items(rows), threshold=0.95
         ).take_all()
         assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
+
+    def test_minhash_verify_modes_agree(self, ray_session):
+        """Signature-agreement (fixed-width shuffle) and exact-Jaccard
+        verification report the same pair set away from the threshold."""
+        import ray.data
+
+        from deduce_ray.ops.dedup import minhash_lsh_pairs
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+        ds = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": base},
+                {"doc_id": 2, "text": base.replace("zeta", "zed")},
+                {"doc_id": 3, "text": base},
+                {"doc_id": 4, "text": "nothing in common with the others " * 9},
+            ]
+        )
+        sig = minhash_lsh_pairs(ds, threshold=0.5, verify="signature").take_all()
+        exact = minhash_lsh_pairs(ds, threshold=0.5, verify="exact").take_all()
+        sig_pairs = {(p["id_a"], p["id_b"]) for p in sig}
+        exact_pairs = {(p["id_a"], p["id_b"]) for p in exact}
+        assert sig_pairs == exact_pairs == {(1, 2), (1, 3), (2, 3)}
+        # identical docs agree on every component -> estimate exactly 1.0
+        sig_13 = next(p["jaccard"] for p in sig if (p["id_a"], p["id_b"]) == (1, 3))
+        assert sig_13 == 1.0
+
+    def test_planted_embedding_neardups(self, ray_session):
+        """Planted scaled copies are found with recall 1 (all sign bits
+        shared) and report cosine exactly 1.0."""
+        import ray.data
+
+        from deduce_ray.ops.dedup import (
+            embedding_neardup_pairs,
+            plant_embedding_neardups,
+        )
+
+        rng = np.random.default_rng(7)
+        rows = [
+            {"vec_id": i, "embedding": [float(x) for x in rng.standard_normal(16)]}
+            for i in range(30)
+        ]
+        planted = plant_embedding_neardups(
+            ray.data.from_items(rows), every=10, id_offset=1000
+        )
+        pairs = embedding_neardup_pairs(planted, threshold=0.95).take_all()
+        got = {(p["id_a"], p["id_b"]) for p in pairs}
+        assert {(0, 1000), (10, 1010), (20, 1020)} <= got
+        assert all(p["cosine"] == 1.0 for p in pairs if p["id_b"] >= 1000)
+
+    def test_lsh_cosine_recall_formula(self):
+        from deduce_ray.ops.dedup import lsh_cosine_recall
+
+        assert lsh_cosine_recall(1.0, 12, 1) == 1.0
+        one_table = lsh_cosine_recall(0.97, 12, 1)
+        assert 0.3 < one_table < 0.5
+        assert lsh_cosine_recall(0.97, 12, 8) > 0.95
 
 
 class TestSimilarity:
@@ -382,6 +448,76 @@ class TestUserConfigExtension:
             ("AB-123-C", "kenteken")
         }
 
+    def test_annotator_type_import_path(self, engine, tmp_path):
+        """Config ``type: "module.Class"`` loads a user-defined annotator
+        class dynamically, injecting ds/tokenizer extras when the
+        constructor asks for them (reference deduce.py:172-182,
+        tutorial.md:163-236)."""
+        import sys
+        import textwrap
+
+        from deduce_ray.engine import DeduceEngine
+
+        (tmp_path / "my_annotators.py").write_text(
+            textwrap.dedent(
+                """
+                from deduce_ray.annotators import RegexpAnnotator
+
+                class RoomAnnotator(RegexpAnnotator):
+                    # ds has no default: construction succeeds only if the
+                    # engine injects the lookup collection
+                    def __init__(self, ds, **kwargs):
+                        assert ds is not None
+                        super().__init__(**kwargs)
+                """
+            )
+        )
+        sys.path.insert(0, str(tmp_path))
+        try:
+            custom = DeduceEngine(
+                lexicon=(engine.lookup_structs, engine.tokenizer),
+                config={
+                    "annotators": {
+                        "kamer": {
+                            "type": "my_annotators.RoomAnnotator",
+                            "group": "identifiers",
+                            "args": {
+                                "regexp_pattern": "kamer [0-9]+",
+                                "tag": "kamer",
+                            },
+                        }
+                    }
+                },
+            )
+            doc = custom.deidentify(
+                "Patient ligt op kamer 3.", enabled={"identifiers", "kamer"}
+            )
+            assert {(a.text, a.tag) for a in doc.annotations} == {
+                ("kamer 3", "kamer")
+            }
+        finally:
+            sys.path.remove(str(tmp_path))
+            sys.modules.pop("my_annotators", None)
+
+    def test_annotator_type_bad_import_path(self, engine):
+        import pytest
+
+        from deduce_ray.engine import DeduceEngine
+
+        with pytest.raises(ValueError, match="cannot load annotator class"):
+            DeduceEngine(
+                lexicon=(engine.lookup_structs, engine.tokenizer),
+                config={
+                    "annotators": {
+                        "nope": {
+                            "type": "no.such.module.Cls",
+                            "group": "identifiers",
+                            "args": {},
+                        }
+                    }
+                },
+            )
+
     def test_disabled_mask(self, engine):
         text = "bsn 111222333 en nummer 1234567."
         full = engine.deidentify(text, enabled={"identifiers", "bsn", "identifier"})
@@ -430,6 +566,24 @@ class TestClustersAndJoins:
             ).take_all()
         }
         assert fast == dist == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_neardup_clusters_distributed_long_chain(self, ray_session):
+        """Pointer jumping resolves a chain longer than the round budget:
+        one-hop-per-round propagation would need 11 rounds for this
+        diameter-11 chain, so converging within 5 proves the label-of-label
+        jump is doing the O(log d) contraction."""
+        import ray.data
+
+        from deduce_ray.ops.dedup import neardup_clusters
+
+        rows = [{"id_a": i, "id_b": i + 1} for i in range(11)]
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in neardup_clusters(
+                ray.data.from_items(rows), driver_threshold=0, rounds=5
+            ).take_all()
+        }
+        assert got == {i: 0 for i in range(12)}
 
     def test_bucketed_join_matches_duckdb(self, ray_session):
         import duckdb
@@ -558,3 +712,39 @@ class TestEntityCanonicalization:
         assert by_form["ommen"] == "ommen"
         assert by_form["utrecht"] == "utrecht"
         assert by_form["rotterdam"] == "rotterdam"
+
+    def test_adjacent_length_blocks_merge(self, ray_session):
+        """Forms of adjacent lengths live in different home blocks; the
+        guest duplication must still merge them — including a transitive
+        chain spanning three lengths (two distinct block pairs)."""
+        import ray.data
+
+        from deduce_ray.rayops.kg import canonicalize_entities
+
+        rows = []
+        for i, (obj, n) in enumerate(
+            [("haarlem", 4), ("haarlm", 1), ("haarlemm", 2), ("delft", 1)]
+        ):
+            for j in range(n):
+                rows.append(
+                    {
+                        "doc_id": f"d{i}_{j}",
+                        "repo": "org/r",
+                        "path": "p",
+                        "commit": "c",
+                        "lang": "nl",
+                        "pred": "locatie",
+                        "obj": obj,
+                        "start_char": 0,
+                        "end_char": len(obj),
+                        "entity_id": "LOCATIE-1",
+                    }
+                )
+        out = canonicalize_entities(ray.data.from_items(rows)).to_pandas()
+        by_form = dict(zip(out["obj_norm"], out["canonical"]))
+        # haarlm (6) - haarlem (7) - haarlemm (8): one transitive cluster,
+        # canonical = most frequent member
+        assert by_form["haarlm"] == "haarlem"
+        assert by_form["haarlem"] == "haarlem"
+        assert by_form["haarlemm"] == "haarlem"
+        assert by_form["delft"] == "delft"
