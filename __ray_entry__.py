@@ -207,6 +207,22 @@ def _q_minhash_pairs(sf_dir: str):
     )
 
 
+def _q_minhash_pairs_exact(sf_dir: str):
+    """Exact-Jaccard verification mode (shingle payload rides the shuffle;
+    sf-small validation path) — value-checked against brute-force SQL."""
+    import ray.data
+
+    from deduce_ray.ops.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        threshold=0.5,
+        verify="exact",
+    )
+
+
 def _q_minhash_clusters(sf_dir: str):
     import ray.data
 
@@ -371,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup family ---
         "exact_dedup": _q_exact_dedup,
         "minhash_pairs": _q_minhash_pairs,
+        "minhash_pairs_exact": _q_minhash_pairs_exact,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
         # --- similarity search ---
@@ -432,6 +449,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_sqlpreds": oracles.kg_triples_sqlpreds_sql(),
         "kg_graph_sqlpreds": oracles.kg_graph_sqlpreds_sql(),
         "kg_entities_sqlpreds": oracles.kg_entities_sqlpreds_sql(),
+        "doc_shingle_fingerprints": oracles.shingle_fingerprint_sql(),
+        "minhash_pairs_exact": oracles.jaccard_pairs_sql(),
+        "minhash_clusters": oracles.neardup_clusters_sql(),
         "kg_emails": _mention_oracle(_EMAIL_RE_SQL),
         "kg_identifiers": _mention_oracle("[0-9]{7,}"),
         "kg_urls": _mention_oracle(_URL_RE_SQL),

@@ -203,6 +203,93 @@ def kg_graph_sqlpreds_sql() -> str:
     """
 
 
+# ---------------------------------------------------------------------------
+# text-analysis / dedup oracles over the documents table
+# ---------------------------------------------------------------------------
+
+_WORDS = "regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')"
+
+
+def shingle_fingerprint_sql(k: int = 5) -> str:
+    """Winnowing fingerprint: min md5-derived 64-bit hash over word
+    k-shingles.  The engine emits the hash as fixed-width lowercase hex, so
+    the lexicographic MIN over hex prefixes equals the numeric min — no hex
+    parsing needed."""
+    return f"""
+        WITH w AS (SELECT doc_id, {_WORDS} AS words FROM documents)
+        SELECT doc_id,
+          CASE WHEN len(words) = 0 THEN substring(md5(''), 1, 16)
+               WHEN len(words) < {k} THEN
+                 substring(md5(array_to_string(words, ' ')), 1, 16)
+               ELSE list_min([
+                 substring(md5(array_to_string(words[i:i+{k - 1}], ' ')), 1, 16)
+                 FOR i IN range(1, len(words) - {k - 2})])
+          END AS shingle_fp
+        FROM w
+    """
+
+
+def _jaccard_pairs_cte(k: int = 3, threshold: float = 0.5) -> str:
+    """CTE chain ending in ``pairs(id_a, id_b, jaccard)`` — brute-force
+    exact word-k-shingle Jaccard over all document pairs.  The engine's
+    shingle sets are md5-64bit hashes of the same shingle strings, so the
+    set cardinalities (and hence Jaccard) are identical."""
+    return f"""
+        w AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+        sh AS (
+          SELECT doc_id, unnest(
+            CASE WHEN len(words) = 0 THEN []
+                 WHEN len(words) < {k} THEN [array_to_string(words, ' ')]
+                 ELSE [array_to_string(words[i:i+{k - 1}], ' ')
+                       FOR i IN range(1, len(words) - {k - 2})] END) AS shingle
+          FROM w
+        ),
+        d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM d GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+          FROM d a JOIN d b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+          SELECT id_a, id_b,
+                 round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
+        )
+    """
+
+
+def jaccard_pairs_sql(k: int = 3, threshold: float = 0.5) -> str:
+    return f"""
+        WITH {_jaccard_pairs_cte(k, threshold)}
+        SELECT id_a, id_b, jaccard FROM pairs
+    """
+
+
+def neardup_clusters_sql(k: int = 3, threshold: float = 0.5) -> str:
+    """Connected components over the exact-Jaccard pair graph via a
+    recursive transitive closure (tractable because near-dup components are
+    tiny); cluster_id = min doc id reachable."""
+    return f"""
+        WITH RECURSIVE {_jaccard_pairs_cte(k, threshold)},
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs
+          UNION SELECT id_a, id_a FROM pairs
+          UNION SELECT id_b, id_b FROM pairs
+        ),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+    """
+
+
 def kg_entities_sqlpreds_sql() -> str:
     return f"""
         WITH {_mentions_cte()}
