@@ -302,6 +302,18 @@ def _q_ann_topk_lsh(sf_dir: str):
     )
 
 
+def _q_ann_topk_ivf(sf_dir: str):
+    import ray.data
+
+    from deduce_ray.ops.similarity import ivf_topk
+
+    return ivf_topk(
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        queries=_load_query_vectors(sf_dir),
+        k=10,
+    )
+
+
 def _q_kg_redacted(sf_dir: str):
     from deduce_ray.rayops.annotate import extract_triples
 
@@ -393,6 +405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "ann_topk": _q_ann_topk,
         "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         # --- multimodal plumbing (stubbed decode) ---
         "media_features": _q_media_features,
         # --- relational ops over the TPC-H-ish tables ---

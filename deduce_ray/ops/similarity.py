@@ -78,6 +78,103 @@ def brute_force_topk(
     return local.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
 
 
+def kmeans_centroids(
+    mat: np.ndarray, n_lists: int, iters: int = 10, seed: int = 777
+) -> np.ndarray:
+    """Deterministic Lloyd k-means on unit vectors (spherical k-means):
+    fixed-seed init, assignments by max dot product, centroids re-normalized
+    each round.  Empty lists re-seed from the worst-covered point."""
+    unit = _unit_rows(np.asarray(mat, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(unit), size=min(n_lists, len(unit)), replace=False)
+    cents = unit[np.sort(idx)].copy()
+    for _ in range(iters):
+        sims = unit @ cents.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(len(cents)):
+            members = unit[assign == c]
+            if len(members) == 0:
+                worst = int(np.argmin(np.max(sims, axis=1)))
+                cents[c] = unit[worst]
+            else:
+                cents[c] = members.mean(axis=0)
+        cents = _unit_rows(cents)
+    return cents
+
+
+def ivf_topk(
+    ds_embeddings,
+    queries: np.ndarray,
+    k: int = 10,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    train_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF (inverted-file) approximate top-k: a coarse spherical-k-means
+    quantizer assigns every vector to one of ``n_lists`` lists; each query
+    scans only its ``n_probe`` closest lists, cutting the scanned fraction
+    to ~ n_probe/n_lists.
+
+    Training samples the first ``train_size`` vectors (bounded driver
+    materialization — the trained quantizer is a (n_lists x dim) matrix
+    broadcast via ray.put).  At cluster scale, the build step would
+    additionally repartition vectors by list id so probes touch only the
+    relevant blocks; here list pruning happens inside each batch, the same
+    shape as :func:`lsh_bucketed_topk`.
+    """
+    import ray
+
+    queries = np.asarray(queries, dtype=np.float64)
+    unit_queries = _unit_rows(queries)
+
+    sample = ds_embeddings.limit(train_size).take_all()
+    train = np.asarray([r[vec_col] for r in sample], dtype=np.float64)
+    cents = kmeans_centroids(train, n_lists)
+
+    # each query probes its n_probe nearest lists
+    q_sims = unit_queries @ cents.T
+    probe_lists = np.argsort(-q_sims, axis=1)[:, :n_probe]
+
+    state_ref = ray.put((unit_queries, cents, probe_lists))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        q, centroids, probes = ray.get(state_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        mat = _unit_rows(_as_matrix(batch.column(vec_col)))
+        assign = np.argmax(mat @ centroids.T, axis=1)
+        out = {"query_id": [], id_col: [], "score": []}
+        for qi in range(q.shape[0]):
+            mask = np.isin(assign, probes[qi])
+            if not mask.any():
+                continue
+            sub_ids = ids[mask]
+            sims = mat[mask] @ q[qi]
+            top = min(k, len(sub_ids))
+            idx = np.argpartition(-sims, top - 1)[:top]
+            for i in idx:
+                out["query_id"].append(qi)
+                out[id_col].append(int(sub_ids[i]))
+                out["score"].append(round(float(sims[i]), 6))
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                id_col: pa.array(out[id_col], type=pa.int64()),
+                "score": pa.array(out["score"], type=pa.float64()),
+            }
+        )
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    local = ds_embeddings.map_batches(local_topk, batch_format="pyarrow")
+    return local.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
 def lsh_bucketed_topk(
     ds_embeddings,
     queries: np.ndarray,

@@ -315,6 +315,40 @@ class TestSimilarity:
         # self-match always survives (query bucket contains its own vector)
         assert {(q, q) for q in range(3)} <= approx_ids
 
+    def test_ivf_recall_against_brute_force(self, ray_session):
+        import ray.data
+
+        from deduce_ray.ops.similarity import brute_force_topk, ivf_topk
+
+        rng = np.random.default_rng(3)
+        mat = rng.standard_normal((300, 16))
+        items = [{"vec_id": i, "embedding": list(mat[i])} for i in range(300)]
+        exact = brute_force_topk(
+            ray.data.from_items(items), queries=mat[:3], k=10
+        ).take_all()
+        approx = ivf_topk(
+            ray.data.from_items(items), queries=mat[:3], k=10,
+            n_lists=8, n_probe=3,
+        ).take_all()
+        exact_ids = {(r["query_id"], r["vec_id"]) for r in exact}
+        approx_ids = {(r["query_id"], r["vec_id"]) for r in approx}
+        recall = len(exact_ids & approx_ids) / len(exact_ids)
+        assert recall >= 0.4
+        # the query vector itself lives in a probed list -> rank-1 self-match
+        top1 = {r["query_id"]: r["vec_id"] for r in approx if r["rank"] == 1}
+        assert top1 == {0: 0, 1: 1, 2: 2}
+
+    def test_kmeans_deterministic(self):
+        from deduce_ray.ops.similarity import kmeans_centroids
+
+        rng = np.random.default_rng(4)
+        mat = rng.standard_normal((100, 8))
+        a = kmeans_centroids(mat, 5)
+        b = kmeans_centroids(mat, 5)
+        assert np.array_equal(a, b)
+        assert a.shape == (5, 8)
+        assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
 
 class TestMultimodal:
     def test_feature_extraction_plumbing(self, ray_session):
