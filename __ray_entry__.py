@@ -330,6 +330,29 @@ def _q_kg_redacted(sf_dir: str):
     return ds.map_batches(project, batch_format="pyarrow")
 
 
+def _q_kg_redacted_sqlpreds(sf_dir: str):
+    """Redacted rendering restricted to the SQL-decidable predicates —
+    value-checks the redactor/linker machinery end-to-end against a
+    recursive-replace DuckDB oracle."""
+    from deduce_ray.oracles import SQLPRED_ENABLED
+    from deduce_ray.rayops.annotate import extract_triples
+
+    ds = extract_triples(
+        _repo_table(sf_dir),
+        lexicon_ref=_lexicon_ref(),
+        enabled=set(SQLPRED_ENABLED) | {"redactor"},
+        with_redacted=True,
+    )
+
+    def project(batch):
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch.column("pred"), "_redacted"))
+        return batch.select(["doc_id", "obj"])
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def _q_doc_shingle_fingerprints(sf_dir: str):
     import pyarrow as pa
     import ray.data
@@ -390,6 +413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities_sqlpreds": _q_kg_entities_sqlpreds,
         # --- text analysis ---
         "kg_redacted": _q_kg_redacted,
+        "kg_redacted_sqlpreds": _q_kg_redacted_sqlpreds,
         # --- text analysis ---
         "doc_token_counts": _q_doc_token_counts,
         "doc_quality": _q_doc_quality,
@@ -463,6 +487,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_graph_sqlpreds": oracles.kg_graph_sqlpreds_sql(),
         "kg_entities_sqlpreds": oracles.kg_entities_sqlpreds_sql(),
         "doc_shingle_fingerprints": oracles.shingle_fingerprint_sql(),
+        "kg_redacted_sqlpreds": oracles.kg_redacted_sqlpreds_sql(),
+        "doc_langid": oracles.doc_langid_sql(),
         "minhash_pairs_exact": oracles.jaccard_pairs_sql(),
         "minhash_clusters": oracles.neardup_clusters_sql(),
         "kg_emails": _mention_oracle(_EMAIL_RE_SQL),

@@ -203,11 +203,90 @@ def kg_graph_sqlpreds_sql() -> str:
     """
 
 
+def kg_redacted_sqlpreds_sql() -> str:
+    """Redacted-text rendering over the SQL-decidable predicate set: each
+    mention is replaced by ``[ENTITY-ID]`` via a recursive CTE that applies
+    one replacement per step in start_char order (mentions are disjoint
+    after overlap resolution, and every mention string occurs exactly once
+    in its document, so string replace equals span splice).  Mirrors the
+    reference redactor (redactor.py:5-64) restricted to these tags."""
+    return f"""
+        WITH RECURSIVE {_mentions_cte()},
+        ranked AS (
+          SELECT doc_id, obj, entity_id,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY start_char)
+                   AS rk
+          FROM linked
+        ),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM ranked GROUP BY doc_id),
+        base AS (
+          SELECT d.doc_id, d.content, coalesce(c.n, 0) AS n
+          FROM docs d LEFT JOIN counts c USING (doc_id)
+        ),
+        red(doc_id, text, k, n) AS (
+          SELECT doc_id, content, 0, n FROM base
+          UNION ALL
+          SELECT r.doc_id,
+                 replace(r.text, m.obj, '[' || m.entity_id || ']'),
+                 r.k + 1, r.n
+          FROM red r JOIN ranked m ON m.doc_id = r.doc_id AND m.rk = r.k + 1
+          WHERE r.k < r.n
+        )
+        SELECT doc_id, text AS obj FROM red WHERE k = n
+    """
+
+
 # ---------------------------------------------------------------------------
 # text-analysis / dedup oracles over the documents table
 # ---------------------------------------------------------------------------
 
 _WORDS = "regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')"
+
+# must mirror deduce_ray.ops.textstats._LANG_PROFILES exactly
+_LANG_PROFILES_SQL = {
+    "en": ["the", "a", "of", "and", "to", "is", "in", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "ich"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "que", "para", "por"],
+    "nl": ["de", "het", "een", "en", "is", "van", "dat", "niet", "met", "op"],
+}
+
+
+def doc_langid_sql() -> str:
+    """Stopword-profile language id + per-language doc counts.  The Python
+    heuristic scans langs in sorted order keeping the first strictly-better
+    score, i.e. the winner is the lexicographically-smallest language
+    attaining the max score (unknown when the max is 0, zh on any CJK char
+    in the first 400 chars)."""
+    langs = sorted(_LANG_PROFILES_SQL)
+    score_cols = ", ".join(
+        "len(list_intersect(ws, ["
+        + ", ".join(f"'{w}'" for w in _LANG_PROFILES_SQL[lang])
+        + f"])) AS s_{lang}"
+        for lang in langs
+    )
+    mx = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    pick = " ".join(f"WHEN s_{lang} = {mx} THEN '{lang}'" for lang in langs)
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(({_WORDS})[1:200],
+                               x -> lower(x))) AS ws,
+                 regexp_matches(substring(text, 1, 400), '[一-鿿]') AS zh
+          FROM documents
+        ),
+        scores AS (SELECT doc_id, zh, {score_cols} FROM w),
+        pick AS (
+          SELECT doc_id,
+                 CASE WHEN zh THEN 'zh'
+                      WHEN {mx} = 0 THEN 'unknown'
+                      {pick}
+                 END AS predicted_lang
+          FROM scores
+        )
+        SELECT predicted_lang, COUNT(*) AS n_docs
+        FROM pick GROUP BY predicted_lang
+    """
 
 
 def shingle_fingerprint_sql(k: int = 5) -> str:
