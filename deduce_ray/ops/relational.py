@@ -135,7 +135,27 @@ def top_customers(sf_dir: str, k: int = 10):
         aggs={"revenue_cents": ("cents", "sum"), "n_orders": (None, "count")},
     )
 
-    top = agged.sort(["revenue_cents", "o_custkey"], descending=[True, False]).limit(k)
+    # top-k without a global range-shuffle sort: per-batch local top-k
+    # (candidates shrink to <= k per block), then ONE single-group merge
+    # over the tiny candidate set — "prune locally, merge globally"
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["revenue_cents", "o_custkey"], ascending=[False, True]
+        ).head(k)
+        return df.assign(__g=0)
+
+    def global_top(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["revenue_cents", "o_custkey"], ascending=[False, True])
+            .head(k)
+            .drop(columns=["__g"])
+        )
+
+    top = (
+        agged.map_batches(local_top, batch_format="pandas")
+        .groupby("__g")
+        .map_groups(global_top, batch_format="pandas")
+    )
 
     # broadcast the (small) customer name map; at scale this is ray.put once
     import pyarrow.parquet as pq
