@@ -182,6 +182,26 @@ def _q_doc_langid(sf_dir: str):
     )
 
 
+def _q_top_terms(sf_dir: str):
+    import ray.data
+
+    from deduce_ray.ops.textstats import top_terms
+
+    return top_terms(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    )
+
+
+def _q_doc_sample(sf_dir: str):
+    import ray.data
+
+    from deduce_ray.ops.textstats import doc_sample
+
+    return doc_sample(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    )
+
+
 def _q_exact_dedup(sf_dir: str):
     import ray.data
 
@@ -420,6 +440,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "doc_shingle_fingerprints": _q_doc_shingle_fingerprints,
         "doc_langid": _q_doc_langid,
+        "top_terms": _q_top_terms,
+        "doc_sample": _q_doc_sample,
         # --- dedup family ---
         "exact_dedup": _q_exact_dedup,
         "minhash_pairs": _q_minhash_pairs,
@@ -489,6 +511,21 @@ def oracle_sql() -> dict[str, str]:
         "doc_shingle_fingerprints": oracles.shingle_fingerprint_sql(),
         "kg_redacted_sqlpreds": oracles.kg_redacted_sqlpreds_sql(),
         "doc_langid": oracles.doc_langid_sql(),
+        "top_terms": """
+            WITH w AS (
+              SELECT unnest(list_transform(
+                       regexp_extract_all(text, '[^ \t\n\r\f]+'),
+                       x -> lower(x))) AS term
+              FROM documents
+            )
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+            FROM w GROUP BY term
+            ORDER BY n DESC, term LIMIT 100
+        """,
+        "doc_sample": """
+            SELECT doc_id FROM documents
+            WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        """,
         "minhash_pairs_exact": oracles.jaccard_pairs_sql(),
         "minhash_clusters": oracles.neardup_clusters_sql(),
         "kg_emails": _mention_oracle(_EMAIL_RE_SQL),

@@ -131,3 +131,80 @@ def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             "predicted_lang": pa.array([predict_lang(t or "") for t in texts]),
         }
     )
+
+
+def top_terms(ds, k: int = 100, n_shards: int = 256, text_col: str = "text"):
+    """Corpus-wide term-frequency top-k — the classic vocabulary build.
+
+    Scale shape: per-batch counting collapses each block to its distinct
+    terms (the combiner), ONE hash shuffle on a term shard key merges
+    counts (a shard owns every copy of its terms, so per-shard counts are
+    complete and a per-shard top-k is a valid candidate set), then a
+    single tiny group task merges <= n_shards * k candidates into the
+    exact global top-k (ties broken by term ascending).
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        counts: dict[str, int] = {}
+        for t in texts:
+            for w in (t or "").lower().split():
+                counts[w] = counts.get(w, 0) + 1
+        terms = list(counts)
+        shards = [
+            int.from_bytes(hashlib.md5(w.encode()).digest()[:4], "big") % n_shards
+            for w in terms
+        ]
+        return pa.table(
+            {
+                "shard": pa.array(shards, type=pa.int32()),
+                "term": pa.array(terms),
+                "n": pa.array([counts[w] for w in terms], type=pa.int64()),
+            }
+        )
+
+    def shard_top(df: pd.DataFrame) -> pd.DataFrame:
+        merged = df.groupby("term", as_index=False).agg(n=("n", "sum"))
+        merged = merged.sort_values(["n", "term"], ascending=[False, True]).head(k)
+        merged["__g"] = 0
+        return merged
+
+    def global_top(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["n", "term"], ascending=[False, True])
+            .head(k)
+            .drop(columns=["__g"])
+            .reset_index(drop=True)
+        )
+
+    return (
+        ds.map_batches(count_batch, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(lambda df: shard_top(df.drop(columns=["shard"])), batch_format="pandas")
+        .groupby("__g")
+        .map_groups(global_top, batch_format="pandas")
+    )
+
+
+def doc_sample(ds, threshold_hex: str = "1a", id_col: str = "doc_id"):
+    """Deterministic hash sampling: keep rows whose md5(doc_id) hex digest
+    is lexicographically below ``threshold_hex`` (2 hex chars ~ fraction
+    int(threshold_hex, 16)/256).  Reproducible across cluster sizes and
+    runs — the property a training-data sampling stage needs — and exactly
+    reproducible in SQL (md5(CAST(id AS VARCHAR)) < threshold)."""
+    import pyarrow as pa
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        mask = pa.array(
+            [
+                hashlib.md5(str(i).encode()).hexdigest()[:len(threshold_hex)]
+                < threshold_hex
+                for i in ids
+            ]
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
