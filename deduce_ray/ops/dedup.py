@@ -69,16 +69,48 @@ def _stable_hash64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
 
 
-def word_shingles(text: str, k: int = 3) -> set[int]:
+# per-process word -> md5-64 memo: vocabulary is tiny relative to token
+# count, so this removes almost every md5 call from the shingle/simhash hot
+# loops; bounded so a pathological vocabulary cannot exhaust worker heap
+_WORD_HASH_CACHE: dict[str, int] = {}
+_WORD_HASH_CACHE_MAX = 1_000_000
+
+_SHINGLE_P = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio multiplier
+
+
+def _word_hashes(words: list[str]) -> np.ndarray:
+    cache = _WORD_HASH_CACHE
+    if len(cache) > _WORD_HASH_CACHE_MAX:
+        cache.clear()
+    out = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        h = cache.get(w)
+        if h is None:
+            h = cache[w] = _stable_hash64(w)
+        out[i] = h
+    return out
+
+
+def word_shingles(text: str, k: int = 3) -> np.ndarray:
+    """Distinct 64-bit hashes of word k-shingles (sorted uint64 array).
+
+    Word hashes are memoized md5; a shingle hash is the vectorized
+    polynomial combine sum_j h[i+j] * P^(k-1-j) mod 2^64 — order-sensitive
+    and deterministic, with no per-shingle digest calls.
+    """
     words = text.split()
     if not words:
-        return set()
-    if len(words) < k:
-        return {_stable_hash64(" ".join(words))}
-    return {
-        _stable_hash64(" ".join(words[i : i + k]))
-        for i in range(len(words) - k + 1)
-    }
+        return np.empty(0, dtype=np.uint64)
+    h = _word_hashes(words)
+    n = len(words)
+    if n < k:
+        k = n
+    with np.errstate(over="ignore"):
+        acc = h[: n - k + 1].copy()
+        for j in range(1, k):
+            acc *= _SHINGLE_P
+            acc += h[j : n - k + 1 + j]
+    return np.unique(acc)
 
 
 def _minhash_params(n_perm: int) -> tuple[np.ndarray, np.ndarray]:
@@ -94,13 +126,14 @@ def _minhash_params(n_perm: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def minhash_signature(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Min over (a*x + b) mod 2^64 per permutation — uint64 wraparound is a
     deterministic mixing permutation for odd a, vectorized over shingles."""
-    if not shingles:
+    x = np.asarray(shingles, dtype=np.uint64)
+    if x.size == 0:
         return np.zeros(len(a), dtype=np.uint64)
-    x = np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
-    prod = a[:, None] * x[None, :] + b[:, None]
+    with np.errstate(over="ignore"):
+        prod = a[:, None] * x[None, :] + b[:, None]
     return prod.min(axis=1)
 
 
@@ -184,7 +217,7 @@ def minhash_lsh_pairs(
         for i, t in zip(ids, texts):
             sh = word_shingles(t or "", k)
             sig = minhash_signature(sh, a, b)
-            payload = list(sh) if exact else sig.tobytes()
+            payload = sh.tolist() if exact else sig.tobytes()
             for band in range(bands):
                 band_slice = sig[band * rows_per_band : (band + 1) * rows_per_band]
                 bucket = hashlib.md5(
@@ -466,16 +499,16 @@ def neardup_clusters(
 
 
 def simhash64(text: str) -> int:
-    acc = np.zeros(64, dtype=np.int64)
-    for word in text.split():
-        h = _stable_hash64(word)
-        bits = np.unpackbits(
-            np.frombuffer(struct.pack(">Q", h), dtype=np.uint8)
-        ).astype(np.int64)
-        acc += bits * 2 - 1
-    return int(
-        np.packbits((acc > 0).astype(np.uint8)).view(">u8")[0]
-    )
+    """64-bit simhash over memoized word hashes: unpack every word's bits
+    in one batched op; bit b of the result is set iff more than half the
+    words have bit b set (acc = 2*popcount_col - n > 0)."""
+    words = text.split()
+    if not words:
+        return int(np.packbits(np.zeros(64, dtype=np.uint8)).view(">u8")[0])
+    h = _word_hashes(words).astype(">u8")
+    bits = np.unpackbits(h.view(np.uint8).reshape(len(words), 8), axis=1)
+    acc = bits.sum(axis=0, dtype=np.int64) * 2 - len(words)
+    return int(np.packbits((acc > 0).astype(np.uint8)).view(">u8")[0])
 
 
 def simhash_pairs(
