@@ -15,8 +15,21 @@ import pandas as pd
 _PARTIAL_KIND = {"sum": "sum", "min": "min", "max": "max", "count": "sum", "sum_sq": "sum"}
 
 
-def grouped_agg(ds, keys: list[str], aggs: dict[str, tuple[str | None, str]]):
-    """Dataset -> one row per key combination with named aggregate columns."""
+def grouped_agg(
+    ds,
+    keys: list[str],
+    aggs: dict[str, tuple[str | None, str]],
+    n_shards: int = 256,
+):
+    """Dataset -> one row per key combination with named aggregate columns.
+
+    The merge shuffle is keyed on ``hash(keys) % n_shards`` rather than the
+    raw keys: Ray's ``map_groups`` invokes the UDF once per group, which at
+    high key cardinality means one pandas call per key (measured ~50 s of
+    UDF time for 139k customer keys).  Sharding keeps it to <= n_shards
+    vectorized pandas merges while every copy of a key still lands in one
+    task, so results are exact.
+    """
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         out = {}
@@ -31,9 +44,14 @@ def grouped_agg(ds, keys: list[str], aggs: dict[str, tuple[str | None, str]]):
                 out[out_col] = sq.groupby(keys, sort=True)["__sq"].sum().values
             else:
                 out[out_col] = getattr(grouped[in_col], kind)()[in_col].values
+        # deterministic shard of the key tuple (fixed pandas hash_key)
+        out["__shard"] = (
+            pd.util.hash_pandas_object(out[keys], index=False) % n_shards
+        ).astype("int64")
         return out
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["__shard"])
         grouped = df.groupby(keys, as_index=False, sort=True)
         out = grouped.size()[keys].copy()
         for out_col, (_, kind) in aggs.items():
@@ -41,4 +59,4 @@ def grouped_agg(ds, keys: list[str], aggs: dict[str, tuple[str | None, str]]):
         return out
 
     partial = ds.map_batches(combine, batch_format="pandas")
-    return partial.groupby(keys).map_groups(merge, batch_format="pandas")
+    return partial.groupby("__shard").map_groups(merge, batch_format="pandas")

@@ -42,20 +42,27 @@ def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
             }
         )
 
+    n_shards = 256
+
     def pick_first(df: pd.DataFrame) -> pd.DataFrame:
-        return (
-            df.groupby("content_hash", as_index=False)
-            .agg(keep_id=(id_col, "min"), n_dupes=(id_col, "count"))
+        out = df.groupby("content_hash", as_index=False).agg(
+            keep_id=(id_col, "min"), n_dupes=(id_col, "count")
         )
+        # shard the merge shuffle: one vectorized pandas merge per shard
+        # instead of one map_groups UDF call per distinct hash
+        out["__shard"] = (
+            out["content_hash"].str.slice(0, 4).apply(int, base=16) % n_shards
+        ).astype("int64")
+        return out
 
     hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
-    # local combiner then one shuffle on the hash
+    # local combiner then one shuffle on the hash shard
     return hashed.map_batches(
-        lambda df: pick_first(df), batch_format="pandas"
-    ).groupby("content_hash").map_groups(
-        lambda df: df.groupby("content_hash", as_index=False).agg(
-            keep_id=("keep_id", "min"), n_dupes=("n_dupes", "sum")
-        ),
+        pick_first, batch_format="pandas"
+    ).groupby("__shard").map_groups(
+        lambda df: df.drop(columns=["__shard"])
+        .groupby("content_hash", as_index=False)
+        .agg(keep_id=("keep_id", "min"), n_dupes=("n_dupes", "sum")),
         batch_format="pandas",
     )
 
