@@ -376,106 +376,114 @@ def neardup_clusters(
         edges = edges.union(
             nodes_ds.map_batches(to_self, batch_format="pyarrow")
         )
-    edges = edges.materialize()
+
+    n_shards = 256
+
+    def _shard_of(col: pd.Series) -> pd.Series:
+        return (col.astype("int64") % n_shards).astype("int64")
+
+    # pre-shard edges by source node once; all per-round shuffles below are
+    # shard-keyed with the group logic VECTORIZED inside each shard task
+    # (one map_groups UDF call per shard, not per node)
+    def edge_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["shard"] = _shard_of(df["node"])
+        return df
+
+    edges = edges.map_batches(edge_shard, batch_format="pandas").materialize()
 
     # labels start as each node's own id (derived from the edge list)
-    labels = edges.map_batches(
-        lambda t: pa.table(
-            {"node": t.column("node"), "label": t.column("node")}
-        ),
-        batch_format="pyarrow",
-    ).groupby("node").map_groups(
-        lambda df: df.head(1), batch_format="pandas"
-    ).materialize()
-
-    def _with_peer(labels_batch: pa.Table) -> pa.Table:
-        n = labels_batch.num_rows
-        return pa.table(
-            {
-                "node": labels_batch.column("node"),
-                "label": pc.cast(labels_batch.column("label"), pa.int64()),
-                "peer": pa.nulls(n, type=pa.int64()),
-            }
+    labels = (
+        edges.map_batches(
+            lambda df: df[["node", "shard"]], batch_format="pandas"
         )
-
-    def _with_label(edges_batch: pa.Table) -> pa.Table:
-        n = edges_batch.num_rows
-        return pa.table(
-            {
-                "node": edges_batch.column("node"),
-                "label": pa.nulls(n, type=pa.int64()),
-                "peer": edges_batch.column("peer"),
-            }
+        .groupby("shard")
+        .map_groups(
+            lambda df: df.drop_duplicates(subset=["node"]).assign(
+                label=lambda d: d["node"]
+            ),
+            batch_format="pandas",
         )
+        .materialize()
+    )
 
     # labels only ever decrease (min over node ids), so sum(label) is a
     # strictly-monotone convergence witness: unchanged sum <=> fixpoint.
     prev_sum = labels.sum("label")
     converged = False
     for _ in range(rounds):
-        # -- neighbour-min: every node offers its label to its peers
-        tagged = labels.map_batches(_with_peer, batch_format="pyarrow").union(
-            edges.map_batches(_with_label, batch_format="pyarrow")
+        # -- neighbour-min: join labels to edges within each source shard,
+        # emit (peer, label) + (node, label), re-shard by target, min
+        tagged = labels.map_batches(
+            lambda df: df.assign(peer=pd.array([None] * len(df), dtype="Int64")),
+            batch_format="pandas",
+        ).union(
+            edges.map_batches(
+                lambda df: df.assign(
+                    label=pd.array([None] * len(df), dtype="Int64")
+                )[["node", "shard", "label", "peer"]],
+                batch_format="pandas",
+            )
         )
 
-        def send(df: pd.DataFrame) -> pd.DataFrame:
-            label = int(df["label"].dropna().min())
-            peers = df["peer"].dropna().astype("int64")
-            out = pd.DataFrame(
-                {
-                    "node": pd.concat(
-                        [peers, df["node"].iloc[:1].astype("int64")],
-                        ignore_index=True,
-                    ),
-                }
-            )
-            out["label"] = label
+        def send_shard(df: pd.DataFrame) -> pd.DataFrame:
+            have = df[df["label"].notna()][["node", "label"]]
+            edge_sub = df[df["peer"].notna()][["node", "peer"]]
+            to_peers = edge_sub.merge(have, on="node")[["peer", "label"]]
+            to_peers = to_peers.rename(columns={"peer": "node"})
+            msgs = pd.concat([have, to_peers], ignore_index=True)
+            msgs = msgs.groupby("node", as_index=False).agg(label=("label", "min"))
+            out = msgs.astype({"node": "int64", "label": "int64"})
+            out["shard"] = _shard_of(out["node"])
             return out
 
-        messages = tagged.groupby("node").map_groups(send, batch_format="pandas")
-        labels = messages.groupby("node").map_groups(
-            lambda df: df.groupby("node", as_index=False).agg(
+        messages = tagged.groupby("shard").map_groups(
+            send_shard, batch_format="pandas"
+        )
+        labels = messages.groupby("shard").map_groups(
+            lambda df: df.groupby(["node", "shard"], as_index=False).agg(
                 label=("label", "min")
-            ),
+            )[["node", "shard", "label"]],
             batch_format="pandas",
         )
 
         # -- pointer jump (path halving): label[n] <- label[label[n]].
-        # Every label value is itself a node id, so each node's query
-        # (key = its current label) finds exactly one authoritative row.
-        def _queries(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "key": pc.cast(batch.column("label"), pa.int64()),
-                    "node": batch.column("node"),
-                    "label": pa.nulls(batch.num_rows, type=pa.int64()),
-                }
-            )
-
-        def _haves(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "key": batch.column("node"),
-                    "node": pa.nulls(batch.num_rows, type=pa.int64()),
-                    "label": pc.cast(batch.column("label"), pa.int64()),
-                }
-            )
-
+        # Every label value is itself a node id with an authoritative row;
+        # queries are sharded by the LABEL's shard, answered vectorized.
         labels = labels.materialize()
-        jump_tagged = labels.map_batches(
-            _queries, batch_format="pyarrow"
-        ).union(labels.map_batches(_haves, batch_format="pyarrow"))
 
-        def jump(df: pd.DataFrame) -> pd.DataFrame:
-            key = int(df["key"].iloc[0])
-            have = df["label"].dropna()
-            label_of_key = int(have.min()) if len(have) else key
-            nodes = df["node"].dropna().astype("int64")
-            return pd.DataFrame({"node": nodes, "label": label_of_key})
+        def query_rows(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["node", "label"]].rename(columns={"label": "key"})
+            out["label"] = pd.array([None] * len(out), dtype="Int64")
+            out["shard"] = _shard_of(out["key"])
+            return out[["shard", "key", "node", "label"]]
+
+        def have_rows(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["node", "label"]].rename(columns={"node": "key"})
+            out["node"] = pd.array([None] * len(out), dtype="Int64")
+            out["shard"] = _shard_of(out["key"])
+            return out[["shard", "key", "node", "label"]]
+
+        jump_tagged = labels.map_batches(
+            query_rows, batch_format="pandas"
+        ).union(labels.map_batches(have_rows, batch_format="pandas"))
+
+        def jump_shard(df: pd.DataFrame) -> pd.DataFrame:
+            have = df[df["label"].notna()][["key", "label"]].drop_duplicates(
+                subset=["key"]
+            )
+            queries = df[df["node"].notna()][["key", "node"]]
+            joined = queries.merge(have, on="key", how="left")
+            joined["label"] = joined["label"].fillna(joined["key"])
+            out = joined[["node", "label"]].astype(
+                {"node": "int64", "label": "int64"}
+            )
+            out["shard"] = _shard_of(out["node"])
+            return out[["node", "shard", "label"]]
 
         labels = (
-            jump_tagged.groupby("key")
-            .map_groups(jump, batch_format="pandas")
+            jump_tagged.groupby("shard")
+            .map_groups(jump_shard, batch_format="pandas")
             .materialize()
         )
 
@@ -495,7 +503,9 @@ def neardup_clusters(
         )
 
     return labels.map_batches(
-        lambda df: df.rename(columns={"node": "doc_id", "label": "cluster_id"}),
+        lambda df: df.rename(columns={"node": "doc_id", "label": "cluster_id"})[
+            ["doc_id", "cluster_id"]
+        ],
         batch_format="pandas",
     )
 
