@@ -224,60 +224,38 @@ def events_by_type(sf_dir: str):
 
     projected = ds.map_batches(project, batch_format="pyarrow")
 
-    base = grouped_agg(
-        projected,
-        keys=["event_type"],
-        aggs={"n_events": (None, "count"), "sum_cents": ("cents", "sum")},
-    )
-
     # exact distinct users without funnelling all (type, user) pairs into
-    # one task per type: pre-aggregate on the FINE key (event_type, user_id)
-    # — that shuffle spreads by user hash, no skew — then count rows per type
-    distinct_pairs = grouped_agg(
+    # one task per type: aggregate on the FINE key (event_type, user_id)
+    # first — that shuffle spreads by user hash, no skew — carrying the
+    # event counts and cent sums along, then fold per type in a second
+    # (tiny) grouped_agg: one row per user becomes one count
+    per_user = grouped_agg(
         projected,
         keys=["event_type", "user_id"],
-        aggs={"n": (None, "count")},
+        aggs={"n": (None, "count"), "cents": ("cents", "sum")},
     )
-    users = grouped_agg(
-        distinct_pairs,
+    per_type = grouped_agg(
+        per_user,
         keys=["event_type"],
-        aggs={"n_users": (None, "count")},
+        aggs={
+            "n_events": ("n", "sum"),
+            "sum_cents": ("cents", "sum"),
+            "n_users": (None, "count"),
+        },
     )
 
-    # distributed merge of the two tiny aggregates (no driver round-trip):
-    # tag-union + one groupby on event_type, returning a Dataset
-    def tag_base(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[["event_type", "n_events", "sum_cents"]].copy()
-        out["n_users"] = pd.NA
-        return out
-
-    def tag_users(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[["event_type", "n_users"]].copy()
-        out["n_events"] = pd.NA
-        out["sum_cents"] = pd.NA
-        return out[["event_type", "n_events", "sum_cents", "n_users"]]
-
-    tagged = base.map_batches(tag_base, batch_format="pandas").union(
-        users.map_batches(tag_users, batch_format="pandas")
-    )
-
-    def merge_type(df: pd.DataFrame) -> pd.DataFrame:
-        n_events = int(df["n_events"].dropna().iloc[0])
-        sum_cents = int(df["sum_cents"].dropna().iloc[0])
-        n_users = int(df["n_users"].dropna().iloc[0])
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
-                "event_type": [df["event_type"].iloc[0]],
-                "n_events": [n_events],
-                "n_users": [n_users],
-                "sum_value": [sum_cents / 100.0],
-                "avg_value": [(sum_cents / 100.0) / n_events],
+                "event_type": df["event_type"],
+                "n_events": df["n_events"].astype("int64"),
+                "n_users": df["n_users"].astype("int64"),
+                "sum_value": df["sum_cents"] / 100.0,
+                "avg_value": (df["sum_cents"] / 100.0) / df["n_events"],
             }
         )
 
-    return tagged.groupby("event_type").map_groups(
-        merge_type, batch_format="pandas"
-    )
+    return per_type.map_batches(finish, batch_format="pandas")
 
 
 def events_by_type_sql() -> str:

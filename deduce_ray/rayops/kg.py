@@ -55,40 +55,34 @@ def _merge_graph_rows(df):
 def dedup_triples(triples_ds, by_doc_first: bool = False):
     """Flat mention rows -> deduplicated graph rows.
 
-    Default: per-batch combiner (no shuffle) then one hash-shuffle groupby
-    on (repo, lang) to merge cross-batch duplicates.
+    Per-batch combiner (no shuffle) then ONE merge shuffle keyed on a
+    UNIFORM doc_id-hash bucket: the graph key contains doc_id, so every
+    copy of a graph row shares its bucket and the merge is exact — and
+    because sha256 prefixes spread evenly, a 30%-hot monorepo cannot
+    straggle the exchange the way a (repo, lang) merge key would.
+    Alignment of the OUTPUT by (repo, lang) is the sink's concern
+    (:func:`materialize_graph`, which also salts hot partitions).
 
-    ``by_doc_first=True``: collapse duplicates first under a UNIFORM
-    doc_id-hash bucket key (no skew — sha256 prefixes spread evenly), then
-    run the (repo, lang) exchange over the already-collapsed rows.  Worth
-    it when cross-batch duplication is high (re-crawled corpora, replicas):
-    the skewed second shuffle then moves only unique graph rows.  For
-    low-duplication corpora it adds one same-volume exchange — keep it off.
+    ``by_doc_first`` is retained for API compatibility; the uniform-bucket
+    merge is now always the single dedup exchange, so both modes share it.
     """
+    del by_doc_first
     combined = triples_ds.map_batches(_dedup_batch, batch_format="pyarrow")
 
-    if by_doc_first:
-        def add_bucket(batch: pa.Table) -> pa.Table:
-            doc_ids = batch.column("doc_id").to_pylist()
-            buckets = [int(d[:4], 16) % 256 if d else 0 for d in doc_ids]
-            return batch.append_column(
-                "doc_bucket", pa.array(buckets, type=pa.int32())
-            )
-
-        collapsed = (
-            combined.map_batches(add_bucket, batch_format="pyarrow")
-            .groupby("doc_bucket")
-            .map_groups(
-                lambda df: _merge_graph_rows(df.drop(columns=["doc_bucket"])),
-                batch_format="pandas",
-            )
-        )
-        return collapsed.groupby(_GRAPH_KEY[:2]).map_groups(
-            _merge_graph_rows, batch_format="pandas"
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_pylist()
+        buckets = [int(d[:4], 16) % 256 if d else 0 for d in doc_ids]
+        return batch.append_column(
+            "doc_bucket", pa.array(buckets, type=pa.int32())
         )
 
-    return combined.groupby(_GRAPH_KEY[:2]).map_groups(
-        _merge_graph_rows, batch_format="pandas"
+    return (
+        combined.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("doc_bucket")
+        .map_groups(
+            lambda df: _merge_graph_rows(df.drop(columns=["doc_bucket"])),
+            batch_format="pandas",
+        )
     )
 
 
@@ -114,12 +108,29 @@ def canonical_entities(triples_ds):
 
     combined = triples_ds.map_batches(combine, batch_format="pyarrow")
 
-    def merge(df):
-        return df.groupby(["pred", "obj_norm"], as_index=False, dropna=False).agg(
-            n_mentions=("n_mentions", "sum")
-        )
+    # merge shuffle keyed on hash(pred, obj_norm), not bare pred: the
+    # dedup key is (pred, obj_norm), so sharding on its hash is exact and
+    # the hottest predicate cannot serialize behind one group task
+    def add_shard(df):
+        import pandas as pd
 
-    return combined.groupby("pred").map_groups(merge, batch_format="pandas")
+        df = df.copy()
+        df["__shard"] = (
+            pd.util.hash_pandas_object(df[["pred", "obj_norm"]], index=False)
+            % 256
+        ).astype("int64")
+        return df
+
+    def merge(df):
+        return df.drop(columns=["__shard"]).groupby(
+            ["pred", "obj_norm"], as_index=False, dropna=False
+        ).agg(n_mentions=("n_mentions", "sum"))
+
+    return (
+        combined.map_batches(add_shard, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(merge, batch_format="pandas")
+    )
 
 
 def _form_node_id(pred: str, obj_norm: str) -> int:
