@@ -464,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_volume": rel.brand_volume,
         "bucketed_join_revenue": rel.bucketed_join_revenue,
         "region_customers": rel.region_customers,
+        "click_attribution": rel.click_attribution,
         "minhash_clusters": _q_minhash_clusters,
     }
 
@@ -611,4 +612,5 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_join_revenue": rel.bucketed_join_revenue_sql(),
         "brand_volume": rel.brand_volume_sql(),
         "region_customers": rel.region_customers_sql(),
+        "click_attribution": rel.click_attribution_sql(),
     }

@@ -646,3 +646,86 @@ def region_customers_sql() -> str:
         GROUP BY r.r_name
         ORDER BY r.r_name
     """
+
+
+def click_attribution(sf_dir: str, n_shards: int = 256):
+    """As-of join: each 'click' event matched to the same user's most
+    recent 'view' at or before the click time (inner semantics).
+
+    Ray Data has no as-of join operator; the composition is the documented
+    custom-operator shape: filter both sides at the read, ONE hash shuffle
+    on a user-id shard (n_shards must be a power of two; all of a user's
+    rows land together and user ids spread uniformly, so no skew), then a
+    vectorized pandas merge_asof per shard.
+    Partitioning assumption: a single user's event history fits in one
+    task — holds for any realistic per-user volume.
+    """
+    import ray.data
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(
+            pc.is_in(batch.column("event_type"), value_set=pa.array(["click", "view"]))
+        )
+        shard = pc.cast(
+            pc.bit_wise_and(pc.cast(batch.column("user_id"), pa.int64()), n_shards - 1),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "shard": shard,
+                "event_id": batch.column("event_id"),
+                "ts": batch.column("ts"),
+                "user_id": batch.column("user_id"),
+                "event_type": batch.column("event_type"),
+            }
+        )
+
+    def asof_shard(df: pd.DataFrame) -> pd.DataFrame:
+        clicks = df[df["event_type"] == "click"].sort_values("ts")
+        views = df[df["event_type"] == "view"].sort_values("ts")
+        if clicks.empty or views.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "ts", "view_ts"]
+            ).astype(
+                {
+                    "event_id": "int64",
+                    "user_id": "int64",
+                    "ts": "datetime64[us]",
+                    "view_ts": "datetime64[us]",
+                }
+            )
+        joined = pd.merge_asof(
+            clicks[["event_id", "user_id", "ts"]],
+            views[["user_id", "ts"]].rename(columns={"ts": "view_ts"}),
+            left_on="ts",
+            right_on="view_ts",
+            by="user_id",
+            direction="backward",
+        )
+        joined = joined[joined["view_ts"].notna()]
+        return joined[["event_id", "user_id", "ts", "view_ts"]]
+
+    return (
+        events.map_batches(project, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(
+            lambda df: asof_shard(df.drop(columns=["shard"])),
+            batch_format="pandas",
+        )
+    )
+
+
+def click_attribution_sql() -> str:
+    return """
+        SELECT c.event_id, c.user_id, c.ts, v.ts AS view_ts
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+    """
