@@ -202,6 +202,23 @@ def _q_doc_sample(sf_dir: str):
     )
 
 
+def _q_events_user_sketch(sf_dir: str):
+    """HyperLogLog distinct users per event type — approximate (sketch),
+    so no exact SQL oracle; accuracy is unit-tested against exact counts
+    (~1.6% standard error at p=12)."""
+    import ray.data
+
+    from deduce_ray.ops.agg import approx_distinct
+
+    return approx_distinct(
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+        ),
+        keys=["event_type"],
+        value_col="user_id",
+    )
+
+
 def _q_exact_dedup(sf_dir: str):
     import ray.data
 
@@ -465,6 +482,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join_revenue": rel.bucketed_join_revenue,
         "region_customers": rel.region_customers,
         "click_attribution": rel.click_attribution,
+        "events_value_quantiles": rel.events_value_quantiles,
+        "events_user_sketch": _q_events_user_sketch,
         "minhash_clusters": _q_minhash_clusters,
     }
 
@@ -613,4 +632,5 @@ def oracle_sql() -> dict[str, str]:
         "brand_volume": rel.brand_volume_sql(),
         "region_customers": rel.region_customers_sql(),
         "click_attribution": rel.click_attribution_sql(),
+        "events_value_quantiles": rel.events_value_quantiles_sql(),
     }

@@ -60,3 +60,95 @@ def grouped_agg(
 
     partial = ds.map_batches(combine, batch_format="pandas")
     return partial.groupby("__shard").map_groups(merge, batch_format="pandas")
+
+
+def approx_distinct(
+    ds,
+    keys: list[str],
+    value_col: str,
+    p: int = 12,
+    n_shards: int = 64,
+):
+    """HyperLogLog distinct-count sketch per key group.
+
+    The sketch is the canonical mergeable shape for distinct counts at
+    scale: per-batch register arrays (2^p bytes per group, independent of
+    cardinality), elementwise-max merges under a sharded groupby, then the
+    bias-corrected HLL estimate.  md5-based hashing keeps the result
+    deterministic across runs and cluster sizes.  Standard error is about
+    1.04/sqrt(2^p) (~1.6% at the default p=12).
+
+    Returns one row per key combination with ``approx_distinct`` (int64).
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    m = 1 << p
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        df = batch.select(keys + [value_col]).to_pandas()
+        out_keys: list[tuple] = []
+        regs: list[bytes] = []
+        for kv, grp in df.groupby(keys, sort=False):
+            key_tuple = kv if isinstance(kv, tuple) else (kv,)
+            reg = np.zeros(m, dtype=np.uint8)
+            for v in grp[value_col]:
+                h = int.from_bytes(
+                    hashlib.md5(str(v).encode()).digest()[:8], "big"
+                )
+                idx = h >> (64 - p)
+                rest = h & ((1 << (64 - p)) - 1)
+                # rank = leading-zero count of the remaining bits + 1
+                rank = (64 - p) - rest.bit_length() + 1
+                if rank > reg[idx]:
+                    reg[idx] = rank
+            out_keys.append(key_tuple)
+            regs.append(reg.tobytes())
+        cols = {
+            k: pa.array([t[i] for t in out_keys])
+            for i, k in enumerate(keys)
+        }
+        cols["registers"] = pa.array(regs, type=pa.binary())
+        shard = [
+            int.from_bytes(
+                hashlib.md5("|".join(str(x) for x in t).encode()).digest()[:4],
+                "big",
+            )
+            % n_shards
+            for t in out_keys
+        ]
+        cols["__shard"] = pa.array(shard, type=pa.int64())
+        return pa.table(cols)
+
+    def merge_shard(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for kv, grp in df.groupby(keys, sort=True):
+            key_tuple = kv if isinstance(kv, tuple) else (kv,)
+            merged = np.zeros(m, dtype=np.uint8)
+            for blob in grp["registers"]:
+                np.maximum(merged, np.frombuffer(blob, dtype=np.uint8), out=merged)
+            est = _hll_estimate(merged)
+            rows.append(dict(zip(keys, key_tuple), approx_distinct=est))
+        return pd.DataFrame(rows, columns=keys + ["approx_distinct"])
+
+    sketched = ds.map_batches(sketch_batch, batch_format="pyarrow")
+    return sketched.groupby("__shard").map_groups(
+        lambda df: merge_shard(df.drop(columns=["__shard"])),
+        batch_format="pandas",
+    )
+
+
+def _hll_estimate(registers) -> int:
+    """Bias-corrected HLL cardinality estimate with the small-range
+    linear-counting correction (Flajolet et al. 2007)."""
+    import numpy as np
+
+    m = len(registers)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-registers.astype(np.float64)))
+    zeros = int(np.count_nonzero(registers == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return int(round(est))

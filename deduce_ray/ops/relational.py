@@ -729,3 +729,81 @@ def click_attribution_sql() -> str:
         ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
           ON c.user_id = v.user_id AND c.ts >= v.ts
     """
+
+
+def events_value_quantiles(sf_dir: str, qs=(0.5, 0.95)):
+    """EXACT distributed quantiles of event value per type, via an integer
+    cents histogram: fine-key (event_type, cents) pre-aggregation (uniform
+    shuffle), then per-type cumulative counts over the tiny histogram.
+    Quantile definition (shared verbatim with the SQL oracle): the
+    smallest value whose cumulative count reaches ceil(q * total), with q
+    applied in double precision."""
+    import math
+
+    import ray.data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "cents": _cents(batch.column("value")),
+            }
+        )
+
+    hist = grouped_agg(
+        ds.map_batches(project, batch_format="pyarrow"),
+        keys=["event_type", "cents"],
+        aggs={"n": (None, "count")},
+    )
+
+    def quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for etype, grp in df.groupby("event_type"):
+            grp = grp.sort_values("cents")
+            cum = grp["n"].cumsum()
+            total = int(grp["n"].sum())
+            row = {"event_type": etype}
+            for q in qs:
+                need = math.ceil(q * total)
+                row[f"p{int(q * 100)}"] = (
+                    float(grp["cents"][cum >= need].iloc[0]) / 100.0
+                )
+            rows.append(row)
+        cols = ["event_type"] + [f"p{int(q * 100)}" for q in qs]
+        return pd.DataFrame(rows, columns=cols)
+
+    # per-type histograms are tiny (distinct cent values), so a single
+    # type-keyed groupby is not a skew concern
+    return hist.groupby("event_type").map_groups(
+        lambda df: quantiles(df), batch_format="pandas"
+    )
+
+
+def events_value_quantiles_sql(qs=(0.5, 0.95)) -> str:
+    cols = ",\n               ".join(
+        f"MIN(CASE WHEN cum >= ceil(CAST({q} AS DOUBLE) * total) THEN c END)"
+        f" / 100.0 AS p{int(q * 100)}"
+        for q in qs
+    )
+    return f"""
+        WITH cents AS (
+          SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+          FROM events
+        ),
+        hist AS (
+          SELECT event_type, c, COUNT(*) AS n FROM cents GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT event_type, c,
+                 SUM(n) OVER (PARTITION BY event_type ORDER BY c) AS cum,
+                 SUM(n) OVER (PARTITION BY event_type) AS total
+          FROM hist
+        )
+        SELECT event_type,
+               {cols}
+        FROM cum GROUP BY event_type
+    """

@@ -338,6 +338,37 @@ class TestSimilarity:
         top1 = {r["query_id"]: r["vec_id"] for r in approx if r["rank"] == 1}
         assert top1 == {0: 0, 1: 1, 2: 2}
 
+    def test_hll_approx_distinct(self, ray_session):
+        """HLL sketch within ~5% of exact distinct counts, deterministic."""
+        import ray.data
+
+        from deduce_ray.ops.agg import approx_distinct
+
+        rng = np.random.default_rng(9)
+        rows = [
+            {"g": ["a", "b"][i % 2], "v": int(rng.integers(0, 3000))}
+            for i in range(20000)
+        ]
+        exact = {
+            g: len({r["v"] for r in rows if r["g"] == g}) for g in ("a", "b")
+        }
+        got = {
+            r["g"]: r["approx_distinct"]
+            for r in approx_distinct(
+                ray.data.from_items(rows), keys=["g"], value_col="v"
+            ).take_all()
+        }
+        for g in ("a", "b"):
+            assert abs(got[g] - exact[g]) / exact[g] < 0.05, (g, got[g], exact[g])
+        # determinism: second run produces identical estimates
+        again = {
+            r["g"]: r["approx_distinct"]
+            for r in approx_distinct(
+                ray.data.from_items(rows), keys=["g"], value_col="v"
+            ).take_all()
+        }
+        assert got == again
+
     def test_kmeans_deterministic(self):
         from deduce_ray.ops.similarity import kmeans_centroids
 
