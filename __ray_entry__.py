@@ -483,6 +483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_customers": rel.region_customers,
         "click_attribution": rel.click_attribution,
         "events_value_quantiles": rel.events_value_quantiles,
+        "campaign_attribution": rel.campaign_attribution,
         "events_user_sketch": _q_events_user_sketch,
         "minhash_clusters": _q_minhash_clusters,
     }
@@ -633,4 +634,5 @@ def oracle_sql() -> dict[str, str]:
         "region_customers": rel.region_customers_sql(),
         "click_attribution": rel.click_attribution_sql(),
         "events_value_quantiles": rel.events_value_quantiles_sql(),
+        "campaign_attribution": rel.campaign_attribution_sql(),
     }

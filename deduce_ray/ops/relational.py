@@ -807,3 +807,87 @@ def events_value_quantiles_sql(qs=(0.5, 0.95)) -> str:
                {cols}
         FROM cum GROUP BY event_type
     """
+
+
+def campaign_attribution(sf_dir: str, n_campaigns: int = 40):
+    """Range join with NO equality key: events matched to every
+    (deterministic, overlapping) campaign window containing their
+    timestamp, aggregated per campaign.
+
+    The interval side is tiny, so this is a BROADCAST range join: the
+    window table ships once via ray.put and each batch evaluates interval
+    containment vectorized, emitting per-batch partial aggregates (the
+    combiner) before one small merge shuffle.  For a large interval table
+    the same op would bucket both sides by coarse time range first
+    (equality key on the bucket, then the residual range predicate inside
+    each bucket) — documented here as the scale path.
+    """
+    import ray
+    import ray.data
+
+    base = pd.Timestamp("2024-01-01")
+    starts = np.array(
+        [(base + pd.Timedelta(hours=11 * i)).to_datetime64() for i in range(n_campaigns)]
+    )
+    ends = np.array(
+        [
+            (base + pd.Timedelta(hours=11 * i + 16)).to_datetime64()
+            for i in range(n_campaigns)
+        ]
+    )
+    windows_ref = ray.put((starts, ends))
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "value"]
+    )
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        s, e = ray.get(windows_ref)
+        ts = df["ts"].to_numpy()
+        cents = np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)
+        rows = []
+        for cid in range(len(s)):
+            mask = (ts >= s[cid]) & (ts < e[cid])
+            if mask.any():
+                rows.append(
+                    {
+                        "campaign_id": cid,
+                        "n_events": int(mask.sum()),
+                        "sum_cents": int(cents[mask].sum()),
+                    }
+                )
+        return pd.DataFrame(rows, columns=["campaign_id", "n_events", "sum_cents"])
+
+    agged = grouped_agg(
+        events.map_batches(partials, batch_format="pandas"),
+        keys=["campaign_id"],
+        aggs={"n_events": ("n_events", "sum"), "sum_cents": ("sum_cents", "sum")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "campaign_id": df["campaign_id"].astype("int64"),
+                "n_events": df["n_events"].astype("int64"),
+                "sum_value": df["sum_cents"] / 100.0,
+            }
+        )
+
+    return agged.map_batches(finish, batch_format="pandas")
+
+
+def campaign_attribution_sql(n_campaigns: int = 40) -> str:
+    return f"""
+        WITH campaigns AS (
+          SELECT i AS campaign_id,
+                 TIMESTAMP '2024-01-01' + INTERVAL 1 HOUR * (i * 11) AS start_ts,
+                 TIMESTAMP '2024-01-01' + INTERVAL 1 HOUR * (i * 11 + 16) AS end_ts
+          FROM generate_series(0, {n_campaigns - 1}) t(i)
+        )
+        SELECT CAST(c.campaign_id AS BIGINT) AS campaign_id,
+               COUNT(*) AS n_events,
+               SUM(CAST(round(e.value * 100) AS BIGINT)) / 100.0 AS sum_value
+        FROM events e
+        JOIN campaigns c ON e.ts >= c.start_ts AND e.ts < c.end_ts
+        GROUP BY 1
+    """
