@@ -423,6 +423,28 @@ def _q_media_features(sf_dir: str):
     return extract_media_features(media, fake_decoder=True)
 
 
+def _q_media_resized(sf_dir: str):
+    import ray.data
+
+    from deduce_ray.ops.multimodal import resize_images, synthesize_media_batch
+
+    media = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(synthesize_media_batch, batch_format="pyarrow")
+    return resize_images(media, fake_decoder=True)
+
+
+def _q_media_frames(sf_dir: str):
+    import ray.data
+
+    from deduce_ray.ops.multimodal import sample_frames, synthesize_video_batch
+
+    videos = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(synthesize_video_batch, batch_format="pyarrow")
+    return sample_frames(videos, fake_decoder=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from deduce_ray.ops import relational as rel
 
@@ -471,6 +493,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": _q_ann_topk_ivf,
         # --- multimodal plumbing (stubbed decode) ---
         "media_features": _q_media_features,
+        "media_resized": _q_media_resized,
+        "media_frames": _q_media_frames,
         # --- relational ops over the TPC-H-ish tables ---
         "pricing_summary": rel.pricing_summary,
         "top_customers": rel.top_customers,

@@ -117,3 +117,144 @@ def extract_media_features(ds, fake_decoder: bool = False, concurrency=(1, 4),
         concurrency=concurrency,
         fn_constructor_kwargs={"fake_decoder": fake_decoder},
     )
+
+
+class ImageResizer:
+    """Actor-pool stage: decode image payloads and emit a fixed (target x
+    target) nearest-neighbour downsample as a flat float32 vector.
+
+    Same contract as MediaFeatureExtractor: codec setup belongs in
+    ``__init__`` (once per actor); the real decoder is stubbed in this
+    environment (``fake_decoder=True`` produces the deterministic
+    stand-in), while the resampling math, schema, and batch plumbing are
+    real.  Non-image rows pass through with a null pixel column.
+    """
+
+    def __init__(self, target: int = 8, fake_decoder: bool = False) -> None:
+        self.target = target
+        self.fake_decoder = fake_decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        widths = batch.column("width").to_pylist()
+        heights = batch.column("height").to_pylist()
+
+        pixels_out: list[list[float] | None] = []
+        for kind, payload, w, h in zip(kinds, payloads, widths, heights):
+            if kind != "image":
+                pixels_out.append(None)
+                continue
+            if self.fake_decoder:
+                img = _fake_decode(payload, w * h).reshape(h, w)
+            else:
+                img = decode_image(payload, w, h)
+            ys = (np.arange(self.target) * h) // self.target
+            xs = (np.arange(self.target) * w) // self.target
+            small = img[np.ix_(ys, xs)]
+            pixels_out.append([round(float(x), 6) for x in small.ravel()])
+
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "kind": pa.array(kinds),
+                "pixels": pa.array(pixels_out, type=pa.list_(pa.float32())),
+            }
+        )
+
+
+class FrameSampler:
+    """Actor-pool flat-map stage: decode video payloads and emit one row
+    per SAMPLED frame (every ``stride``-th of ``n_frames``), each with a
+    small per-frame feature vector — the shape a video-pretraining
+    pipeline needs (batch in: one row per video; batch out: multiple rows
+    per video, schema change included)."""
+
+    FRAME_DIM = 16
+
+    def __init__(self, stride: int = 4, fake_decoder: bool = False) -> None:
+        self.stride = stride
+        self.fake_decoder = fake_decoder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        n_frames_col = (
+            batch.column("n_frames").to_pylist()
+            if "n_frames" in batch.schema.names
+            else [0] * len(ids)
+        )
+
+        out_ids, out_idx, out_feats = [], [], []
+        for mid, kind, payload, n_frames in zip(ids, kinds, payloads, n_frames_col):
+            if kind != "video" or not n_frames:
+                continue
+            if self.fake_decoder:
+                frames = _fake_decode(payload, n_frames * self.FRAME_DIM).reshape(
+                    n_frames, self.FRAME_DIM
+                )
+            else:
+                raise NotImplementedError(
+                    "video codecs are not available in this environment; "
+                    "construct the stage with fake_decoder=True"
+                )
+            for f in range(0, n_frames, self.stride):
+                out_ids.append(mid)
+                out_idx.append(f)
+                out_feats.append([round(float(x), 6) for x in frames[f]])
+
+        return pa.table(
+            {
+                "media_id": pa.array(out_ids, type=pa.int64()),
+                "frame_idx": pa.array(out_idx, type=pa.int32()),
+                "frame_feature": pa.array(out_feats, type=pa.list_(pa.float32())),
+            }
+        )
+
+
+def synthesize_video_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic fake VIDEO rows (kind=video, n_frames derived from the
+    id) — companion fixture generator to synthesize_media_batch."""
+    ids = batch.column("doc_id").to_pylist()
+    payloads, n_frames = [], []
+    for i in ids:
+        seed = hashlib.sha256(f"video:{i}".encode()).digest()
+        payloads.append(seed * 16)
+        n_frames.append(8 + (i % 5) * 4)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "kind": pa.array(["video"] * len(ids)),
+            "mime": pa.array(["video/mp4"] * len(ids)),
+            "width": pa.array([64] * len(ids), type=pa.int32()),
+            "height": pa.array([64] * len(ids), type=pa.int32()),
+            "n_frames": pa.array(n_frames, type=pa.int32()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        }
+    )
+
+
+def resize_images(ds, target: int = 8, fake_decoder: bool = False,
+                  concurrency=(1, 4), batch_size: int = 16):
+    return ds.map_batches(
+        ImageResizer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"target": target, "fake_decoder": fake_decoder},
+    )
+
+
+def sample_frames(ds, stride: int = 4, fake_decoder: bool = False,
+                  concurrency=(1, 4), batch_size: int = 8):
+    # small batch_size: a video batch x concurrency must fit the worker
+    # heap once payloads are real encodings
+    return ds.map_batches(
+        FrameSampler,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"stride": stride, "fake_decoder": fake_decoder},
+    )

@@ -406,6 +406,45 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             decode_image(b"x", 4, 4)
 
+    def test_resize_images_plumbing(self, ray_session):
+        import ray.data
+
+        from deduce_ray.ops.multimodal import resize_images, synthesize_media_batch
+
+        media = ray.data.range(15).map_batches(
+            lambda b: synthesize_media_batch(
+                pa.table({"doc_id": pa.array(b["id"], type=pa.int64())})
+            ),
+            batch_format="pyarrow",
+        )
+        out = resize_images(media, target=8, fake_decoder=True).take_all()
+        assert len(out) == 15
+        for r in out:
+            if r["kind"] == "image":
+                assert len(r["pixels"]) == 64
+            else:
+                assert r["pixels"] is None
+
+    def test_frame_sampler_plumbing(self, ray_session):
+        import ray.data
+
+        from deduce_ray.ops.multimodal import sample_frames, synthesize_video_batch
+
+        videos = ray.data.range(10).map_batches(
+            lambda b: synthesize_video_batch(
+                pa.table({"doc_id": pa.array(b["id"], type=pa.int64())})
+            ),
+            batch_format="pyarrow",
+        )
+        frames = sample_frames(videos, stride=4, fake_decoder=True).take_all()
+        # id i has 8 + (i % 5) * 4 frames, sampled every 4th
+        import math
+
+        expected = sum(math.ceil((8 + (i % 5) * 4) / 4) for i in range(10))
+        assert len(frames) == expected
+        assert all(len(r["frame_feature"]) == 16 for r in frames)
+        assert all(r["frame_idx"] % 4 == 0 for r in frames)
+
 
 class TestGroupedAgg:
     def test_matches_pandas(self, ray_session):
