@@ -58,7 +58,12 @@ def grouped_agg(
             out[out_col] = getattr(grouped[out_col], _PARTIAL_KIND[kind])()[out_col].values
         return out
 
-    partial = ds.map_batches(combine, batch_format="pandas")
+    # batch_size here also COALESCES: map_batches concatenates small
+    # upstream blocks to reach it, so the sort-based groupby sees tens of
+    # blocks, not thousands (3200 blocks x 256 partitions of metadata made
+    # the exchange pathologically slow), and the combiner collapses more
+    # per call
+    partial = ds.map_batches(combine, batch_format="pandas", batch_size=65536)
     return partial.groupby("__shard").map_groups(merge, batch_format="pandas")
 
 

@@ -56,9 +56,10 @@ def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
         return out
 
     hashed = ds.map_batches(hash_batch, batch_format="pyarrow")
-    # local combiner then one shuffle on the hash shard
+    # local combiner then one shuffle on the hash shard (batch_size also
+    # coalesces small upstream blocks ahead of the sort-based exchange)
     return hashed.map_batches(
-        pick_first, batch_format="pandas"
+        pick_first, batch_format="pandas", batch_size=65536
     ).groupby("__shard").map_groups(
         lambda df: df.drop(columns=["__shard"])
         .groupby("content_hash", as_index=False)
@@ -171,7 +172,7 @@ def _dedup_pairs(pairs_ds, value_col: str, n_shards: int = 256):
         ]
 
     return (
-        pairs_ds.map_batches(add_shard, batch_format="pyarrow")
+        pairs_ds.map_batches(add_shard, batch_format="pyarrow", batch_size=65536)
         .groupby("pair_shard")
         .map_groups(drop_dupes, batch_format="pandas")
     )

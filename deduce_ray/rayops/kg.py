@@ -76,8 +76,15 @@ def dedup_triples(triples_ds, by_doc_first: bool = False):
             "doc_bucket", pa.array(buckets, type=pa.int32())
         )
 
+    # batch_size coalesces the many small combiner outputs into few blocks
+    # before the sort-based exchange (thousands of blocks x 256 partitions
+    # of shuffle metadata is pathological) and gives the bucket-combiner a
+    # second chance to collapse replicas that lived in different blocks
     return (
-        combined.map_batches(add_bucket, batch_format="pyarrow")
+        combined.map_batches(
+            _merge_graph_rows, batch_format="pandas", batch_size=131072
+        )
+        .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("doc_bucket")
         .map_groups(
             lambda df: _merge_graph_rows(df.drop(columns=["doc_bucket"])),
@@ -127,7 +134,7 @@ def canonical_entities(triples_ds):
         ).agg(n_mentions=("n_mentions", "sum"))
 
     return (
-        combined.map_batches(add_shard, batch_format="pandas")
+        combined.map_batches(add_shard, batch_format="pandas", batch_size=131072)
         .groupby("__shard")
         .map_groups(merge, batch_format="pandas")
     )
@@ -376,6 +383,11 @@ def materialize_graph(
                 )
 
     combined = triples_ds.map_batches(_dedup_batch, batch_format="pyarrow")
+    # coalesce + second-level combine before the salted exchange (see
+    # dedup_triples: thousands of tiny blocks make the sort pathological)
+    combined = combined.map_batches(
+        _merge_graph_rows, batch_format="pandas", batch_size=131072
+    )
 
     hot = frozenset(hot_keys or ())
 
