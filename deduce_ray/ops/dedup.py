@@ -104,9 +104,12 @@ def word_shingles(text: str, k: int = 3) -> np.ndarray:
 
     Word hashes are memoized md5; a shingle hash is the vectorized
     polynomial combine sum_j h[i+j] * P^(k-1-j) mod 2^64 — order-sensitive
-    and deterministic, with no per-shingle digest calls.
+    and deterministic, with no per-shingle digest calls.  Words come from
+    the shared explicit-class splitter so the SQL oracles match exactly.
     """
-    words = text.split()
+    from deduce_ray.ops.textstats import split_words
+
+    words = split_words(text)
     if not words:
         return np.empty(0, dtype=np.uint64)
     h = _word_hashes(words)
@@ -224,6 +227,12 @@ def minhash_lsh_pairs(
         out = {"shard": [], "bucket": [], id_col: [], "payload": []}
         for i, t in zip(ids, texts):
             sh = word_shingles(t or "", k)
+            if sh.size == 0:
+                # shingle-less (empty/whitespace-only) docs all share the
+                # zero signature: emitting them would put every such doc in
+                # one bucket (O(m^2) verify, all "jaccard 1.0") — they are
+                # exact duplicates of each other and belong to exact_dedup
+                continue
             sig = minhash_signature(sh, a, b)
             payload = sh.tolist() if exact else sig.tobytes()
             for band in range(bands):
@@ -520,7 +529,9 @@ def simhash64(text: str) -> int:
     """64-bit simhash over memoized word hashes: unpack every word's bits
     in one batched op; bit b of the result is set iff more than half the
     words have bit b set (acc = 2*popcount_col - n > 0)."""
-    words = text.split()
+    from deduce_ray.ops.textstats import split_words
+
+    words = split_words(text)
     if not words:
         return int(np.packbits(np.zeros(64, dtype=np.uint8)).view(">u8")[0])
     h = _word_hashes(words).astype(">u8")

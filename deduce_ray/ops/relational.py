@@ -23,7 +23,13 @@ from deduce_ray.ops.agg import grouped_agg
 
 
 def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
-    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+    # half_towards_infinity = SQL round() for the positive money values in
+    # these tables; pyarrow's default half_to_even would diverge from the
+    # DuckDB oracles on exact half-cents
+    return pc.cast(
+        pc.round(pc.multiply(col, 100.0), round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
 
 
 def pricing_summary(sf_dir: str):
@@ -844,7 +850,9 @@ def campaign_attribution(sf_dir: str, n_campaigns: int = 40):
     def partials(df: pd.DataFrame) -> pd.DataFrame:
         s, e = ray.get(windows_ref)
         ts = df["ts"].to_numpy()
-        cents = np.rint(df["value"].to_numpy() * 100.0).astype(np.int64)
+        # floor(x + 0.5) = SQL round() for non-negative values (np.rint
+        # rounds half to even and would diverge on exact half-cents)
+        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
         rows = []
         for cid in range(len(s)):
             mask = (ts >= s[cid]) & (ts < e[cid])

@@ -26,6 +26,20 @@ def _unit_rows(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _merge_topk(k: int, id_col: str):
+    """Shared global top-k merge for all ANN paths: sort by (score desc,
+    id asc), keep k, assign 1-based ranks — the tie-break contract the
+    DuckDB oracle relies on, defined once."""
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return merge
+
+
 def brute_force_topk(
     ds_embeddings,
     queries: np.ndarray,
@@ -66,16 +80,10 @@ def brute_force_topk(
             }
         )
 
-    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(
-            ["score", id_col], ascending=[False, True]
-        ).head(k)
-        df = df.reset_index(drop=True)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df
-
     local = ds_embeddings.map_batches(local_topk, batch_format="pyarrow")
-    return local.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+    return local.groupby("query_id").map_groups(
+        _merge_topk(k, id_col), batch_format="pandas"
+    )
 
 
 def kmeans_centroids(
@@ -165,14 +173,10 @@ def ivf_topk(
             }
         )
 
-    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["score", id_col], ascending=[False, True]).head(k)
-        df = df.reset_index(drop=True)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df
-
     local = ds_embeddings.map_batches(local_topk, batch_format="pyarrow")
-    return local.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+    return local.groupby("query_id").map_groups(
+        _merge_topk(k, id_col), batch_format="pandas"
+    )
 
 
 def lsh_bucketed_topk(
@@ -234,11 +238,7 @@ def lsh_bucketed_topk(
             }
         )
 
-    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["score", id_col], ascending=[False, True]).head(k)
-        df = df.reset_index(drop=True)
-        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
-        return df
-
     local = ds_embeddings.map_batches(local_topk, batch_format="pyarrow")
-    return local.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+    return local.groupby("query_id").map_groups(
+        _merge_topk(k, id_col), batch_format="pandas"
+    )

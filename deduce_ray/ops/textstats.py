@@ -16,6 +16,17 @@ import pyarrow.compute as pc
 # ASCII word semantics on purpose: matches RE2 (\w is ASCII there), so the
 # DuckDB oracle reproduces counts exactly, CJK text included.
 _WORDISH_RE = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\v]")
+
+# Word splitter shared by every text op AND mirrored exactly by the DuckDB
+# oracles (deduce_ray.oracles.WORD_CLASS_SQL).  An explicit ASCII class
+# rather than str.split(): Python splits on extra Unicode whitespace
+# (\x0b is covered here, but \x85/\xa0/\x1c-\x1f are not) which RE2
+# cannot express identically — both sides must agree on one definition.
+WORD_RE = re.compile(r"[^ \t\n\r\f\v]+")
+
+
+def split_words(text: str) -> list[str]:
+    return WORD_RE.findall(text)
 _ALPHA_RE = re.compile(r"[A-Za-z]")
 _DIGIT_RE = re.compile(r"[0-9]")
 
@@ -32,7 +43,7 @@ _LANG_PROFILES = {
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Whitespace tokens + a BPE-ish regex token count per document."""
     texts = batch.column(text_col).to_pylist()
-    ws = [len(t.split()) if t else 0 for t in texts]
+    ws = [len(split_words(t)) if t else 0 for t in texts]
     bpe = [len(_WORDISH_RE.findall(t)) if t else 0 for t in texts]
     return pa.table(
         {
@@ -66,7 +77,7 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         rows["n_chars"].append(n)
         rows["n_alpha"].append(a)
         rows["n_digit"].append(d)
-        rows["n_ws_tokens"].append(len(t.split()))
+        rows["n_ws_tokens"].append(len(split_words(t)))
         rows["alpha_ppm"].append((a * 1_000_000) // n if n else 0)
         rows["digit_ppm"].append((d * 1_000_000) // n if n else 0)
     return pa.table(
@@ -98,7 +109,7 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def shingle_fingerprint(text: str, k: int = 5) -> int:
     """Winnowing-style fingerprint: min 64-bit hash over word k-shingles
     (deterministic; used by near-dup and provenance ops)."""
-    words = text.split()
+    words = split_words(text)
     if len(words) < k:
         shingles = [" ".join(words)] if words else [""]
     else:
@@ -114,7 +125,7 @@ def predict_lang(text: str) -> str:
     for ch in text[:400]:
         if "一" <= ch <= "鿿":
             return "zh"
-    words = set(w.lower() for w in text.split()[:200])
+    words = set(w.lower() for w in split_words(text)[:200])
     best_lang, best_score = "unknown", 0
     for lang in sorted(_LANG_PROFILES):
         score = len(words & _LANG_PROFILES[lang])
@@ -150,7 +161,7 @@ def top_terms(ds, k: int = 100, n_shards: int = 256, text_col: str = "text"):
         texts = batch.column(text_col).to_pylist()
         counts: dict[str, int] = {}
         for t in texts:
-            for w in (t or "").lower().split():
+            for w in split_words((t or "").lower()):
                 counts[w] = counts.get(w, 0) + 1
         terms = list(counts)
         shards = [

@@ -240,7 +240,9 @@ def kg_redacted_sqlpreds_sql() -> str:
 # text-analysis / dedup oracles over the documents table
 # ---------------------------------------------------------------------------
 
-_WORDS = "regexp_extract_all(text, '[^ \\t\\n\\r\\f]+')"
+#: must mirror deduce_ray.ops.textstats.WORD_RE exactly
+WORD_CLASS_SQL = r"[^ \t\n\r\f\x0b]+"
+_WORDS = f"regexp_extract_all(text, '{WORD_CLASS_SQL}')"
 
 # must mirror deduce_ray.ops.textstats._LANG_PROFILES exactly
 _LANG_PROFILES_SQL = {

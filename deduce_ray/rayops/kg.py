@@ -264,20 +264,40 @@ def canonicalize_entities(triples_ds, cluster_rounds: int = 8):
             }
         )
 
-    tagged = counted.map_batches(tag_forms, batch_format="pyarrow").union(
-        labels.map_batches(tag_labels, batch_format="pyarrow")
+    def add_node_shard(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        shard = pc.cast(
+            pc.bit_wise_and(batch.column("node"), n_shards - 1), pa.int64()
+        )
+        return batch.append_column("node_shard", shard)
+
+    tagged = (
+        counted.map_batches(tag_forms, batch_format="pyarrow")
+        .union(labels.map_batches(tag_labels, batch_format="pyarrow"))
+        .map_batches(add_node_shard, batch_format="pyarrow")
     )
 
-    def resolve(df: pd.DataFrame) -> pd.DataFrame:
-        clusters = df["cluster"].dropna()
-        cluster = int(clusters.min()) if len(clusters) else int(df["node"].iloc[0])
-        form_rows = df[df["obj_norm"].notna()]
-        out = form_rows[["pred", "obj_norm", "n_mentions"]].copy()
-        out["cluster"] = cluster
-        out["cluster_shard"] = cluster % n_shards
-        return out
+    # sharded + vectorized label attach (one pandas merge per shard, not
+    # one map_groups UDF call per distinct surface form)
+    def resolve_shard(df: pd.DataFrame) -> pd.DataFrame:
+        label_rows = (
+            df[df["cluster"].notna()]
+            .groupby("node", as_index=False)
+            .agg(cluster=("cluster", "min"))
+        )
+        forms = df[df["obj_norm"].notna()][
+            ["node", "pred", "obj_norm", "n_mentions"]
+        ]
+        out = forms.merge(label_rows, on="node", how="left")
+        out["cluster"] = out["cluster"].fillna(out["node"]).astype("int64")
+        out["cluster_shard"] = (out["cluster"] % n_shards).astype("int64")
+        return out[["pred", "obj_norm", "n_mentions", "cluster", "cluster_shard"]]
 
-    clustered = tagged.groupby("node").map_groups(resolve, batch_format="pandas")
+    clustered = tagged.groupby("node_shard").map_groups(
+        lambda df: resolve_shard(df.drop(columns=["node_shard"])),
+        batch_format="pandas",
+    )
 
     def pick_canonical(df: pd.DataFrame) -> pd.DataFrame:
         parts = []
