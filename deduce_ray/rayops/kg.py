@@ -3,10 +3,13 @@ checkpointed, resumable graph materialization partitioned by (repo, lang).
 
 Scale notes (north_rule):
   - Local combiner first: per-batch dedup/aggregation inside map_batches
-    shrinks the all-to-all shuffle before any groupby.
-  - Partition key is (repo, lang) throughout; the synthetic corpus has a
-    30%-hot monorepo, which the combiner absorbs (the per-partition group
-    task then handles pre-aggregated rows, not raw mentions).
+    shrinks the all-to-all shuffle before any groupby, and the combiner
+    stages carry large batch_size values that COALESCE small upstream
+    blocks ahead of each sort-based exchange.
+  - Merge shuffles run on UNIFORM hash keys (doc-id bucket for the graph
+    key, (pred, obj_norm) hash for entity counts) so the 30%-hot monorepo
+    cannot straggle them; (repo, lang) is the OUTPUT partitioning key,
+    applied at the sink with hot-key salting.
   - Materialization writes one parquet file + one manifest per partition;
     a manifest is written only after its data file, so a re-run can skip
     complete partitions (resume) and re-do partial ones idempotently.

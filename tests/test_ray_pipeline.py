@@ -247,6 +247,31 @@ class TestDedupOps:
         sig_13 = next(p["jaccard"] for p in sig if (p["id_a"], p["id_b"]) == (1, 3))
         assert sig_13 == 1.0
 
+    def test_minhash_skips_empty_docs(self, ray_session):
+        """Shingle-less docs share the zero signature; they must not pair
+        with each other in either verify mode (they are exact_dedup's
+        concern, and a corpus with many empties would otherwise form one
+        O(m^2) bucket)."""
+        import ray.data
+
+        from deduce_ray.ops.dedup import minhash_lsh_pairs
+
+        base = "gamma delta epsilon zeta eta theta " * 8
+        ds = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": ""},
+                {"doc_id": 2, "text": "   "},
+                {"doc_id": 3, "text": base},
+                {"doc_id": 4, "text": base},
+            ]
+        )
+        for mode in ("signature", "exact"):
+            pairs = {
+                (p["id_a"], p["id_b"])
+                for p in minhash_lsh_pairs(ds, threshold=0.5, verify=mode).take_all()
+            }
+            assert pairs == {(3, 4)}, (mode, pairs)
+
     def test_planted_embedding_neardups(self, ray_session):
         """Planted scaled copies are found with recall 1 (all sign bits
         shared) and report cosine exactly 1.0."""
