@@ -519,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": rel.top_customers,
         "events_by_type": rel.events_by_type,
         "events_hourly": rel.events_hourly,
+        "events_sliding": rel.events_sliding,
         "user_sessions": rel.user_sessions,
         "events_props_stats": rel.events_props_stats,
         "brand_volume": rel.brand_volume,
@@ -670,6 +671,7 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": rel.top_customers_sql(),
         "events_by_type": rel.events_by_type_sql(),
         "events_hourly": rel.events_hourly_sql(),
+        "events_sliding": rel.events_sliding_sql(),
         "user_sessions": rel.user_sessions_sql(),
         "events_props_stats": rel.events_props_stats_sql(),
         "bucketed_join_revenue": rel.bucketed_join_revenue_sql(),

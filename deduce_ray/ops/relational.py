@@ -899,3 +899,81 @@ def campaign_attribution_sql(n_campaigns: int = 40) -> str:
         JOIN campaigns c ON e.ts >= c.start_ts AND e.ts < c.end_ts
         GROUP BY 1
     """
+
+
+def events_sliding(sf_dir: str, window_hours: int = 3, slide_hours: int = 1):
+    """Sliding-window aggregate: per event_type, counts and exact sums over
+    3-hour windows sliding hourly — each event belongs to
+    window_hours/slide_hours overlapping windows, so the map side EMITS one
+    row per covering window (the streaming sliding-window expansion), then
+    the usual combiner + sharded merge aggregate.  Window key is the epoch
+    second of the window START."""
+    import ray.data
+
+    n_covering = window_hours // slide_hours
+    slide_s = slide_hours * 3600
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        micros = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        slot = (micros // 1_000_000) // slide_s  # slide-aligned slot index
+        cents = (
+            _cents(batch.column("value")).to_numpy(zero_copy_only=False)
+        )
+        types = batch.column("event_type").to_pylist()
+        out_type, out_win, out_cents = [], [], []
+        for j in range(n_covering):
+            # window starting at (slot - j) covers this event
+            starts = (slot - j) * slide_s
+            out_win.extend(starts.tolist())
+            out_type.extend(types)
+            out_cents.extend(cents.tolist())
+        return pa.table(
+            {
+                "event_type": pa.array(out_type),
+                "window_start": pa.array(out_win, type=pa.int64()),
+                "cents": pa.array(out_cents, type=pa.int64()),
+            }
+        )
+
+    agged = grouped_agg(
+        ds.map_batches(expand, batch_format="pyarrow"),
+        keys=["event_type", "window_start"],
+        aggs={"n_events": (None, "count"), "sum_cents": ("cents", "sum")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "window_start": df["window_start"].astype("int64"),
+                "n_events": df["n_events"].astype("int64"),
+                "sum_value": df["sum_cents"] / 100.0,
+            }
+        )
+
+    return agged.map_batches(finish, batch_format="pandas")
+
+
+def events_sliding_sql(window_hours: int = 3, slide_hours: int = 1) -> str:
+    n_covering = window_hours // slide_hours
+    slide_s = slide_hours * 3600
+    return f"""
+        WITH expanded AS (
+          SELECT event_type,
+                 (((epoch_us(ts) // 1000000) // {slide_s}) - j) * {slide_s}
+                   AS window_start,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events, generate_series(0, {n_covering - 1}) t(j)
+        )
+        SELECT event_type, window_start,
+               COUNT(*) AS n_events,
+               SUM(cents) / 100.0 AS sum_value
+        FROM expanded
+        GROUP BY 1, 2
+    """
