@@ -328,6 +328,31 @@ def canonicalize_entities(triples_ds, cluster_rounds: int = 8):
 # ---------------------------------------------------------------------------
 
 
+def detect_hot_keys(
+    triples_ds,
+    sample_rows: int = 100_000,
+    hot_fraction: float = 0.1,
+) -> set[str]:
+    """Cheap pre-scan for skewed repos: estimate per-repo row share from a
+    bounded sample (``limit`` reads only the first blocks — adequate for
+    skew detection because a repo holding >=hot_fraction of the corpus is
+    overwhelmingly likely to hold a similar share of any prefix) and
+    return repos above ``hot_fraction``.  Feed the result to
+    :func:`materialize_graph` ``hot_keys`` instead of hand-maintaining the
+    list; the sample pass costs one bounded read, not a shuffle.
+    """
+    sample = (
+        triples_ds.select_columns(["repo"]).limit(sample_rows).take_all()
+    )
+    if not sample:
+        return set()
+    counts: dict[str, int] = {}
+    for row in sample:
+        counts[row["repo"]] = counts.get(row["repo"], 0) + 1
+    total = len(sample)
+    return {r for r, n in counts.items() if n / total >= hot_fraction}
+
+
 def _partition_slug(repo: str, lang: str) -> str:
     return f"{repo.replace('/', '__')}__{lang}"
 

@@ -109,6 +109,16 @@ class TestGraphMaterialize:
         part = pq.read_table(part_dir / f"part-{row['salt']}.parquet")
         assert part.num_rows == row["rows"]
 
+    def test_detect_hot_keys(self, ray_session, lexicon_ref):
+        from deduce_ray.rayops.annotate import extract_triples
+        from deduce_ray.rayops.kg import detect_hot_keys
+
+        triples = extract_triples(_repo_ds(), lexicon_ref=lexicon_ref)
+        hot = detect_hot_keys(triples, hot_fraction=0.1)
+        # the synthetic corpus routes ~30% of docs to org/monorepo
+        assert "org/monorepo" in hot
+        assert all(r == "org/monorepo" or not r.startswith("org/repo-") for r in hot)
+
     def test_hot_key_salting(self, ray_session, lexicon_ref, tmp_path):
         from deduce_ray.rayops.annotate import extract_triples
         from deduce_ray.rayops.kg import materialize_graph
