@@ -231,6 +231,32 @@ def _q_exact_dedup(sf_dir: str):
     )
 
 
+def _q_dedup_survivors(sf_dir: str):
+    import ray.data
+
+    from deduce_ray.ops.dedup import dedup_survivors
+
+    return dedup_survivors(
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+        )
+    ).select_columns(["doc_id", "lang"])
+
+
+def _q_docs_not_blocklisted(sf_dir: str):
+    """Broadcast anti-join against a deterministic blocklist (every 7th
+    doc id) — suppression-list filtering."""
+    import ray.data
+
+    from deduce_ray.ops.dedup import anti_join_blocklist
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    blocked = range(0, 1_000_000, 7)
+    return anti_join_blocklist(docs, blocked)
+
+
 def _q_minhash_pairs(sf_dir: str):
     import ray.data
 
@@ -502,6 +528,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": _q_doc_sample,
         # --- dedup family ---
         "exact_dedup": _q_exact_dedup,
+        "dedup_survivors": _q_dedup_survivors,
+        "docs_not_blocklisted": _q_docs_not_blocklisted,
         "minhash_pairs": _q_minhash_pairs,
         "minhash_pairs_exact": _q_minhash_pairs_exact,
         "simhash_pairs": _q_simhash_pairs,
@@ -646,6 +674,19 @@ def oracle_sql() -> dict[str, str]:
                    round(list_cosine_similarity(a.v, b.v), 6) AS cosine
             FROM allv a JOIN allv b ON b.vec_id = a.vec_id + 10000000
             WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+        """,
+        "dedup_survivors": """
+            WITH ranked AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY md5(text) ORDER BY doc_id
+                     ) AS rk
+              FROM documents
+            )
+            SELECT doc_id, lang FROM ranked WHERE rk = 1
+        """,
+        "docs_not_blocklisted": """
+            SELECT doc_id FROM documents WHERE doc_id % 7 != 0
         """,
         "ann_topk": """
             WITH q AS (

@@ -751,3 +751,53 @@ def embedding_neardup_pairs(
     sigs = ds_embeddings.map_batches(signatures, batch_format="pyarrow")
     pairs = sigs.groupby("shard").map_groups(verify_shard, batch_format="pandas")
     return _dedup_pairs(pairs, "cosine", n_shards)
+
+
+def dedup_survivors(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact-dedup as a corpus FILTER: return the full surviving rows (the
+    minimum-id document of every distinct text), not just group stats.
+
+    One hash-shard shuffle, no join: full rows ride to their content-hash
+    shard, where keeping the min-id row per hash is a vectorized
+    drop_duplicates over the sorted shard.  The survivors stream onward —
+    the standard first stage of a training-data pipeline.
+    """
+    n_shards = 256
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        hashes = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+        shard = [int(h[:4], 16) % n_shards for h in hashes]
+        return batch.append_column(
+            "content_hash", pa.array(hashes)
+        ).append_column("__shard", pa.array(shard, type=pa.int64()))
+
+    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([ "content_hash", id_col])
+        return df.drop_duplicates(subset=["content_hash"]).drop(
+            columns=["content_hash", "__shard"]
+        )
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(keep_min, batch_format="pandas")
+    )
+
+
+def anti_join_blocklist(ds, blocked_ids, id_col: str = "doc_id"):
+    """Broadcast ANTI join: drop rows whose id is in the (small) blocklist
+    — suppression/opt-out filtering.  The blocklist ships once via ray.put
+    and each batch filters vectorized with is_in; a blocklist too large to
+    broadcast would instead hash-shard both sides and anti-join per shard.
+    """
+    import ray
+
+    blocked_ref = ray.put(pa.array(sorted(set(blocked_ids)), type=pa.int64()))
+
+    def drop_blocked(batch: pa.Table) -> pa.Table:
+        blocked = ray.get(blocked_ref)
+        mask = pc.invert(pc.is_in(batch.column(id_col), value_set=blocked))
+        return batch.filter(mask)
+
+    return ds.map_batches(drop_blocked, batch_format="pyarrow")
