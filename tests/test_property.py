@@ -110,3 +110,114 @@ def test_token_regex_covers_all_nonspace(text):
     for i, ch in enumerate(text):
         if ch != " ":
             assert i in in_token
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet="ab \t\n", max_size=60))
+def test_word_shingles_properties(text):
+    """Shingle sets are deterministic, distinct-valued, and empty iff the
+    text has no words under the shared splitter."""
+    import numpy as np
+
+    from deduce_ray.ops.dedup import word_shingles
+    from deduce_ray.ops.textstats import split_words
+
+    a = word_shingles(text)
+    b = word_shingles(text)
+    assert np.array_equal(a, b)
+    assert len(np.unique(a)) == len(a)
+    assert (len(a) == 0) == (len(split_words(text)) == 0)
+    words = split_words(text)
+    if words:
+        # shingle count bounded by window count
+        assert len(a) <= max(1, len(words) - 2)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.text(alphabet="abc ", max_size=30), max_size=6))
+def test_simhash_identical_and_bounded(texts):
+    from deduce_ray.ops.dedup import simhash64
+
+    for t in texts:
+        h = simhash64(t)
+        assert 0 <= h < (1 << 64)
+        assert h == simhash64(t)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=100_000), min_size=1, max_size=60),
+    st.floats(min_value=0.01, max_value=0.99),
+)
+def test_quantile_definition_matches_engine(values, q):
+    """The histogram-quantile rule (smallest value whose cumulative count
+    reaches ceil(q*n)) equals the order-statistic x[ceil(q*n)-1]."""
+    import math
+
+    from collections import Counter
+
+    counts = Counter(values)
+    total = len(values)
+    need = math.ceil(q * total)
+    cum = 0
+    pick = None
+    for v in sorted(counts):
+        cum += counts[v]
+        if cum >= need:
+            pick = v
+            break
+    assert pick == sorted(values)[need - 1]
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=10**9), max_size=200))
+def test_doc_sample_threshold_semantics(ids):
+    """Hash sampling is a pure function of the id: the same id is always
+    in or always out, independent of the surrounding rows."""
+    import hashlib
+
+    def member(i, th="1a"):
+        return hashlib.md5(str(i).encode()).hexdigest()[: len(th)] < th
+
+    first = {i: member(i) for i in ids}
+    second = {i: member(i) for i in reversed(ids)}
+    assert first == second
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)), max_size=25))
+def test_union_find_matches_reachability(pairs):
+    """Driver union-find semantics: every node's cluster id equals the
+    minimum node reachable from it over the undirected pair graph."""
+    # BFS reference
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+
+    def min_reachable(start):
+        seen, stack = {start}, [start]
+        while stack:
+            x = stack.pop()
+            for y in adj.get(x, ()):
+                if y not in seen:
+                    seen.add(y)
+                    stack.append(y)
+        return min(seen)
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for node in adj:
+        assert find(node) == min_reachable(node)
