@@ -594,6 +594,7 @@ def oracle_sql() -> dict[str, str]:
     from deduce_ray import oracles
     from deduce_ray.ops import relational as rel
 
+    words = oracles.WORD_CLASS_SQL  # single word-class definition, mirrored
     return {
         "kg_dates": oracles.kg_dates_sql(),
         "kg_bsn": oracles.kg_bsn_sql(),
@@ -625,30 +626,34 @@ def oracle_sql() -> dict[str, str]:
         "kg_identifiers": _mention_oracle("[0-9]{7,}"),
         "kg_urls": _mention_oracle(_URL_RE_SQL),
         "kg_postbus": _mention_oracle("[Pp]ostbus[ \\t\\n][0-9]{1,5}(\\.[0-9]{2,4})?"),
-        "doc_token_counts": """
+        "doc_token_counts": f"""
             SELECT doc_id,
-                   CAST(length(text) AS BIGINT) AS n_chars,
-                   CAST(length(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+'))
+                   CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_extract_all(coalesce(text, ''), '{words}'))
                         AS BIGINT) AS n_ws_tokens,
-                   CAST(length(regexp_extract_all(text,
-                        '[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n\\r\\f]'))
+                   CAST(length(regexp_extract_all(coalesce(text, ''),
+                        '[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n\\r\\f\\x0b]'))
                         AS BIGINT) AS n_re_tokens
             FROM documents
         """,
-        "doc_quality": """
-            SELECT doc_id,
-                   CAST(length(text) AS BIGINT) AS n_chars,
-                   CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                        AS BIGINT) AS n_alpha,
-                   CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
-                        AS BIGINT) AS n_digit,
-                   CAST(length(regexp_extract_all(text, '[^ \\t\\n\\r\\f]+'))
-                        AS BIGINT) AS n_ws_tokens,
-                   CAST(floor(CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-                        AS DOUBLE) * 1000000 / length(text)) AS BIGINT) AS alpha_ppm,
-                   CAST(floor(CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
-                        AS DOUBLE) * 1000000 / length(text)) AS BIGINT) AS digit_ppm
-            FROM documents
+        "doc_quality": f"""
+            WITH counted AS (
+              SELECT doc_id,
+                     CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+                     CAST(length(regexp_replace(coalesce(text, ''),
+                          '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+                     CAST(length(regexp_replace(coalesce(text, ''),
+                          '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+                     CAST(length(regexp_extract_all(coalesce(text, ''),
+                          '{words}')) AS BIGINT) AS n_ws_tokens
+              FROM documents
+            )
+            SELECT doc_id, n_chars, n_alpha, n_digit, n_ws_tokens,
+                   CASE WHEN n_chars = 0 THEN 0
+                        ELSE (n_alpha * 1000000) // n_chars END AS alpha_ppm,
+                   CASE WHEN n_chars = 0 THEN 0
+                        ELSE (n_digit * 1000000) // n_chars END AS digit_ppm
+            FROM counted
         """,
         "doc_fingerprints": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
         "exact_dedup": """
@@ -694,8 +699,14 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings WHERE vec_id < 5
             ),
             scored AS (
+              -- zero-norm vectors: engine scores them 0.0; SQL cosine is
+              -- NaN, so normalize to 0 before ranking
               SELECT q.query_id, e.vec_id,
-                     round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6)
+                     round(CASE WHEN isnan(list_cosine_similarity(
+                                    e.embedding::DOUBLE[], q.qv))
+                                THEN 0.0
+                                ELSE list_cosine_similarity(
+                                    e.embedding::DOUBLE[], q.qv) END, 6)
                        AS score
               FROM embeddings e CROSS JOIN q
             ),

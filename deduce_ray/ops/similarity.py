@@ -26,6 +26,16 @@ def _unit_rows(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
+def _top_indices(scores, ids, top):
+    """Indices of the top candidates under the ANN ordering contract:
+    round(score, 6) descending, id ascending.  argpartition alone would
+    break ties arbitrarily and could drop the lowest-id member of a tied
+    group at a batch boundary, diverging from the oracle's row_number."""
+    rounded = np.round(scores, 6)
+    order = np.lexsort((ids, -rounded))
+    return order[:top]
+
+
 def _merge_topk(k: int, id_col: str):
     """Shared global top-k merge for all ANN paths: sort by (score desc,
     id asc), keep k, assign 1-based ranks — the tie-break contract the
@@ -58,6 +68,14 @@ def brute_force_topk(
     queries_ref = ray.put(unit_queries)
 
     def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    id_col: pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
         q = ray.get(queries_ref)
         ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
         mat = _unit_rows(_as_matrix(batch.column(vec_col)))
@@ -67,7 +85,7 @@ def brute_force_topk(
         for qi in range(q.shape[0]):
             col = sims[:, qi]
             # local prune: keep only this batch's top-k candidates
-            idx = np.argpartition(-col, top - 1)[:top]
+            idx = _top_indices(col, ids, top)
             for i in idx:
                 out["query_id"].append(qi)
                 out[id_col].append(int(ids[i]))
@@ -99,11 +117,13 @@ def kmeans_centroids(
     for _ in range(iters):
         sims = unit @ cents.T
         assign = np.argmax(sims, axis=1)
+        # reseed empty lists from DISTINCT worst-covered points (a shared
+        # argmin would make every empty list the same duplicate centroid)
+        coverage_order = iter(np.argsort(np.max(sims, axis=1)))
         for c in range(len(cents)):
             members = unit[assign == c]
             if len(members) == 0:
-                worst = int(np.argmin(np.max(sims, axis=1)))
-                cents[c] = unit[worst]
+                cents[c] = unit[next(coverage_order)]
             else:
                 cents[c] = members.mean(axis=0)
         cents = _unit_rows(cents)
@@ -148,6 +168,14 @@ def ivf_topk(
     state_ref = ray.put((unit_queries, cents, probe_lists))
 
     def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    id_col: pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
         q, centroids, probes = ray.get(state_ref)
         ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
         mat = _unit_rows(_as_matrix(batch.column(vec_col)))
@@ -160,7 +188,7 @@ def ivf_topk(
             sub_ids = ids[mask]
             sims = mat[mask] @ q[qi]
             top = min(k, len(sub_ids))
-            idx = np.argpartition(-sims, top - 1)[:top]
+            idx = _top_indices(sims, sub_ids, top)
             for i in idx:
                 out["query_id"].append(qi)
                 out[id_col].append(int(sub_ids[i]))
@@ -210,6 +238,14 @@ def lsh_bucketed_topk(
     queries_ref = ray.put((unit_queries, probe_sets))
 
     def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    id_col: pa.array([], type=pa.int64()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
         q, probes = ray.get(queries_ref)
         ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
         mat = _unit_rows(_as_matrix(batch.column(vec_col)))
@@ -225,7 +261,7 @@ def lsh_bucketed_topk(
             sub_ids = ids[mask]
             sims = mat[mask] @ q[qi]
             top = min(k, len(sub_ids))
-            idx = np.argpartition(-sims, top - 1)[:top]
+            idx = _top_indices(sims, sub_ids, top)
             for i in idx:
                 out["query_id"].append(qi)
                 out[id_col].append(int(sub_ids[i]))

@@ -45,10 +45,13 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch.column(text_col).to_pylist()
     ws = [len(split_words(t)) if t else 0 for t in texts]
     bpe = [len(_WORDISH_RE.findall(t)) if t else 0 for t in texts]
+    # null text counts as empty (n_chars=0) so the row is self-consistent
+    # with its 0 token counts — the oracles coalesce(text, '') to match
+    n_chars = [len(t) if t else 0 for t in texts]
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "n_chars": pc.cast(pc.utf8_length(batch.column(text_col)), pa.int64()),
+            "n_chars": pa.array(n_chars, type=pa.int64()),
             "n_ws_tokens": pa.array(ws, type=pa.int64()),
             "n_re_tokens": pa.array(bpe, type=pa.int64()),
         }
@@ -61,7 +64,6 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     rounding ambiguity)."""
     texts = batch.column(text_col).to_pylist()
     rows = {
-        "doc_id": batch.column("doc_id").to_pylist(),
         "n_chars": [],
         "n_alpha": [],
         "n_digit": [],
@@ -82,7 +84,9 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         rows["digit_ppm"].append((d * 1_000_000) // n if n else 0)
     return pa.table(
         {
-            "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+            # pass the id column through unchanged (string doc_id tables
+            # must not be force-cast to int64)
+            "doc_id": batch.column("doc_id"),
             "n_chars": pa.array(rows["n_chars"], type=pa.int64()),
             "n_alpha": pa.array(rows["n_alpha"], type=pa.int64()),
             "n_digit": pa.array(rows["n_digit"], type=pa.int64()),

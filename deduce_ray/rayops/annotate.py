@@ -198,7 +198,13 @@ def _cached_engine(lexicon_ref, enabled, disabled, with_redacted=False):
             disabled=disabled,
             with_redacted=with_redacted,
         )
-        _WORKER_ENGINE_CACHE.clear()
+        # keep a FEW configs resident: interleaved stages with different
+        # enabled sets share worker processes, and a single-slot cache
+        # would rebuild the engine on every batch (the exact cost this
+        # cache amortizes).  Engines share the broadcast lexicon object,
+        # so extra slots cost per-config compiled state only.
+        if len(_WORKER_ENGINE_CACHE) >= 8:
+            _WORKER_ENGINE_CACHE.pop(next(iter(_WORKER_ENGINE_CACHE)))
         _WORKER_ENGINE_CACHE[key] = worker
     return worker
 
