@@ -100,10 +100,12 @@ def approx_distinct(
         df = batch.select(keys + [value_col]).to_pandas()
         out_keys: list[tuple] = []
         regs: list[bytes] = []
-        for kv, grp in df.groupby(keys, sort=False):
+        for kv, grp in df.groupby(keys, sort=False, dropna=False):
             key_tuple = kv if isinstance(kv, tuple) else (kv,)
             reg = np.zeros(m, dtype=np.uint8)
             for v in grp[value_col]:
+                if v is None or v != v:
+                    continue  # COUNT(DISTINCT) ignores nulls
                 h = int.from_bytes(
                     hashlib.md5(str(v).encode()).digest()[:8], "big"
                 )
@@ -133,7 +135,7 @@ def approx_distinct(
 
     def merge_shard(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for kv, grp in df.groupby(keys, sort=True):
+        for kv, grp in df.groupby(keys, sort=True, dropna=False):
             key_tuple = kv if isinstance(kv, tuple) else (kv,)
             merged = np.zeros(m, dtype=np.uint8)
             for blob in grp["registers"]:

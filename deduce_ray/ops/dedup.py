@@ -421,24 +421,26 @@ def neardup_clusters(
     # strictly-monotone convergence witness: unchanged sum <=> fixpoint.
     prev_sum = labels.sum("label")
     converged = False
+    # Sentinel -1 (ids are non-negative) instead of NULL for the tagged
+    # unions: Ray's arrow->pandas conversion widens int64-with-nulls to
+    # FLOAT64, which silently rounds md5-derived 63-bit ids (float64 has
+    # 53 mantissa bits) — labels would attach to nonexistent node ids.
     for _ in range(rounds):
         # -- neighbour-min: join labels to edges within each source shard,
         # emit (peer, label) + (node, label), re-shard by target, min
         tagged = labels.map_batches(
-            lambda df: df.assign(peer=pd.array([None] * len(df), dtype="Int64")),
+            lambda df: df.assign(peer=-1),
             batch_format="pandas",
         ).union(
             edges.map_batches(
-                lambda df: df.assign(
-                    label=pd.array([None] * len(df), dtype="Int64")
-                )[["node", "shard", "label", "peer"]],
+                lambda df: df.assign(label=-1)[["node", "shard", "label", "peer"]],
                 batch_format="pandas",
             )
         )
 
         def send_shard(df: pd.DataFrame) -> pd.DataFrame:
-            have = df[df["label"].notna()][["node", "label"]]
-            edge_sub = df[df["peer"].notna()][["node", "peer"]]
+            have = df[df["label"] >= 0][["node", "label"]]
+            edge_sub = df[df["peer"] >= 0][["node", "peer"]]
             to_peers = edge_sub.merge(have, on="node")[["peer", "label"]]
             to_peers = to_peers.rename(columns={"peer": "node"})
             msgs = pd.concat([have, to_peers], ignore_index=True)
@@ -464,13 +466,13 @@ def neardup_clusters(
 
         def query_rows(df: pd.DataFrame) -> pd.DataFrame:
             out = df[["node", "label"]].rename(columns={"label": "key"})
-            out["label"] = pd.array([None] * len(out), dtype="Int64")
+            out["label"] = -1
             out["shard"] = _shard_of(out["key"])
             return out[["shard", "key", "node", "label"]]
 
         def have_rows(df: pd.DataFrame) -> pd.DataFrame:
             out = df[["node", "label"]].rename(columns={"node": "key"})
-            out["node"] = pd.array([None] * len(out), dtype="Int64")
+            out["node"] = -1
             out["shard"] = _shard_of(out["key"])
             return out[["shard", "key", "node", "label"]]
 
@@ -479,13 +481,16 @@ def neardup_clusters(
         ).union(labels.map_batches(have_rows, batch_format="pandas"))
 
         def jump_shard(df: pd.DataFrame) -> pd.DataFrame:
-            have = df[df["label"].notna()][["key", "label"]].drop_duplicates(
+            have = df[df["label"] >= 0][["key", "label"]].drop_duplicates(
                 subset=["key"]
             )
-            queries = df[df["node"].notna()][["key", "node"]]
-            joined = queries.merge(have, on="key", how="left")
-            joined["label"] = joined["label"].fillna(joined["key"])
-            out = joined[["node", "label"]].astype(
+            queries = df[df["node"] >= 0][["key", "node"]]
+            # INNER merge keeps int64 intact; a left merge would widen the
+            # label column to float64 on any miss and round 63-bit ids.
+            inner = queries.merge(have, on="key")[["node", "label"]]
+            miss = queries[~queries["key"].isin(have["key"])][["node", "key"]]
+            miss = miss.rename(columns={"key": "label"})
+            out = pd.concat([inner, miss], ignore_index=True).astype(
                 {"node": "int64", "label": "int64"}
             )
             out["shard"] = _shard_of(out["node"])
@@ -555,7 +560,14 @@ def simhash_pairs(
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
         out = {"shard": [], "bucket": [], id_col: [], "simhash": []}
+        from deduce_ray.ops.textstats import split_words
+
         for i, t in zip(ids, texts):
+            if not split_words(t or ""):
+                # word-less docs all hash to simhash 0: emitting them would
+                # form one O(m^2) bucket of bogus hamming-0 pairs (see the
+                # matching guard in minhash_lsh_pairs)
+                continue
             h = simhash64(t or "")
             for band in range(4):
                 chunk = (h >> (band * 16)) & 0xFFFF
@@ -695,6 +707,16 @@ def embedding_neardup_pairs(
     n_shards = 256
 
     def signatures(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "shard": pa.array([], type=pa.int32()),
+                "bucket": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=pa.int64()),
+                vec_col: pa.array([], type=pa.list_(pa.float64())),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
         vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
         ids = batch.column(id_col).to_pylist()
         out_shard, out_bucket, out_ids, out_vecs = [], [], [], []

@@ -56,14 +56,23 @@ def pricing_summary(sf_dir: str):
         )
         ext_cents = _cents(batch.column("l_extendedprice"))
         disc_cents = pc.cast(
-            pc.round(pc.multiply(pc.subtract(1.0, batch.column("l_discount")), 100.0)),
+            pc.round(
+                pc.multiply(pc.subtract(1.0, batch.column("l_discount")), 100.0),
+                round_mode="half_towards_infinity",
+            ),
             pa.int64(),
         )
         return pa.table(
             {
                 "l_returnflag": batch.column("l_returnflag"),
                 "l_linestatus": batch.column("l_linestatus"),
-                "qty": pc.cast(pc.round(batch.column("l_quantity")), pa.int64()),
+                "qty": pc.cast(
+                    pc.round(
+                        batch.column("l_quantity"),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
                 "ext_cents": ext_cents,
                 "disc_units": pc.multiply(ext_cents, disc_cents),
             }
@@ -240,13 +249,22 @@ def events_by_type(sf_dir: str):
         keys=["event_type", "user_id"],
         aggs={"n": (None, "count"), "cents": ("cents", "sum")},
     )
+
+    # null-user rows ride per_user (dropna=False) so their events count
+    # toward n_events/sum, but COUNT(DISTINCT user_id) ignores nulls —
+    # flag real users and sum the flag instead of counting rows
+    def flag_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["is_user"] = df["user_id"].notna().astype("int64")
+        return df
+
     per_type = grouped_agg(
-        per_user,
+        per_user.map_batches(flag_user, batch_format="pandas"),
         keys=["event_type"],
         aggs={
             "n_events": ("n", "sum"),
             "sum_cents": ("cents", "sum"),
-            "n_users": (None, "count"),
+            "n_users": ("is_user", "sum"),
         },
     )
 
@@ -356,7 +374,13 @@ def brand_volume(sf_dir: str):
         return pa.table(
             {
                 "p_brand": val_arr.take(idx),
-                "qty": pc.cast(pc.round(batch.column("l_quantity")), pa.int64()),
+                "qty": pc.cast(
+                    pc.round(
+                        batch.column("l_quantity"),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
             }
         )
 
@@ -420,7 +444,10 @@ def bucketed_join_revenue(sf_dir: str, n_buckets: int = 32):
         keys = batch.column("l_orderkey")
         ext_cents = _cents(batch.column("l_extendedprice"))
         disc_cents = pc.cast(
-            pc.round(pc.multiply(pc.subtract(1.0, batch.column("l_discount")), 100.0)),
+            pc.round(
+                pc.multiply(pc.subtract(1.0, batch.column("l_discount")), 100.0),
+                round_mode="half_towards_infinity",
+            ),
             pa.int64(),
         )
         return pa.table(
@@ -494,19 +521,38 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30):
     )
 
     gap = pd.Timedelta(minutes=gap_minutes)
+    n_shards = 256
 
-    def sessions(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
-        new_session = (df["ts"].diff() > gap) | df["ts"].diff().isna()
-        return pd.DataFrame(
-            {
-                "user_id": df["user_id"].iloc[:1].astype("int64"),
-                "n_sessions": [int(new_session.sum())],
-                "n_events": [int(len(df))],
-            }
+    def add_shard(batch: pa.Table) -> pa.Table:
+        shard = pc.cast(
+            pc.bit_wise_and(pc.cast(batch.column("user_id"), pa.int64()),
+                            n_shards - 1),
+            pa.int64(),
         )
+        return batch.append_column("__shard", shard)
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def sessions_shard(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized sessionization for ALL users in the shard at once
+        # (one map_groups UDF call per user would dominate wall-clock at
+        # realistic user cardinality): sort by (user, ts, event_id); a new
+        # session starts on a user change or a gap beyond the threshold
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        user_change = df["user_id"].ne(df["user_id"].shift())
+        new_session = user_change | (df["ts"].diff() > gap)
+        df = df.assign(__new=new_session.astype("int64"))
+        out = df.groupby("user_id", as_index=False).agg(
+            n_sessions=("__new", "sum"), n_events=("__new", "count")
+        )
+        return out
+
+    out = (
+        ds.map_batches(add_shard, batch_format="pyarrow", batch_size=65536)
+        .groupby("__shard")
+        .map_groups(
+            lambda df: sessions_shard(df.drop(columns=["__shard"])),
+            batch_format="pandas",
+        )
+    )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

@@ -251,7 +251,10 @@ def canonicalize_entities(triples_ds, cluster_rounds: int = 8):
                 "pred": batch.column("pred"),
                 "obj_norm": batch.column("obj_norm"),
                 "n_mentions": batch.column("n_mentions"),
-                "cluster": pa.nulls(batch.num_rows, type=pa.int64()),
+                # sentinel -1, NOT null: Ray's arrow->pandas conversion
+                # widens int64-with-nulls to float64, which would round the
+                # 63-bit cluster/node ids (53-bit mantissa)
+                "cluster": pa.array([-1] * batch.num_rows, type=pa.int64()),
             }
         )
 
@@ -262,7 +265,7 @@ def canonicalize_entities(triples_ds, cluster_rounds: int = 8):
                 "node": batch.column("doc_id"),
                 "pred": pa.nulls(n, type=pa.string()),
                 "obj_norm": pa.nulls(n, type=pa.string()),
-                "n_mentions": pa.nulls(n, type=pa.int64()),
+                "n_mentions": pa.array([-1] * n, type=pa.int64()),
                 "cluster": batch.column("cluster_id"),
             }
         )
@@ -285,15 +288,20 @@ def canonicalize_entities(triples_ds, cluster_rounds: int = 8):
     # one map_groups UDF call per distinct surface form)
     def resolve_shard(df: pd.DataFrame) -> pd.DataFrame:
         label_rows = (
-            df[df["cluster"].notna()]
+            df[df["cluster"] >= 0]
             .groupby("node", as_index=False)
             .agg(cluster=("cluster", "min"))
         )
         forms = df[df["obj_norm"].notna()][
             ["node", "pred", "obj_norm", "n_mentions"]
         ]
-        out = forms.merge(label_rows, on="node", how="left")
-        out["cluster"] = out["cluster"].fillna(out["node"]).astype("int64")
+        # INNER merge + explicit miss set: a left merge would widen the
+        # cluster column to float64 on any unlabeled form and round the ids
+        inner = forms.merge(label_rows, on="node")
+        miss = forms[~forms["node"].isin(label_rows["node"])].copy()
+        miss["cluster"] = miss["node"]
+        out = pd.concat([inner, miss], ignore_index=True)
+        out["cluster"] = out["cluster"].astype("int64")
         out["cluster_shard"] = (out["cluster"] % n_shards).astype("int64")
         return out[["pred", "obj_norm", "n_mentions", "cluster", "cluster_shard"]]
 
@@ -430,7 +438,23 @@ def materialize_graph(
                     "rerun with the original hot_keys/n_salts"
                 )
 
-    combined = triples_ds.map_batches(_dedup_batch, batch_format="pyarrow")
+    def normalize_keys(batch: pa.Table) -> pa.Table:
+        # partition keys must be non-null strings for slug construction and
+        # resume filtering: nulls (preserved through dedup by design) are
+        # normalized to '' — they write to a '____<lang>' partition rather
+        # than crashing write_unit or being silently dropped by drop_done
+        import pyarrow.compute as pc
+
+        for col in ("repo", "lang"):
+            idx = batch.schema.get_field_index(col)
+            batch = batch.set_column(
+                idx, col, pc.fill_null(batch.column(col), "")
+            )
+        return batch
+
+    combined = triples_ds.map_batches(
+        normalize_keys, batch_format="pyarrow"
+    ).map_batches(_dedup_batch, batch_format="pyarrow")
     # coalesce + second-level combine before the salted exchange (see
     # dedup_triples: thousands of tiny blocks make the sort pathological)
     combined = combined.map_batches(

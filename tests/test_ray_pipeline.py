@@ -706,6 +706,35 @@ class TestClustersAndJoins:
         }
         assert fast == dist == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
+    def test_neardup_clusters_distributed_63bit_ids(self, ray_session):
+        """md5-derived node ids exceed float64's 53-bit mantissa; the
+        distributed path must propagate them exactly (nullable-int64
+        columns widen to float64 through Ray's pandas conversion, which
+        silently rounds such ids — regression for the sentinel fix)."""
+        import ray.data
+
+        from deduce_ray.ops.dedup import neardup_clusters
+
+        base = (1 << 62) + 12345678901234567  # far beyond 2^53
+        rows = [
+            {"id_a": base, "id_b": base + 1},
+            {"id_a": base + 1, "id_b": base + 2},
+            {"id_a": base + 10, "id_b": base + 11},
+        ]
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in neardup_clusters(
+                ray.data.from_items(rows), driver_threshold=0, rounds=4
+            ).take_all()
+        }
+        assert got == {
+            base: base,
+            base + 1: base,
+            base + 2: base,
+            base + 10: base + 10,
+            base + 11: base + 10,
+        }
+
     def test_neardup_clusters_distributed_long_chain(self, ray_session):
         """Pointer jumping resolves a chain longer than the round budget:
         one-hop-per-round propagation would need 11 rounds for this
