@@ -67,7 +67,12 @@ def grouped_agg(
     # blocks, not thousands (3200 blocks x 256 partitions of metadata made
     # the exchange pathologically slow), and the combiner collapses more
     # per call
-    partial = ds.map_batches(combine, batch_format="pandas", batch_size=65536)
+    # num_cpus=0.9 prevents fusion with an expensive upstream map chain:
+    # fused, the coalescing batch_size would gate upstream task granularity
+    # at 65536 input rows and cap its parallelism
+    partial = ds.map_batches(
+        combine, batch_format="pandas", batch_size=65536, num_cpus=0.9
+    )
     return partial.groupby("__shard").map_groups(merge, batch_format="pandas")
 
 

@@ -72,22 +72,33 @@ def dedup_triples(triples_ds, by_doc_first: bool = False):
     del by_doc_first
     combined = triples_ds.map_batches(_dedup_batch, batch_format="pyarrow")
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
-        buckets = [int(d[:4], 16) % 256 if d else 0 for d in doc_ids]
-        return batch.append_column(
-            "doc_bucket", pa.array(buckets, type=pa.int32())
-        )
+    def merge_and_bucket(df):
+        out = _merge_graph_rows(df)
+        out["doc_bucket"] = [
+            int(d[:4], 16) % 256 if d else 0 for d in out["doc_id"]
+        ]
+        return out
 
     # batch_size coalesces the many small combiner outputs into few blocks
     # before the sort-based exchange (thousands of blocks x 256 partitions
     # of shuffle metadata is pathological) and gives the bucket-combiner a
-    # second chance to collapse replicas that lived in different blocks
+    # second chance to collapse replicas that lived in different blocks.
+    # num_cpus=0.9 deliberately differs from the default so Ray does NOT
+    # fuse this coalescing pass with the upstream annotate chain — fused,
+    # the large batch_size would gate upstream task granularity at 131072
+    # input rows and serialize the expensive annotate stage (measured:
+    # kg_graph 4.5 s -> 9.5 s with the chain collapsed to one task)
+    # 32768 balances the two regimes: the 2M-doc stress still collapses
+    # 3200 tiny combiner blocks to ~140 (sort metadata stays small), while
+    # a small corpus gets several coalescer tasks instead of one
+    # barrier-like task that defeats streaming overlap with the sort
     return (
         combined.map_batches(
-            _merge_graph_rows, batch_format="pandas", batch_size=131072
+            merge_and_bucket,
+            batch_format="pandas",
+            batch_size=32768,
+            num_cpus=0.9,
         )
-        .map_batches(add_bucket, batch_format="pyarrow")
         .groupby("doc_bucket")
         .map_groups(
             lambda df: _merge_graph_rows(df.drop(columns=["doc_bucket"])),
@@ -137,7 +148,10 @@ def canonical_entities(triples_ds):
         ).agg(n_mentions=("n_mentions", "sum"))
 
     return (
-        combined.map_batches(add_shard, batch_format="pandas", batch_size=131072)
+        combined.map_batches(
+            add_shard, batch_format="pandas", batch_size=32768,
+            num_cpus=0.9,  # break fusion with the annotate chain
+        )
         .groupby("__shard")
         .map_groups(merge, batch_format="pandas")
     )
@@ -458,7 +472,8 @@ def materialize_graph(
     # coalesce + second-level combine before the salted exchange (see
     # dedup_triples: thousands of tiny blocks make the sort pathological)
     combined = combined.map_batches(
-        _merge_graph_rows, batch_format="pandas", batch_size=131072
+        _merge_graph_rows, batch_format="pandas", batch_size=32768,
+        num_cpus=0.9,  # break fusion with the annotate chain (see dedup_triples)
     )
 
     hot = frozenset(hot_keys or ())
