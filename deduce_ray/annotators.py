@@ -179,6 +179,10 @@ class TokenPatternAnnotator(Annotator):
         skip: set[str] | None = None,
     ) -> Annotation | None:
         """``pattern`` may hold predicate dicts or precompiled closures."""
+        if not pattern:
+            # an empty pattern must match NOTHING — falling through would
+            # "match" with zero checks and annotate/extend arbitrary tokens
+            return None
         skip = skip or set()
         ordered = pattern if direction == "right" else list(reversed(pattern))
 
@@ -270,7 +274,7 @@ class ContextAnnotator(TokenPatternAnnotator):
 
             extension = self.match_sequence(
                 text,
-                ctx.get("_compiled") or ctx["pattern"],
+                ctx.get("_compiled") or ctx.get("pattern", []),
                 start_token,
                 direction=direction,
                 skip=skip,
@@ -411,7 +415,11 @@ class RegexpAnnotator(Annotator):
             else regexp_pattern
         )
         self.capturing_group = capturing_group
-        self.pre_match_words = set(pre_match_words) if pre_match_words else None
+        # compared against the LOWERCASED document word set — normalize here
+        # so capitalized gate words cannot silently disable the annotator
+        self.pre_match_words = (
+            {w.lower() for w in pre_match_words} if pre_match_words else None
+        )
 
     def _validate_match(self, match: re.Match, doc: Document) -> bool:
         return True
@@ -457,8 +465,14 @@ class RegexpPseudoAnnotator(RegexpAnnotator):
         **kwargs,
     ) -> None:
         super().__init__(regexp_pattern, tag, **kwargs)
-        self.pre_pseudo = set(pre_pseudo or [])
-        self.post_pseudo = set(post_pseudo or [])
+        # probe words are lowercased when self.lowercase, so the veto lists
+        # must be lowercase too or capitalized entries would never fire
+        self.pre_pseudo = (
+            {w.lower() for w in pre_pseudo} if lowercase else set(pre_pseudo)
+        ) if pre_pseudo else set()
+        self.post_pseudo = (
+            {w.lower() for w in post_pseudo} if lowercase else set(post_pseudo)
+        ) if post_pseudo else set()
         self.lowercase = lowercase
 
     @staticmethod
@@ -600,6 +614,8 @@ class PatientNameAnnotator(Annotator):
     @staticmethod
     def _match_first_names(doc: Document, token: Token):
         for name in doc.metadata["patient"].first_names:
+            if not name:
+                continue
             if str_match(token.text, name) or (
                 len(token.text) > 3 and str_match(token.text, name, max_edit_distance=1)
             ):
@@ -609,6 +625,8 @@ class PatientNameAnnotator(Annotator):
     @staticmethod
     def _match_initial_from_name(doc: Document, token: Token):
         for name in doc.metadata["patient"].first_names:
+            if not name:
+                continue  # empty components (double spaces in metadata)
             if str_match(token.text, name[0]):
                 nxt = token.next()
                 if nxt is not None and str_match(nxt.text, "."):
@@ -628,6 +646,8 @@ class PatientNameAnnotator(Annotator):
                 doc.metadata["patient"].surname
             )
         pattern = doc.metadata["surname_pattern"]
+        if len(pattern) == 0:
+            return None  # blank/whitespace-only surname metadata
 
         pattern_token = pattern[0]
         start = token

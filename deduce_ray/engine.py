@@ -165,7 +165,6 @@ class DeduceEngine:
                 "merge_adjacent_annotations",
                 DeduceMergeAdjacentAnnotations(
                     slack_regexp=self.config["adjacent_annotations_slack"],
-                    check_overlap=False,
                 ),
             ),
             ("redactor", self.redactor),

@@ -211,21 +211,26 @@ class PackedTrie:
         return spans
 
     def longest_matching_prefix(self, texts: list[str], start_i: int = 0) -> int:
+        # consult the runtime-tailoring overlay too, so the two probe APIs
+        # of one trie (find_spans and this) agree about membership
+        overlay_len = 0
+        if self._overlay is not None:
+            overlay_len = self._overlay.longest_matching_prefix(texts, start_i)
         enc = self._norm_encoded(texts[start_i:])
         if not enc:
-            return 0
+            return overlay_len
         fi = self._firsts.index(enc[0])
         if fi < 0:
-            return 0
+            return overlay_len
         mask = int(self._len_masks[fi])
         length = mask.bit_length()
         n = len(enc)
-        while length > 0:
+        while length > overlay_len:
             if (mask >> (length - 1)) & 1 and length <= n:
                 if length == 1 or _SEP.join(enc[:length]) in self._entries:
                     return length
             length -= 1
-        return 0
+        return overlay_len
 
     def __getstate__(self):
         return (

@@ -74,9 +74,8 @@ class MergeAdjacentAnnotations(AnnotationProcessor):
     """Merges annotations with matching tags whose gap fully matches the
     slack regexp (or is empty)."""
 
-    def __init__(self, slack_regexp: str | None = None, check_overlap: bool = True) -> None:
+    def __init__(self, slack_regexp: str | None = None) -> None:
         self.slack = re.compile(slack_regexp) if slack_regexp else None
-        self.check_overlap = check_overlap
 
     def _tags_match(self, left_tag: str, right_tag: str) -> bool:
         return left_tag == right_tag

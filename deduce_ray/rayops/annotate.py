@@ -86,6 +86,14 @@ class AnnotateBatch:
         self.enabled = set(enabled) if enabled else None
         self.disabled = set(disabled) if disabled else None
         self.with_redacted = with_redacted
+        # when the redacted text is not requested, skip the redactor stage
+        # entirely: its per-doc fuzzy TAG-n grouping duplicates the entity
+        # linking extract_mentions does anyway, and the rendered string is
+        # discarded — measurable per-doc cost on the hot path.  With an
+        # explicit enabled set the redactor only runs if named, so only the
+        # enabled=None (full pipeline) case needs the exclusion.
+        if not with_redacted and self.enabled is None:
+            self.disabled = (self.disabled or set()) | {"redactor"}
         # straggler guard: annotate only the first N chars of pathological
         # documents and flag them with a pred="_truncated" row
         self.max_content_chars = max_content_chars

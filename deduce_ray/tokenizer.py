@@ -127,7 +127,38 @@ class TokenList:
 
     @staticmethod
     def _pipeline_key(pipeline: Sequence | None) -> tuple:
-        return tuple(type(p).__name__ for p in (pipeline or ()))
+        # Key by class name PLUS constructor parameters: two pipelines with
+        # the same classes but different parameters (FilterByLength(2) vs
+        # FilterByLength(4)) must not share cache entries.  Bare id() keys
+        # are unsafe here — a garbage-collected transient processor's
+        # address can be reused by its successor, silently colliding.
+        # Unhashable attribute values (e.g. a LookupSet) fall back to id(),
+        # which is safe for those long-lived lexicon structures.
+        parts = []
+        for p in (pipeline or ()):
+            part = getattr(p, "_pipeline_key_part", None)
+            if part is None:
+                try:
+                    attrs = []
+                    for k, v in sorted(vars(p).items()):
+                        if k == "_pipeline_key_part":
+                            continue
+                        try:
+                            hash(v)
+                            attrs.append((k, v))
+                        except TypeError:
+                            attrs.append((k, id(v)))
+                    part = (type(p).__name__, tuple(attrs))
+                except TypeError:  # __slots__ objects without __dict__
+                    part = (type(p).__name__, id(p))
+                # memoize on the instance (hot path calls this per lookup);
+                # the memo dies with the object, so no id-reuse hazard
+                try:
+                    p._pipeline_key_part = part
+                except AttributeError:
+                    pass
+            parts.append(part)
+        return tuple(parts)
 
     def get_words(self, pipeline: Sequence | None = None) -> set[str]:
         return set(self._word_index(self._pipeline_key(pipeline), pipeline or ()))

@@ -415,3 +415,54 @@ class TestPatientName:
         ann = self.make(tokenizer)
         doc = Document("Jan", tokenizer=tokenizer)
         assert ann.annotate(doc) == []
+
+
+class TestReviewRegressions:
+    """Reproduced-defect regressions from the round-2 review passes."""
+
+    def test_patient_metadata_with_empty_components(self, engine):
+        """Double spaces / blank metadata fields must not crash the
+        annotate path (empty first-name components, whitespace surname)."""
+        from deduce_ray.person import Person
+
+        doc = engine.deidentify(
+            "Jan  Willem kwam op controle.",
+            metadata={
+                "patient": Person.from_keywords(
+                    patient_first_names="Jan  Willem", patient_surname=" "
+                )
+            },
+            enabled={"names", "patient_name"},
+        )
+        assert any(a.tag == "voornaam_patient" for a in doc.annotations)
+
+    def test_empty_pattern_matches_nothing(self, engine):
+        from deduce_ray.annotators import TokenPatternAnnotator
+
+        ann = TokenPatternAnnotator(
+            ds=engine.lookup_structs, pattern=[], tag="boom"
+        )
+        doc = engine.deidentify("gewoon wat tekst", enabled=set())
+        assert ann.annotate(doc) == []
+
+    def test_word_index_distinguishes_pipeline_params(self, engine):
+        from deduce_ray.document import Document
+        from deduce_ray.strproc import FilterByLength
+
+        doc = Document("aa bbbb cc ddddd", tokenizer=engine.tokenizer)
+        tl = doc.get_tokens()
+        short = tl.get_words([FilterByLength(min_len=2)])
+        long = tl.get_words([FilterByLength(min_len=4)])
+        assert "aa" in short and "aa" not in long
+        assert "ddddd" in short and "ddddd" in long
+
+    def test_pre_match_words_case_insensitive(self, engine):
+        from deduce_ray.annotators import RegexpAnnotator
+
+        ann = RegexpAnnotator(
+            regexp_pattern=r"[Pp]ostbus \d+",
+            tag="locatie",
+            pre_match_words=["Postbus"],  # capitalized gate word
+        )
+        doc = engine.deidentify("Stuur naar Postbus 123 aub.", enabled=set())
+        assert [a.text for a in ann.annotate(doc)] == ["Postbus 123"]

@@ -107,7 +107,7 @@ class TestPersonConverter:
 class TestMergeAdjacent:
     def test_equal_tags_merge_over_slack(self):
         proc = DeduceMergeAdjacentAnnotations(
-            slack_regexp="[\\. \\-]?[\\. ]?", check_overlap=False
+            slack_regexp="[\\. \\-]?[\\. ]?"
         )
         text = "Jan Jansen"
         anns = AnnotationSet(
@@ -122,7 +122,7 @@ class TestMergeAdjacent:
 
     def test_mixed_patient_persoon_merges_to_patient(self):
         proc = DeduceMergeAdjacentAnnotations(
-            slack_regexp="[\\. \\-]?[\\. ]?", check_overlap=False
+            slack_regexp="[\\. \\-]?[\\. ]?"
         )
         text = "Jan Jansen"
         anns = AnnotationSet(
@@ -137,7 +137,7 @@ class TestMergeAdjacent:
 
     def test_different_tags_do_not_merge(self):
         proc = DeduceMergeAdjacentAnnotations(
-            slack_regexp="[\\. \\-]?[\\. ]?", check_overlap=False
+            slack_regexp="[\\. \\-]?[\\. ]?"
         )
         text = "Jan Utrecht"
         anns = AnnotationSet(
@@ -150,7 +150,7 @@ class TestMergeAdjacent:
 
     def test_gap_exceeding_slack_does_not_merge(self):
         proc = DeduceMergeAdjacentAnnotations(
-            slack_regexp="[\\. \\-]?[\\. ]?", check_overlap=False
+            slack_regexp="[\\. \\-]?[\\. ]?"
         )
         text = "Jan en Jansen"
         anns = AnnotationSet(
