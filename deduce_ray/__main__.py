@@ -26,6 +26,27 @@ def _init_ray(num_cpus: int | None) -> None:
         ray.init(**kwargs)
 
 
+def _expand_enabled(engine, enabled: set[str] | None) -> set[str] | None:
+    """CLI convenience: the engine's enabled-set semantics (mirroring
+    docdeid) require BOTH the group name and the member names.  Expand a
+    bare group name to the whole group, and a bare member name to
+    {its group, member}, so ``--enabled bsn`` does what it says."""
+    if enabled is None:
+        return None
+    out: set[str] = set()
+    for name in enabled:
+        if name in engine.processor_groups:
+            out |= engine.group_names(name)
+            continue
+        for group, members in engine.processor_groups.items():
+            if any(name == member for member, _ in members):
+                out |= {group, name}
+                break
+        else:
+            out.add(name)
+    return out
+
+
 def cmd_extract(args) -> int:
     import ray
     import ray.data
@@ -91,7 +112,9 @@ def cmd_deidentify(args) -> int:
     doc = engine.deidentify(
         text,
         metadata=metadata,
-        enabled=set(args.enabled.split(",")) if args.enabled else None,
+        enabled=_expand_enabled(
+            engine, set(args.enabled.split(",")) if args.enabled else None
+        ),
         disabled=set(args.disabled.split(",")) if args.disabled else None,
     )
     print(
@@ -144,7 +167,12 @@ def main() -> int:
     p = sub.add_parser("extract", help="parquet in -> triple graph out")
     p.add_argument("--input", required=True)
     p.add_argument("--output", help="graph directory (omit: just count triples)")
-    p.add_argument("--enabled", help="comma-separated stage names")
+    p.add_argument(
+        "--enabled",
+        help="comma-separated group and/or annotator names (bare names are "
+        "expanded: a group enables all its members, a member enables "
+        "itself within its group)",
+    )
     p.add_argument("--with-redacted", action="store_true")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--num-cpus", type=int)

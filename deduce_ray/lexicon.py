@@ -207,7 +207,16 @@ def _common_words(raw: dict[str, set[str]]) -> LookupSet:
 
 def load_whitelist(raw: dict[str, set[str]]) -> LookupSet:
     """medical terms ∪ (common words − surnames) ∪ stop words; matched
-    case-insensitively, min length 2."""
+    case-insensitively, min length 2.
+
+    Memoized on the raw-itemset dict: five loaders consult the whitelist
+    during one compile, and rebuilding it each time re-lowercases and
+    re-filters the full surname list for identical output.  The cached
+    set is read-only shared state, same content as a fresh build.
+    """
+    cached = raw.get("__whitelist__")
+    if isinstance(cached, LookupSet):
+        return cached
     medical = LookupSet()
     medical.add_items_from_iterable(raw["medical_term"])
     stop = LookupSet()
@@ -218,6 +227,7 @@ def load_whitelist(raw: dict[str, set[str]]) -> LookupSet:
         medical + _common_words(raw) + stop,
         cleaning_pipeline=[sp.FilterByLength(min_len=2)],
     )
+    raw["__whitelist__"] = whitelist  # type: ignore[assignment]
     return whitelist
 
 
@@ -383,7 +393,12 @@ def source_fingerprint(lookup_path: Path | str = DEFAULT_LOOKUP_PATH) -> str:
         )
     digest = hashlib.sha256()
     for file in sorted((lookup_path / _SRC).glob("**/*")):
-        if file.is_file():
+        # hash only the DATA files: the src tree is also an importable
+        # Python package, and hashing __pycache__/*.pyc (whose content
+        # embeds source mtimes) or .py registry files would churn the
+        # fingerprint — and force a full lexicon recompile — on unrelated
+        # interpreter activity
+        if file.is_file() and file.suffix in (".txt", ".json"):
             digest.update(str(file.relative_to(lookup_path)).encode())
             digest.update(b"\x00")
             digest.update(file.read_bytes())

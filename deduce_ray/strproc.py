@@ -90,9 +90,8 @@ class RemoveValues(StrModifier):
 
     def __call__(self, item: str) -> str:
         for value in self.filter_values:
-            item = re.sub(
-                r"(^" + value + r" | " + value + r" | " + value + r"$)", "", item
-            )
+            v = re.escape(value)  # values are literals, not regex fragments
+            item = re.sub(r"(^" + v + r" | " + v + r" | " + v + r"$)", "", item)
         return item
 
 
