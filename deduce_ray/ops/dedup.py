@@ -530,6 +530,13 @@ def neardup_clusters(
 # ---------------------------------------------------------------------------
 
 
+def _simhash_from_words(words: list[str]) -> int:
+    h = _word_hashes(words).astype(">u8")
+    bits = np.unpackbits(h.view(np.uint8).reshape(len(words), 8), axis=1)
+    acc = bits.sum(axis=0, dtype=np.int64) * 2 - len(words)
+    return int(np.packbits((acc > 0).astype(np.uint8)).view(">u8")[0])
+
+
 def simhash64(text: str) -> int:
     """64-bit simhash over memoized word hashes: unpack every word's bits
     in one batched op; bit b of the result is set iff more than half the
@@ -539,10 +546,7 @@ def simhash64(text: str) -> int:
     words = split_words(text)
     if not words:
         return int(np.packbits(np.zeros(64, dtype=np.uint8)).view(">u8")[0])
-    h = _word_hashes(words).astype(">u8")
-    bits = np.unpackbits(h.view(np.uint8).reshape(len(words), 8), axis=1)
-    acc = bits.sum(axis=0, dtype=np.int64) * 2 - len(words)
-    return int(np.packbits((acc > 0).astype(np.uint8)).view(">u8")[0])
+    return _simhash_from_words(words)
 
 
 def simhash_pairs(
@@ -563,12 +567,13 @@ def simhash_pairs(
         from deduce_ray.ops.textstats import split_words
 
         for i, t in zip(ids, texts):
-            if not split_words(t or ""):
+            words = split_words(t or "")
+            if not words:
                 # word-less docs all hash to simhash 0: emitting them would
                 # form one O(m^2) bucket of bogus hamming-0 pairs (see the
                 # matching guard in minhash_lsh_pairs)
                 continue
-            h = simhash64(t or "")
+            h = _simhash_from_words(words)
             for band in range(4):
                 chunk = (h >> (band * 16)) & 0xFFFF
                 out["shard"].append((band * 65536 + chunk) % n_shards)
