@@ -461,8 +461,12 @@ def materialize_graph(
 
         for col in ("repo", "lang"):
             idx = batch.schema.get_field_index(col)
+            # cast first: an all-null block arrives with a null-typed
+            # column, which fill_null cannot coerce to string by itself
             batch = batch.set_column(
-                idx, col, pc.fill_null(batch.column(col), "")
+                idx,
+                col,
+                pc.fill_null(pc.cast(batch.column(col), pa.string()), ""),
             )
         return batch
 

@@ -109,6 +109,36 @@ class TestGraphMaterialize:
         part = pq.read_table(part_dir / f"part-{row['salt']}.parquet")
         assert part.num_rows == row["rows"]
 
+    def test_materialize_null_partition_keys(self, ray_session, tmp_path):
+        """Triples with null repo/lang write to a ''-keyed partition
+        instead of crashing slug construction or being dropped on resume."""
+        import ray.data
+
+        from deduce_ray.rayops.kg import materialize_graph
+
+        rows = [
+            {
+                "doc_id": "d1", "repo": None, "path": "p", "commit": "c",
+                "lang": None, "pred": "id", "obj": "1234567",
+                "start_char": 0, "end_char": 7, "entity_id": "ID-1",
+            },
+            {
+                "doc_id": "d2", "repo": "org/r", "path": "p", "commit": "c",
+                "lang": "nl", "pred": "id", "obj": "7654321",
+                "start_char": 0, "end_char": 7, "entity_id": "ID-1",
+            },
+        ]
+        out = tmp_path / "nullkeys"
+        metrics = materialize_graph(
+            ray.data.from_items(rows), out
+        ).to_pandas()
+        assert len(metrics) == 2
+        assert set(metrics["repo"]) == {"", "org/r"}
+
+        # resume skips both completed units (incl. the ''-keyed one)
+        metrics2 = materialize_graph(ray.data.from_items(rows), out).to_pandas()
+        assert len(metrics2) == 0
+
     def test_detect_hot_keys(self, ray_session, lexicon_ref):
         from deduce_ray.rayops.annotate import extract_triples
         from deduce_ray.rayops.kg import detect_hot_keys
@@ -403,6 +433,60 @@ class TestSimilarity:
             ).take_all()
         }
         assert got == again
+
+    def test_hll_null_semantics(self, ray_session):
+        """Null values are ignored (COUNT(DISTINCT) semantics); null-keyed
+        groups survive like SQL GROUP BY."""
+        import ray.data
+
+        from deduce_ray.ops.agg import approx_distinct
+
+        rows = [
+            {"g": "a", "v": 1},
+            {"g": "a", "v": 2},
+            {"g": "a", "v": None},
+            {"g": None, "v": 7},
+        ]
+        got = {
+            r["g"]: r["approx_distinct"]
+            for r in approx_distinct(
+                ray.data.from_items(rows), keys=["g"], value_col="v"
+            ).take_all()
+        }
+        assert got["a"] == 2  # null value not counted
+        # null-keyed group survives (appears as None or NaN depending on
+        # the pandas->arrow round trip)
+        null_keys = [k for k in got if k is None or k != k]
+        assert len(null_keys) == 1 and got[null_keys[0]] == 1
+
+    def test_click_attribution_inner_semantics(self, ray_session):
+        """Clicks with no prior view are dropped (inner as-of join)."""
+        import pandas as pd
+        import ray.data
+
+        from deduce_ray.ops.relational import click_attribution
+
+        # build a miniature events parquet in tmp via the real reader path
+        import tempfile, os
+        d = tempfile.mkdtemp()
+        ts = pd.to_datetime(
+            ["2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 02:00",
+             "2024-01-01 00:30"]
+        )
+        df = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4],
+                "ts": ts,
+                "user_id": [7, 7, 7, 9],
+                "event_type": ["view", "click", "click", "click"],
+            }
+        )
+        df.to_parquet(os.path.join(d, "events.parquet"), index=False)
+        out = click_attribution(d).take_all()
+        got = {(r["event_id"], r["view_ts"]) for r in out}
+        # user 7's clicks both attach to the 00:00 view; user 9 has none
+        assert {e for e, _ in got} == {2, 3}
+        assert all(v == ts[0] for _, v in got)
 
     def test_kmeans_deterministic(self):
         from deduce_ray.ops.similarity import kmeans_centroids
