@@ -68,16 +68,6 @@ def _q_kg_triples(sf_dir: str):
     )
 
 
-def _q_kg_triples_by_pred(sf_dir: str):
-    from deduce_ray.ops.agg import grouped_agg
-
-    return grouped_agg(
-        _triples(sf_dir).select_columns(["pred"]),
-        keys=["pred"],
-        aggs={"n_mentions": (None, "count")},
-    )
-
-
 def _q_kg_graph(sf_dir: str):
     from deduce_ray.rayops.kg import dedup_triples
 
@@ -396,22 +386,6 @@ def _q_ann_topk_ivf(sf_dir: str):
     )
 
 
-def _q_kg_redacted(sf_dir: str):
-    from deduce_ray.rayops.annotate import extract_triples
-
-    ds = extract_triples(
-        _repo_table(sf_dir), lexicon_ref=_lexicon_ref(), with_redacted=True
-    )
-
-    def project(batch):
-        import pyarrow.compute as pc
-
-        batch = batch.filter(pc.equal(batch.column("pred"), "_redacted"))
-        return batch.select(["doc_id", "obj"])
-
-    return ds.map_batches(project, batch_format="pyarrow")
-
-
 def _q_kg_redacted_sqlpreds(sf_dir: str):
     """Redacted rendering restricted to the SQL-decidable predicates —
     value-checks the redactor/linker machinery end-to-end against a
@@ -491,34 +465,38 @@ def _q_media_frames(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Exactly 50 queries, DuckDB-oracled entries FIRST.
+
+    The round-2 driver evaluated the registry in dict order and recorded
+    only the first 50 rows, silently dropping the final two — so the
+    registry is now capped at 50 with every value-checked query ahead of
+    every rows-only one.  Two round-2 entries were retired to make room:
+    ``kg_redacted`` (its machinery is value-checked by
+    ``kg_redacted_sqlpreds``) and ``kg_triples_by_pred`` (a trivial
+    grouped count whose grouped_agg machinery is value-checked by
+    ``doc_langid``/``events_by_type``).
+    """
     from deduce_ray.ops import relational as rel
 
     return {
-        # --- KG construction pipeline (flagship) ---
-        "kg_triples": _q_kg_triples,
-        "kg_triples_by_pred": _q_kg_triples_by_pred,
-        "kg_graph": _q_kg_graph,
-        "kg_entities": _q_kg_entities,
-        "kg_entities_canonical": _q_kg_entities_canonical,
+        # --- flagship restricted to SQL-decidable predicates (value-checked
+        # end-to-end: extract -> overlap-resolve -> link -> dedup -> graph) ---
+        "kg_triples_sqlpreds": _q_kg_triples_sqlpreds,
+        "kg_graph_sqlpreds": _q_kg_graph_sqlpreds,
+        "kg_entities_sqlpreds": _q_kg_entities_sqlpreds,
+        "kg_redacted_sqlpreds": _q_kg_redacted_sqlpreds,
         # --- single annotator groups, value-checked against DuckDB regex ---
-        "kg_emails": _mentions_query({"email_addresses", "email"}, "emailadres"),
-        "kg_identifiers": _mentions_query({"identifiers", "identifier"}, "id"),
-        "kg_urls": _mentions_query({"urls", "url"}, "url"),
-        "kg_postbus": _mentions_query({"locations", "postbus"}, "locatie"),
         "kg_dates": _mentions_query(
             {"dates", "date_dmy_1", "date_dmy_2", "date_ymd_1", "date_ymd_2"},
             "datum",
         ),
         "kg_bsn": _mentions_query({"identifiers", "bsn"}, "bsn"),
         "kg_postal": _mentions_query({"locations", "postal_code"}, "locatie"),
-        # --- flagship restricted to SQL-decidable predicates (value-checked) ---
-        "kg_triples_sqlpreds": _q_kg_triples_sqlpreds,
-        "kg_graph_sqlpreds": _q_kg_graph_sqlpreds,
-        "kg_entities_sqlpreds": _q_kg_entities_sqlpreds,
-        # --- text analysis ---
-        "kg_redacted": _q_kg_redacted,
-        "kg_redacted_sqlpreds": _q_kg_redacted_sqlpreds,
-        # --- text analysis ---
+        "kg_emails": _mentions_query({"email_addresses", "email"}, "emailadres"),
+        "kg_identifiers": _mentions_query({"identifiers", "identifier"}, "id"),
+        "kg_urls": _mentions_query({"urls", "url"}, "url"),
+        "kg_postbus": _mentions_query({"locations", "postbus"}, "locatie"),
+        # --- text analysis (value-checked) ---
         "doc_token_counts": _q_doc_token_counts,
         "doc_quality": _q_doc_quality,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -526,23 +504,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": _q_doc_langid,
         "top_terms": _q_top_terms,
         "doc_sample": _q_doc_sample,
-        # --- dedup family ---
+        # --- dedup family (value-checked) ---
         "exact_dedup": _q_exact_dedup,
         "dedup_survivors": _q_dedup_survivors,
         "docs_not_blocklisted": _q_docs_not_blocklisted,
-        "minhash_pairs": _q_minhash_pairs,
         "minhash_pairs_exact": _q_minhash_pairs_exact,
+        "minhash_clusters": _q_minhash_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
-        # --- similarity search ---
+        # --- similarity search (value-checked) ---
         "ann_topk": _q_ann_topk,
-        "ann_topk_lsh": _q_ann_topk_lsh,
-        "ann_topk_ivf": _q_ann_topk_ivf,
-        # --- multimodal plumbing (stubbed decode) ---
-        "media_features": _q_media_features,
-        "media_resized": _q_media_resized,
-        "media_frames": _q_media_frames,
-        # --- relational ops over the TPC-H-ish tables ---
+        # --- relational ops over the TPC-H-ish tables (value-checked) ---
         "pricing_summary": rel.pricing_summary,
         "top_customers": rel.top_customers,
         "events_by_type": rel.events_by_type,
@@ -556,8 +528,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_attribution": rel.click_attribution,
         "events_value_quantiles": rel.events_value_quantiles,
         "campaign_attribution": rel.campaign_attribution,
+        # ================= rows-only queries below this line ===============
+        # --- KG construction pipeline, full rule engine (lexicon tries,
+        # context fixpoints, fuzzy matching: not SQL-expressible; the same
+        # machinery is value-checked by the *_sqlpreds family above) ---
+        "kg_triples": _q_kg_triples,
+        "kg_graph": _q_kg_graph,
+        "kg_entities": _q_kg_entities,
+        "kg_entities_canonical": _q_kg_entities_canonical,
+        # --- scale-mode / approximate variants of value-checked ops ---
+        "minhash_pairs": _q_minhash_pairs,
         "events_user_sketch": _q_events_user_sketch,
-        "minhash_clusters": _q_minhash_clusters,
+        "ann_topk_lsh": _q_ann_topk_lsh,
+        "ann_topk_ivf": _q_ann_topk_ivf,
+        # --- multimodal plumbing ---
+        "media_features": _q_media_features,
+        "media_resized": _q_media_resized,
+        "media_frames": _q_media_frames,
     }
 
 
@@ -622,6 +609,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs_exact": oracles.jaccard_pairs_sql(),
         "minhash_clusters": oracles.neardup_clusters_sql(),
+        "simhash_pairs": oracles.simhash_pairs_sql(),
         "kg_emails": _mention_oracle(_EMAIL_RE_SQL),
         "kg_identifiers": _mention_oracle("[0-9]{7,}"),
         "kg_urls": _mention_oracle(_URL_RE_SQL),

@@ -350,6 +350,54 @@ def jaccard_pairs_sql(k: int = 3, threshold: float = 0.5) -> str:
     """
 
 
+def simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """Brute-force simhash near-dup oracle: rebuild the engine's 64-bit
+    simhash (deduce_ray.ops.dedup.simhash64) entirely in SQL, then compare
+    ALL document pairs on Hamming distance.
+
+    Exactness argument: the engine's word hash is the big-endian first 8
+    bytes of md5(word) — identical to ``CAST('0x' || substr(md5(w),1,16) AS
+    UBIGINT)`` — and bit i of the simhash is set iff 2*count(words with bit
+    i set) > n_words (strict, matching ``acc > 0`` in _simhash_from_words).
+    The engine's 4x16-bit band bucketing has guaranteed recall for Hamming
+    <= 3 (pigeonhole: <= 3 differing bits leave one band intact), so its
+    pair set equals this all-pairs scan exactly.  Word-less documents are
+    skipped by the engine and produce no rows here either."""
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(coalesce(text,''),
+                        '{WORD_CLASS_SQL}')) AS word
+          FROM documents
+        ),
+        h AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5(word),1,16)) AS UBIGINT) AS h64
+          FROM w
+        ),
+        counts AS (SELECT doc_id, COUNT(*) AS n FROM h GROUP BY doc_id),
+        bits AS (
+          SELECT h.doc_id, b.i,
+                 SUM(CASE WHEN (h.h64 >> b.i) & 1::UBIGINT = 1
+                          THEN 1 ELSE 0 END) AS set_cnt
+          FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) b
+          GROUP BY h.doc_id, b.i
+        ),
+        sim AS (
+          SELECT bits.doc_id,
+                 bit_or(CASE WHEN 2 * set_cnt > counts.n
+                             THEN (1::UBIGINT << bits.i)
+                             ELSE 0::UBIGINT END) AS simhash
+          FROM bits JOIN counts USING (doc_id)
+          GROUP BY bits.doc_id
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
 def neardup_clusters_sql(k: int = 3, threshold: float = 0.5) -> str:
     """Connected components over the exact-Jaccard pair graph via a
     recursive transitive closure (tractable because near-dup components are

@@ -15,7 +15,7 @@ preds = sorted(set(r["pred"] for r in got))
 trunc = [r for r in got if r["pred"]=="_truncated"]
 print("big-doc preds:", preds, "| truncated flag obj:", trunc[0]["obj"] if trunc else None, flush=True)
 
-red = mod.queries()["kg_redacted"]("/root/testdata/sf0.001").take(1)
+red = mod.queries()["kg_redacted_sqlpreds"]("/root/testdata/sf0.001").take(1)
 print("redacted sample:", red[0]["obj"][-110:], flush=True)
 
 from deduce_ray import DeduceEngine
