@@ -159,6 +159,16 @@ class TokenPatternAnnotator(Annotator):
         self.ds = ds
         self.skip = set(skip or [])
         self._compiled = [compile_position(spec, ds) for spec in pattern if spec]
+        # Single-position re_match patterns (street_pattern) otherwise walk
+        # match_sequence once per token of the document — the regex itself
+        # is the entire check, so scan the token-text list directly.
+        self._single_re = None
+        if (
+            len(pattern) == 1
+            and "re_match" in pattern[0]
+            and isinstance(pattern[0]["re_match"], re.Pattern)
+        ):
+            self._single_re = pattern[0]["re_match"]
         self._start_values: set[str] | None = None
         self._start_pipeline = None
         if pattern and "lookup" in pattern[0]:
@@ -212,6 +222,22 @@ class TokenPatternAnnotator(Annotator):
 
     def annotate(self, doc: Document) -> list[Annotation]:
         tokens = doc.get_tokens()
+        if self._single_re is not None:
+            match = self._single_re.match
+            tag, priority = self.tag, self.priority
+            return [
+                Annotation(
+                    text=token.text,
+                    start_char=token.start_char,
+                    end_char=token.end_char,
+                    tag=tag,
+                    priority=priority,
+                    start_token=token,
+                    end_token=token,
+                )
+                for text, token in zip(tokens.texts(), tokens)
+                if match(text) is not None
+            ]
         if self._start_values is not None:
             candidates = tokens.token_lookup(self._start_values, self._start_pipeline)
         else:

@@ -60,14 +60,19 @@ class _BlobSet:
 
     def index(self, probe: bytes) -> int:
         """Index of probe, or -1."""
+        # bound-method searchsorted (the np.searchsorted wrapper costs more
+        # than the search itself at this call volume).  The key MUST be
+        # boxed to np.uint64: searchsorted with a Python int against a
+        # uint64 array compares through float64, which rounds above 2^53
+        # and silently misses prefixes.
         key = np.uint64(_prefix64(probe))
         prefixes = self.prefixes
-        lo = int(np.searchsorted(prefixes, key, side="left"))
+        lo = int(prefixes.searchsorted(key, "left"))
         if lo >= self.n or prefixes[lo] != key:
             return -1
         # binary search inside the equal-prefix run (runs can be long for
         # lexicons with shared prefixes, e.g. street names)
-        hi = int(np.searchsorted(prefixes, key, side="right"))
+        hi = int(prefixes.searchsorted(key, "right"))
         blob, offsets = self.blob, self.offsets
         while lo < hi:
             mid = (lo + hi) >> 1
@@ -99,6 +104,7 @@ class PackedTrie:
         "_len_masks",
         "_n_entries",
         "_first_memo",
+        "_entry_memo",
         "_overlay",
     )
 
@@ -123,6 +129,7 @@ class PackedTrie:
         self._entries = _BlobSet(entry_bytes)
         self._n_entries = len(entry_bytes)
         self._first_memo: dict[bytes, int] = {}
+        self._entry_memo: dict[bytes, int] = {}
         self._overlay = None  # runtime-tailoring additions (LookupTrie)
         firsts_sorted = sorted(first_masks)
         self._firsts = _BlobSet(set(firsts_sorted))
@@ -188,23 +195,33 @@ class PackedTrie:
         firsts = self._firsts
         len_masks = self._len_masks
         entries = self._entries
+        entry_memo = self._entry_memo
+        if len(entry_memo) > self._MEMO_CAP:
+            entry_memo.clear()
         spans = []
 
+        # memo maps token -> length mask (0 = not a first token), so the
+        # steady-state per-token cost is one dict probe, no numpy unboxing
         for i, tok in enumerate(enc):
-            fi = memo.get(tok)
-            if fi is None:
+            mask = memo.get(tok)
+            if mask is None:
                 fi = firsts.index(tok)
-                memo[tok] = fi
-            if fi < 0:
+                mask = int(len_masks[fi]) if fi >= 0 else 0
+                memo[tok] = mask
+            if mask == 0:
                 continue
-            mask = int(len_masks[fi])
             length = mask.bit_length()  # highest candidate length
             while length > 0:
                 if (mask >> (length - 1)) & 1 and i + length <= n:
                     if length == 1:
                         spans.append((i, 1))
                         break
-                    if _SEP.join(enc[i : i + length]) in entries:
+                    joined = _SEP.join(enc[i : i + length])
+                    hit = entry_memo.get(joined)
+                    if hit is None:
+                        hit = entries.index(joined)
+                        entry_memo[joined] = hit
+                    if hit >= 0:
                         spans.append((i, length))
                         break
                 length -= 1
@@ -253,6 +270,7 @@ class PackedTrie:
         ) = state
         self._overlay = rest[0] if rest else None
         self._first_memo = {}
+        self._entry_memo = {}
 
 
 class MultiPackedTrie:
@@ -267,9 +285,22 @@ class MultiPackedTrie:
     produce (verified by tests).
     """
 
-    __slots__ = ("names", "_entries", "_entry_masks", "_firsts", "_len_masks", "_first_memo", "_sizes")
+    __slots__ = (
+        "names", "_entries", "_entry_masks", "_firsts", "_len_masks",
+        "_first_memo", "_sizes", "_mask_rows", "_entry_memo",
+    )
 
     _MEMO_CAP = 262_144
+    _MISS = (0, ())  # memo value for tokens absent from every lexicon
+
+    def _build_mask_rows(self) -> None:
+        """Per first-token (union_mask, per-trie masks) as plain Python ints:
+        the probe loop reads these once per candidate token, and numpy
+        scalar unboxing there costs more than the whole candidate check."""
+        self._mask_rows = [
+            (int(np.bitwise_or.reduce(row)), tuple(int(x) for x in row))
+            for row in self._len_masks
+        ]
 
     def __init__(self, tries: list[tuple[str, object]]) -> None:
         # tries: (name, build-time LookupTrie) pairs, all pipeline-free
@@ -315,7 +346,9 @@ class MultiPackedTrie:
         for tok, row in first_masks.items():
             len_masks[self._firsts.index(tok)] = row
         self._len_masks = len_masks
-        self._first_memo: dict[bytes, int] = {}
+        self._build_mask_rows()
+        self._first_memo: dict[bytes, tuple[int, tuple[int, ...]]] = {}
+        self._entry_memo: dict[bytes, int] = {}
 
     def find_all(self, enc: list[bytes]) -> list[list[tuple[int, int]]]:
         n = len(enc)
@@ -324,25 +357,25 @@ class MultiPackedTrie:
         memo = self._first_memo
         if len(memo) > self._MEMO_CAP:
             memo.clear()
+        # joined-phrase -> entry index memo: multi-token candidates repeat
+        # across documents (names, streets, institutions recur corpus-wide),
+        # so the binary search runs once per distinct phrase per worker
+        entry_memo = self._entry_memo
+        if len(entry_memo) > self._MEMO_CAP:
+            entry_memo.clear()
         firsts = self._firsts
         entries = self._entries
         entry_masks = self._entry_masks
-        len_masks = self._len_masks
+        mask_rows = self._mask_rows
+        miss = self._MISS
 
         for i, tok in enumerate(enc):
-            fi = memo.get(tok)
-            if fi is None:
+            cached = memo.get(tok)
+            if cached is None:
                 fi = firsts.index(tok)
-                memo[tok] = fi
-            if fi < 0:
-                continue
-            row = len_masks[fi]
-            union_mask = 0
-            trie_masks = []
-            for t in range(n_tries):
-                m = int(row[t])
-                trie_masks.append(m)
-                union_mask |= m
+                cached = mask_rows[fi] if fi >= 0 else miss
+                memo[tok] = cached
+            union_mask, trie_masks = cached
             if union_mask == 0:
                 continue
             pending = [t for t in range(n_tries) if trie_masks[t]]
@@ -356,7 +389,11 @@ class MultiPackedTrie:
                                 spans[t].append((i, 1))
                                 pending.remove(t)
                     else:
-                        ei = entries.index(_SEP.join(enc[i : i + length]))
+                        joined = _SEP.join(enc[i : i + length])
+                        ei = entry_memo.get(joined)
+                        if ei is None:
+                            ei = entries.index(joined)
+                            entry_memo[joined] = ei
                         if ei >= 0:
                             e_mask = int(entry_masks[ei])
                             for t in list(pending):
@@ -387,7 +424,9 @@ class MultiPackedTrie:
             self._len_masks,
             self._sizes,
         ) = state
+        self._build_mask_rows()
         self._first_memo = {}
+        self._entry_memo = {}
 
 
 def merge_spans(

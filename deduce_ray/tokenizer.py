@@ -17,7 +17,7 @@ from __future__ import annotations
 import re
 from collections.abc import Iterable, Sequence
 
-from deduce_ray.strproc import apply_pipeline
+from deduce_ray.strproc import Lowercase, apply_pipeline
 from deduce_ray.structures import LookupTrie
 
 TOKEN_RE = re.compile(r"\w+|[\n\r\t]| {4,}|[^ ]", re.IGNORECASE | re.MULTILINE)
@@ -115,13 +115,22 @@ class TokenList:
         index = self._word_index_cache.get(pipeline_key)
         if index is None:
             index = {}
-            for tok in self._tokens:
-                text = tok.text
-                if pipeline:
-                    text = apply_pipeline(text, pipeline)
+            setdefault = index.setdefault
+            # fast paths for the two pipelines every document pays for
+            # (raw for the token-pattern start lookups, Lowercase for the
+            # regexp pre_match_words gates): skip apply_pipeline dispatch
+            if not pipeline:
+                for tok in self._tokens:
+                    setdefault(tok.text, []).append(tok)
+            elif len(pipeline) == 1 and type(pipeline[0]) is Lowercase:
+                for tok in self._tokens:
+                    setdefault(tok.text.lower(), []).append(tok)
+            else:
+                for tok in self._tokens:
+                    text = apply_pipeline(tok.text, pipeline)
                     if text is None:
                         continue
-                index.setdefault(text, []).append(tok)
+                    setdefault(text, []).append(tok)
             self._word_index_cache[pipeline_key] = index
         return index
 
@@ -167,10 +176,20 @@ class TokenList:
         self, lookup_values: set[str], matching_pipeline: Sequence | None = None
     ) -> list[Token]:
         """Tokens whose (normalized) text is in ``lookup_values``, in
-        document order."""
-        index = self._word_index(
-            self._pipeline_key(matching_pipeline), matching_pipeline or ()
-        )
+        document order.
+
+        Results are memoized per (lookup set, pipeline): the name
+        token-pattern annotators share their start sets three ways (prefix
+        x3, initial x2), so each distinct candidate list is computed once
+        per document.  Keying on id() is safe because the LookupSet holds
+        its item set for the engine's lifetime (structures.py items()
+        returns the live set, annotators keep a reference)."""
+        pipeline_key = self._pipeline_key(matching_pipeline)
+        memo_key = ("token_lookup", id(lookup_values), pipeline_key)
+        cached = self._word_index_cache.get(memo_key)
+        if cached is not None:
+            return cached
+        index = self._word_index(pipeline_key, matching_pipeline or ())
         hits: list[Token] = []
         if len(lookup_values) < len(index):
             for value in lookup_values:
@@ -183,6 +202,7 @@ class TokenList:
                 if text in lookup_values:
                     hits.extend(toks)
             hits.sort(key=lambda t: t.start_char)
+        self._word_index_cache[memo_key] = hits
         return hits
 
 
