@@ -432,6 +432,9 @@ def _q_doc_shingle_fingerprints(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
+    """REAL decode path: the synthesized payloads are genuine P6 PPM /
+    PCM WAV encodings, parsed byte-level by the pure-numpy codecs
+    (deduce_ray.ops.multimodal.decode_ppm / decode_wav)."""
     import ray.data
 
     from deduce_ray.ops.multimodal import extract_media_features, synthesize_media_batch
@@ -439,7 +442,7 @@ def _q_media_features(sf_dir: str):
     media = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(synthesize_media_batch, batch_format="pyarrow")
-    return extract_media_features(media, fake_decoder=True)
+    return extract_media_features(media, fake_decoder=False)
 
 
 def _q_media_resized(sf_dir: str):
@@ -450,7 +453,7 @@ def _q_media_resized(sf_dir: str):
     media = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(synthesize_media_batch, batch_format="pyarrow")
-    return resize_images(media, fake_decoder=True)
+    return resize_images(media, fake_decoder=False)
 
 
 def _q_media_frames(sf_dir: str):

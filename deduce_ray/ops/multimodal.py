@@ -1,17 +1,21 @@
 """Multimodal column plumbing: opaque binary payloads with typed metadata,
 processed by actor-pool map_batches stages.
 
-The actual media codecs (PIL / torchaudio / ffmpeg) are NOT available in
-this environment, so decoding is STUBBED: ``decode_image``/``decode_audio``
-raise NotImplementedError unless the stage is constructed with
-``fake_decoder=True``, which produces a deterministic pseudo-decode from the
-payload bytes.  Everything Ray-side — schema, small batch sizes for large
-payloads, actor lifecycle, feature output layout — is real and tested.
+Decoding is REAL for the two uncompressed formats a pure-numpy codec can
+handle — binary PPM (P6) images and PCM WAV audio — which is what the
+synthesized test corpus uses, so the decode stages exercise genuine
+byte-level parsing end-to-end.  Compressed codecs (PNG/JPEG/MP3/H.264 via
+PIL / torchaudio / ffmpeg) are NOT available in this environment and stay
+honestly stubbed: ``decode_image``/``decode_audio`` raise
+NotImplementedError on unknown magic bytes, and stages constructed with
+``fake_decoder=True`` keep the deterministic pseudo-decode for plumbing
+tests that don't care about pixels.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -28,18 +32,105 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
+def _seed_bytes(seed: bytes, n: int) -> np.ndarray:
+    """Deterministically expand a digest to n uint8 values."""
+    reps = n // len(seed) + 1
+    return np.frombuffer(seed * reps, dtype=np.uint8)[:n]
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Binary PPM (P6, maxval 255) from an (h, w, 3) uint8 array."""
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_ppm expects (h, w, 3) uint8")
+    h, w = pixels.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Parse a binary PPM (P6) payload to an (h, w, 3) uint8 array —
+    real byte-level decoding, numpy only."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header: magic, width, height, maxval as whitespace-separated tokens
+    parts = payload.split(maxsplit=4)
+    if len(parts) < 5:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    raster = parts[4]
+    need = w * h * 3
+    if len(raster) < need:
+        raise ValueError("truncated PPM raster")
+    return np.frombuffer(raster[:need], dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header + 16-bit PCM mono data."""
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """Parse a 16-bit PCM mono RIFF/WAVE payload to an int16 sample array —
+    real byte-level decoding, numpy only."""
+    if not (payload.startswith(b"RIFF") and payload[8:12] == b"WAVE"):
+        raise ValueError("not a RIFF/WAVE payload")
+    # walk chunks to the data chunk (fmt may be followed by extensions)
+    pos = 12
+    fmt_ok = False
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_format, channels, _, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_format != 1 or channels != 1 or bits != 16:
+                raise ValueError("only 16-bit PCM mono WAV is supported")
+            fmt_ok = True
+        elif cid == b"data":
+            if not fmt_ok:
+                raise ValueError("WAV data chunk before fmt chunk")
+            return np.frombuffer(body[: size - size % 2], dtype="<i2")
+        pos += 8 + size + (size % 2)
+    raise ValueError("WAV payload has no data chunk")
+
+
 def synthesize_media_batch(batch: pa.Table) -> pa.Table:
-    """Deterministic fake media rows derived from doc_id (test fixture
-    generator — payload bytes are a pure function of the id)."""
+    """Deterministic media rows derived from doc_id (test fixture
+    generator).  Payloads are REAL encodings — P6 PPM images and PCM WAV
+    audio — whose pixel/sample bytes are a pure function of the id, so the
+    decode stages run genuine parsers end-to-end."""
     ids = batch.column("doc_id").to_pylist()
     payloads, kinds, mimes, widths, heights = [], [], [], [], []
     for i in ids:
         seed = hashlib.sha256(f"media:{i}".encode()).digest()
-        payloads.append(seed * 8)  # 256 bytes of deterministic "encoding"
-        kinds.append("image" if i % 3 else "audio")
-        mimes.append("image/png" if i % 3 else "audio/wav")
-        widths.append(16 + (i % 8) * 16)
-        heights.append(16 + (i % 5) * 16)
+        w = 16 + (i % 8) * 16
+        h = 16 + (i % 5) * 16
+        if i % 3:
+            pixels = _seed_bytes(seed, w * h * 3).reshape(h, w, 3)
+            payloads.append(encode_ppm(pixels))
+            kinds.append("image")
+            mimes.append("image/x-portable-pixmap")
+        else:
+            samples = (
+                _seed_bytes(seed, 2048 * 2).view("<i2").astype(np.int16)
+            )
+            payloads.append(encode_wav(samples))
+            kinds.append("audio")
+            mimes.append("audio/wav")
+        widths.append(w)
+        heights.append(h)
     return pa.table(
         {
             "media_id": pa.array(ids, type=pa.int64()),
@@ -54,11 +145,28 @@ def synthesize_media_batch(batch: pa.Table) -> pa.Table:
 
 
 def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB — no image codec in this environment.  Real deployments plug in
-    PIL/turbojpeg here; the fake path is used by tests and benchmarks."""
+    """Decode an image payload to a float32 grayscale (h, w) array in
+    [0, 1].  REAL for binary PPM (P6); other formats (PNG/JPEG) need PIL /
+    turbojpeg, absent in this environment, and raise — the honest stub."""
+    if payload.startswith(b"P6"):
+        rgb = decode_ppm(payload)
+        return (rgb.astype(np.float32).mean(axis=2)) / 255.0
     raise NotImplementedError(
-        "image codecs are not available in this environment; construct the "
-        "stage with fake_decoder=True for the deterministic stand-in"
+        "only binary PPM (P6) decodes in this environment; compressed "
+        "image codecs need PIL/turbojpeg (construct the stage with "
+        "fake_decoder=True for the deterministic stand-in)"
+    )
+
+
+def decode_audio(payload: bytes) -> np.ndarray:
+    """Decode an audio payload to float32 samples in [-1, 1].  REAL for
+    16-bit PCM mono WAV; compressed codecs raise — the honest stub."""
+    if payload.startswith(b"RIFF"):
+        return decode_wav(payload).astype(np.float32) / 32768.0
+    raise NotImplementedError(
+        "only PCM WAV decodes in this environment; compressed audio "
+        "codecs need torchaudio/ffmpeg (construct the stage with "
+        "fake_decoder=True for the deterministic stand-in)"
     )
 
 
@@ -81,20 +189,23 @@ class MediaFeatureExtractor:
     def __init__(self, fake_decoder: bool = False) -> None:
         self.fake_decoder = fake_decoder
 
-    def _decode(self, payload: bytes, width: int, height: int) -> np.ndarray:
+    def _decode(self, payload: bytes, kind: str, width: int, height: int) -> np.ndarray:
         if self.fake_decoder:
             return _fake_decode(payload, 64 * 64)
-        return decode_image(payload, width, height)
+        if kind == "audio":
+            return decode_audio(payload)
+        return decode_image(payload, width, height).ravel()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
+        kinds = batch.column("kind").to_pylist()
         payloads = batch.column("payload").to_pylist()
         widths = batch.column("width").to_pylist()
         heights = batch.column("height").to_pylist()
 
         features = []
-        for payload, w, h in zip(payloads, widths, heights):
-            pixels = self._decode(payload, w, h)
+        for payload, kind, w, h in zip(payloads, kinds, widths, heights):
+            pixels = self._decode(payload, kind, w, h)
             # mean-pool into a fixed-dim feature vector
             pooled = pixels[: (len(pixels) // self.FEATURE_DIM) * self.FEATURE_DIM]
             pooled = pooled.reshape(self.FEATURE_DIM, -1).mean(axis=1)
@@ -150,8 +261,11 @@ class ImageResizer:
                 img = _fake_decode(payload, w * h).reshape(h, w)
             else:
                 img = decode_image(payload, w, h)
-            ys = (np.arange(self.target) * h) // self.target
-            xs = (np.arange(self.target) * w) // self.target
+            # index by the DECODED shape: the payload is authoritative
+            # (metadata width/height may drift from re-encoded media)
+            dh, dw = img.shape
+            ys = (np.arange(self.target) * dh) // self.target
+            xs = (np.arange(self.target) * dw) // self.target
             small = img[np.ix_(ys, xs)]
             pixels_out.append([round(float(x), 6) for x in small.ravel()])
 

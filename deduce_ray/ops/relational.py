@@ -594,17 +594,35 @@ def events_props_stats(sf_dir: str):
     )
 
     def project(batch: pa.Table) -> pa.Table:
-        props = batch.column("props").to_pylist()
-        ks = []
-        for p in props:
-            try:
-                ks.append(int(jsonlib.loads(p)["k"]))
-            except (TypeError, ValueError, KeyError):
-                ks.append(-1)
+        import numpy as np
+        import pyarrow.compute as pc
+
+        # Arrow has no JSON-path kernel; extract the flat {"k": N} shape
+        # with a vectorized RE2 anchored to the WHOLE string, so any richer
+        # document (nested objects, floats, extra keys) falls back to the
+        # exact per-row json.loads path instead of a lossy regex guess.
+        props = batch.column("props")
+        ex = pc.extract_regex(props, pattern=r'^\{"k": (?P<k>-?\d+)\}$')
+        k_str = pc.struct_field(ex, "k")
+        # fill misses with "0" BEFORE the cast so the numpy array stays
+        # int64 end-to-end (a null-bearing int64 column converts through
+        # float64, which would round k values above 2^53)
+        miss_mask = pc.is_null(k_str)
+        ks = pc.cast(
+            pc.if_else(miss_mask, pa.scalar("0"), k_str), pa.int64()
+        ).to_numpy(zero_copy_only=False).astype(np.int64, copy=True)
+        misses = np.flatnonzero(miss_mask.to_numpy(zero_copy_only=False))
+        if len(misses):
+            raw = props.to_pylist()
+            for i in misses:
+                try:
+                    ks[i] = int(jsonlib.loads(raw[i])["k"])
+                except (TypeError, ValueError, KeyError):
+                    ks[i] = -1
+        buckets = np.where(ks >= 0, ks % 10, -1)
         return pa.table(
             {
-                "k_bucket": pa.array([k % 10 if k >= 0 else -1 for k in ks],
-                                     type=pa.int64()),
+                "k_bucket": pa.array(buckets, type=pa.int64()),
                 "cents": _cents(batch.column("value")),
             }
         )

@@ -23,6 +23,7 @@ import os
 import time
 from pathlib import Path
 
+import numpy as np
 import pyarrow as pa
 
 _GRAPH_KEY = ["repo", "lang", "doc_id", "pred", "obj", "entity_id"]
@@ -352,27 +353,48 @@ def canonicalize_entities(triples_ds, cluster_rounds: int = 8):
 
 def detect_hot_keys(
     triples_ds,
-    sample_rows: int = 100_000,
     hot_fraction: float = 0.1,
 ) -> set[str]:
-    """Cheap pre-scan for skewed repos: estimate per-repo row share from a
-    bounded sample (``limit`` reads only the first blocks — adequate for
-    skew detection because a repo holding >=hot_fraction of the corpus is
-    overwhelmingly likely to hold a similar share of any prefix) and
-    return repos above ``hot_fraction``.  Feed the result to
-    :func:`materialize_graph` ``hot_keys`` instead of hand-maintaining the
-    list; the sample pass costs one bounded read, not a shuffle.
+    """Order-independent pre-scan for skewed repos: EXACT per-repo row
+    shares from one streaming pass over the pruned ``repo`` column, with
+    only per-batch partial counts (distinct repos per block, not rows)
+    leaving each task.  Returns repos above ``hot_fraction``.
+
+    Round-2's version sampled the first blocks via ``limit()``, which
+    missed a hot repo clustered late in file order.  Counting exactly is
+    both unbiased and cheaper than a hash-sampled pass: the rows stream
+    through either way, so a per-row md5 coin-flip would only add work on
+    top of the same I/O.  The pass reads a single string column and does
+    no shuffle; at 100-TB scale run it over the raw repo table (column-
+    pruned parquet read) rather than the annotated triples.
     """
-    sample = (
-        triples_ds.select_columns(["repo"]).limit(sample_rows).take_all()
-    )
-    if not sample:
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # count via a ones column: a ("repo", "count") aggregate would skip
+        # null repo keys, which the hot-key share must still include
+        ones = batch.append_column(
+            "__one", pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        )
+        counts = ones.group_by(["repo"]).aggregate([("__one", "sum")])
+        return pa.table(
+            {
+                "repo": counts.column("repo"),
+                "n": pc.cast(counts.column("__one_sum"), pa.int64()),
+            }
+        )
+
+    parts = triples_ds.select_columns(["repo"]).map_batches(
+        partial_counts, batch_format="pyarrow"
+    ).to_pandas()
+    if parts.empty:
         return set()
-    counts: dict[str, int] = {}
-    for row in sample:
-        counts[row["repo"]] = counts.get(row["repo"], 0) + 1
-    total = len(sample)
-    return {r for r, n in counts.items() if n / total >= hot_fraction}
+    totals = parts.groupby("repo", dropna=False)["n"].sum()
+    grand = int(totals.sum())
+    if grand == 0:
+        return set()
+    return {r for r, n in totals.items() if n / grand >= hot_fraction}
 
 
 def _partition_slug(repo: str, lang: str) -> str:

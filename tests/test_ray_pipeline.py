@@ -149,6 +149,26 @@ class TestGraphMaterialize:
         assert "org/monorepo" in hot
         assert all(r == "org/monorepo" or not r.startswith("org/repo-") for r in hot)
 
+    def test_detect_hot_keys_late_in_file_order(self, ray_session):
+        """Round-2 regression: a hot repo concentrated in the LAST blocks
+        must still be detected (the old limit()-prefix sample missed it)."""
+        import ray.data
+
+        from deduce_ray.rayops.kg import detect_hot_keys
+
+        cold = [
+            {"repo": f"org/cold-{i % 50:03d}", "doc_id": f"{i:08x}"}
+            for i in range(5000)
+        ]
+        late_hot = [
+            {"repo": "org/late-monorepo", "doc_id": f"h{i:07x}"}
+            for i in range(3000)
+        ]
+        # cold rows first, hot repo entirely at the tail, many small blocks
+        ds = ray.data.from_items(cold + late_hot).repartition(40)
+        hot = detect_hot_keys(ds, hot_fraction=0.2)
+        assert hot == {"org/late-monorepo"}
+
     def test_hot_key_salting(self, ray_session, lexicon_ref, tmp_path):
         from deduce_ray.rayops.annotate import extract_triples
         from deduce_ray.rayops.kg import materialize_graph
@@ -519,11 +539,62 @@ class TestMultimodal:
         assert len(feats) == 20
         assert all(len(r["feature"]) == 32 for r in feats)
 
-    def test_real_decoder_is_stubbed(self):
-        from deduce_ray.ops.multimodal import decode_image
+    def test_compressed_codecs_are_stubbed(self):
+        """Unknown magic bytes (compressed formats) raise; PPM/WAV decode
+        for real."""
+        from deduce_ray.ops.multimodal import decode_audio, decode_image
 
         with pytest.raises(NotImplementedError):
-            decode_image(b"x", 4, 4)
+            decode_image(b"\x89PNG...", 4, 4)
+        with pytest.raises(NotImplementedError):
+            decode_audio(b"ID3...")
+
+    def test_ppm_roundtrip(self):
+        from deduce_ray.ops.multimodal import decode_ppm, encode_ppm
+
+        rng = np.random.default_rng(3)
+        pixels = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+        assert np.array_equal(decode_ppm(encode_ppm(pixels)), pixels)
+
+    def test_wav_roundtrip(self):
+        from deduce_ray.ops.multimodal import decode_wav, encode_wav
+
+        rng = np.random.default_rng(5)
+        samples = rng.integers(-32768, 32768, size=1001, dtype=np.int16)
+        assert np.array_equal(decode_wav(encode_wav(samples)), samples)
+
+    def test_real_decode_feature_extraction(self, ray_session):
+        """End-to-end REAL decode: synthesized P6/WAV payloads through the
+        byte-level parsers, and the image features match a direct
+        decode-and-pool computed outside Ray."""
+        import ray.data
+
+        from deduce_ray.ops.multimodal import (
+            MediaFeatureExtractor,
+            decode_ppm,
+            extract_media_features,
+            synthesize_media_batch,
+        )
+
+        media_tbl = synthesize_media_batch(
+            pa.table({"doc_id": pa.array(list(range(12)), type=pa.int64())})
+        )
+        media = ray.data.from_arrow(media_tbl)
+        feats = {
+            r["media_id"]: r["feature"]
+            for r in extract_media_features(media, fake_decoder=False).take_all()
+        }
+        assert len(feats) == 12
+        dim = MediaFeatureExtractor.FEATURE_DIM
+        for row in media_tbl.to_pylist():
+            if row["kind"] != "image":
+                continue
+            gray = decode_ppm(row["payload"]).astype(np.float32).mean(axis=2) / 255.0
+            flat = gray.ravel()
+            pooled = flat[: (len(flat) // dim) * dim].reshape(dim, -1).mean(axis=1)
+            want = [round(float(x), 6) for x in pooled]
+            got = feats[row["media_id"]]
+            assert np.allclose(got, want, atol=1e-6)
 
     def test_resize_images_plumbing(self, ray_session):
         import ray.data
