@@ -683,27 +683,45 @@ def embedding_neardup_pairs(
     threshold: float = 0.97,
     n_planes: int = 12,
     n_tables: int = 8,
+    broadcast_candidate_ids_max: int = 5_000_000,
 ):
     """Cosine near-duplicates via multi-table random-hyperplane LSH with
-    exact in-bucket verification.
+    exact verification through a JOIN back to a single vector table.
 
     A single k-plane table finds a true pair at cosine c with probability
     only p^k (p = 1 - acos(c)/pi), e.g. ~0.38 at c=0.97 for k=12.
     ``n_tables`` independent tables raise that to 1-(1-p^k)^T
-    (:func:`lsh_cosine_recall`; ~0.978 at c=0.97 with the defaults) at the
-    cost of T signature rows per vector — the standard recall/shuffle
-    trade.  Pairs at cosine exactly 1.0 (scaled copies) share every sign
-    bit, so their recall is 1 in every table.
+    (:func:`lsh_cosine_recall`; ~0.978 at c=0.97 with the defaults).
+    Pairs at cosine exactly 1.0 (scaled copies) share every sign bit, so
+    their recall is 1 in every table.
 
-    Buckets are sharded (hash(bucket) % 256) so the shuffle launches a
-    bounded number of group tasks; per-bucket verification runs vectorized
-    inside each shard and pair results are deduplicated across tables.
+    Scale shape (round-2 fix: the old in-bucket verify shipped the FULL
+    vector ``n_tables`` times through the bucket shuffle — the dominant
+    exchange cost at embedding scale):
+
+    1. signature pass emits (shard, bucket, id) only — 20 bytes/row
+       regardless of vector width;
+    2. one bucket-shard groupby yields DISTINCT candidate pairs;
+    3. candidate ids are collected (bounded: near-dup candidates are
+       sparse; above ``broadcast_candidate_ids_max`` pairs the id filter
+       is skipped and every vector ships once) and broadcast via ray.put
+       so only TOUCHED vectors enter the verify join;
+    4. an id-shard groupby joins each candidate id to its vector (each
+       touched vector crosses the wire once, plus once per pair side);
+    5. a pair-shard groupby computes exact cosines vectorized and also
+       deduplicates pairs found via buckets in different shards.
+
+    Exchange bytes per vector are independent of ``n_tables``; the logged
+    estimate makes the trade auditable.
     """
     import logging
 
+    import ray
+
     logging.getLogger(__name__).info(
         "embedding_neardup_pairs: expected LSH recall at cosine=%.3f is %.3f "
-        "(n_planes=%d, n_tables=%d)",
+        "(n_planes=%d, n_tables=%d); bucket shuffle ships 20-byte signature "
+        "rows, vectors ride the verify join once per touched id",
         threshold,
         lsh_cosine_recall(threshold, n_planes, n_tables),
         n_planes,
@@ -716,68 +734,162 @@ def embedding_neardup_pairs(
             {
                 "shard": pa.array([], type=pa.int32()),
                 "bucket": pa.array([], type=pa.int64()),
-                id_col: pa.array([], type=pa.int64()),
-                vec_col: pa.array([], type=pa.list_(pa.float64())),
+                "id": pa.array([], type=pa.int64()),
             }
         )
         if batch.num_rows == 0:
             return empty
         vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
-        ids = batch.column(id_col).to_pylist()
-        out_shard, out_bucket, out_ids, out_vecs = [], [], [], []
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        out_shard, out_bucket, out_ids = [], [], []
+        weights = 1 << np.arange(n_planes)
         for t in range(n_tables):
             planes = np.random.default_rng(1000 + t).standard_normal(
                 (vecs.shape[1], n_planes)
             )
-            bits = (vecs @ planes) > 0
-            weights = 1 << np.arange(n_planes)
-            codes = bits @ weights
-            for i, code in enumerate(codes):
-                bucket = t * (1 << n_planes) + int(code)
-                out_shard.append(bucket % n_shards)
-                out_bucket.append(bucket)
-                out_ids.append(ids[i])
-                out_vecs.append(vecs[i].tolist())
+            codes = ((vecs @ planes) > 0) @ weights
+            buckets = t * (1 << n_planes) + codes.astype(np.int64)
+            out_shard.append((buckets % n_shards).astype(np.int32))
+            out_bucket.append(buckets)
+            out_ids.append(ids)
         return pa.table(
             {
-                "shard": pa.array(out_shard, type=pa.int32()),
-                "bucket": pa.array(out_bucket, type=pa.int64()),
-                id_col: pa.array(out_ids, type=pa.int64()),
-                vec_col: pa.array(out_vecs, type=pa.list_(pa.float64())),
+                "shard": pa.array(np.concatenate(out_shard), type=pa.int32()),
+                "bucket": pa.array(np.concatenate(out_bucket), type=pa.int64()),
+                "id": pa.array(np.concatenate(out_ids), type=pa.int64()),
             }
         )
 
-    def verify_shard(df: pd.DataFrame) -> pd.DataFrame:
-        pairs: dict[tuple[int, int], float] = {}
-        sizes = df.groupby("bucket")[id_col].nunique()
+    def candidate_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        pairs: set[tuple[int, int]] = set()
+        sizes = df.groupby("bucket")["id"].nunique()
         for bucket in sizes[sizes > 1].index:
-            docs = df[df["bucket"] == bucket].drop_duplicates(subset=[id_col])
-            ids = docs[id_col].astype("int64").to_numpy()
-            order = np.argsort(ids)
-            ids = ids[order]
-            mat = np.asarray(list(docs[vec_col]), dtype=np.float64)[order]
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            unit = mat / norms
-            sims = unit @ unit.T
-            n = len(ids)
-            for i in range(n):
-                for j in range(i + 1, n):
-                    key = (int(ids[i]), int(ids[j]))
-                    if key in pairs:
-                        continue
-                    sim = float(sims[i, j])
-                    pairs[key] = round(sim, 6) if sim >= threshold else -1.0
-        rows = [
-            {"id_a": k[0], "id_b": k[1], "cosine": v}
-            for k, v in pairs.items()
-            if v >= 0
-        ]
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "cosine"])
+            ids = sorted(
+                df.loc[df["bucket"] == bucket, "id"].astype("int64").unique()
+            )
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    pairs.add((ids[i], ids[j]))
+        return pd.DataFrame(
+            sorted(pairs), columns=["id_a", "id_b"], dtype="int64"
+        )
 
     sigs = ds_embeddings.map_batches(signatures, batch_format="pyarrow")
-    pairs = sigs.groupby("shard").map_groups(verify_shard, batch_format="pandas")
-    return _dedup_pairs(pairs, "cosine", n_shards)
+    cand = (
+        sigs.groupby("shard")
+        .map_groups(candidate_pairs, batch_format="pandas")
+        .materialize()
+    )
+
+    n_pairs = cand.count()
+    touched_ref = None
+    if 0 < n_pairs <= broadcast_candidate_ids_max:
+        cand_df = cand.to_pandas()
+        touched = np.unique(
+            np.concatenate([cand_df["id_a"].to_numpy(), cand_df["id_b"].to_numpy()])
+        )
+        touched_ref = ray.put(pa.array(touched, type=pa.int64()))
+        logging.getLogger(__name__).info(
+            "embedding_neardup_pairs: %d candidate pairs over %d touched "
+            "vectors; verify join ships only those vectors",
+            n_pairs,
+            len(touched),
+        )
+
+    # verify join, leg 1: requests (one row per pair side) + vectors,
+    # co-sharded on id.  Sentinel -1 instead of nulls: Ray's arrow->pandas
+    # conversion widens nullable int64 to float64 (rounds 63-bit ids).
+    def requests(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        join_id = np.concatenate([a, b])
+        return pa.table(
+            {
+                "id_shard": pa.array(join_id % n_shards, type=pa.int64()),
+                "join_id": pa.array(join_id, type=pa.int64()),
+                "id_a": pa.array(np.concatenate([a, a]), type=pa.int64()),
+                "id_b": pa.array(np.concatenate([b, b]), type=pa.int64()),
+                "vec": pa.nulls(2 * len(a), type=pa.list_(pa.float64())),
+            }
+        )
+
+    def vector_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        vecs = batch.column(vec_col)
+        if touched_ref is not None:
+            keep = pc.is_in(
+                pa.array(ids, type=pa.int64()), value_set=ray.get(touched_ref)
+            ).to_numpy(zero_copy_only=False)
+            idx = np.flatnonzero(keep)
+            ids = ids[idx]
+            vecs = vecs.take(pa.array(idx, type=pa.int64()))
+        n = len(ids)
+        return pa.table(
+            {
+                "id_shard": pa.array(ids % n_shards, type=pa.int64()),
+                "join_id": pa.array(ids, type=pa.int64()),
+                "id_a": pa.array(np.full(n, -1), type=pa.int64()),
+                "id_b": pa.array(np.full(n, -1), type=pa.int64()),
+                "vec": pc.cast(vecs, pa.list_(pa.float64())),
+            }
+        )
+
+    tagged = cand.map_batches(requests, batch_format="pyarrow").union(
+        ds_embeddings.map_batches(vector_rows, batch_format="pyarrow")
+    )
+
+    def attach_vectors(df: pd.DataFrame) -> pd.DataFrame:
+        have = df[df["id_a"] < 0][["join_id", "vec"]].drop_duplicates(
+            subset=["join_id"]
+        )
+        reqs = df[df["id_a"] >= 0][["join_id", "id_a", "id_b"]]
+        out = reqs.merge(have, on="join_id")[["id_a", "id_b", "join_id", "vec"]]
+        out = out.astype({"id_a": "int64", "id_b": "int64", "join_id": "int64"})
+        out["pair_shard"] = (
+            (out["id_a"].to_numpy().astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)
+             ^ out["id_b"].to_numpy().astype(np.uint64))
+            % n_shards
+        ).astype("int64")
+        return out
+
+    def verify_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sides_a = df[df["join_id"] == df["id_a"]].drop_duplicates(
+            subset=["id_a", "id_b"]
+        )
+        sides_b = df[df["join_id"] == df["id_b"]].drop_duplicates(
+            subset=["id_a", "id_b"]
+        )
+        merged = sides_a.merge(
+            sides_b, on=["id_a", "id_b"], suffixes=("_a", "_b")
+        )
+        if merged.empty:
+            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+        mat_a = np.asarray(list(merged["vec_a"]), dtype=np.float64)
+        mat_b = np.asarray(list(merged["vec_b"]), dtype=np.float64)
+        na = np.linalg.norm(mat_a, axis=1)
+        nb = np.linalg.norm(mat_b, axis=1)
+        denom = na * nb
+        denom[denom == 0] = 1.0
+        cos = np.round((mat_a * mat_b).sum(axis=1) / denom, 6)
+        out = pd.DataFrame(
+            {
+                "id_a": merged["id_a"].astype("int64"),
+                "id_b": merged["id_b"].astype("int64"),
+                "cosine": cos,
+            }
+        )
+        return out[out["cosine"] >= threshold].reset_index(drop=True)
+
+    return (
+        tagged.groupby("id_shard")
+        .map_groups(attach_vectors, batch_format="pandas")
+        .groupby("pair_shard")
+        .map_groups(
+            lambda df: verify_pairs(df.drop(columns=["pair_shard"])),
+            batch_format="pandas",
+        )
+    )
 
 
 def dedup_survivors(ds, text_col: str = "text", id_col: str = "doc_id"):
