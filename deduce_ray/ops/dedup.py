@@ -310,7 +310,7 @@ def minhash_lsh_pairs(
 def neardup_clusters(
     pairs_ds,
     nodes_ds=None,
-    rounds: int = 8,
+    rounds: int = 16,
     driver_threshold: int = 1_000_000,
 ):
     """Cluster near-duplicate pairs into components.
@@ -321,14 +321,19 @@ def neardup_clusters(
 
     When the pair set is small (<= driver_threshold rows), collapse it with
     a driver-side union-find — near-dup pair sets are tiny relative to the
-    corpus, and each distributed round costs multiple shuffles.  Otherwise
-    run min-label propagation with POINTER JUMPING: each round first takes
-    the min over direct neighbours' labels, then replaces every node's
-    label with its label's label (path halving), so a chain of diameter d
-    resolves in O(log d) rounds rather than d.  Convergence is detected
-    per round (count of changed labels, computed on the materialized label
-    table); if the ``rounds`` budget is exhausted before fixpoint a warning
-    is logged and the partially-converged labels are returned.
+    corpus, and each distributed round costs shuffles.  Otherwise run
+    alternating LARGE-STAR / SMALL-STAR rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): each star op is ONE node-sharded
+    groupby that rewires every node's neighbours toward its neighbourhood
+    minimum, so a round costs 2 groupbys + 1 materialize (round 2's
+    min-label + pointer-jumping loop cost 3 groupbys + 2 materializes per
+    round).  Convergence is detected by an edge-set witness (count +
+    bounded per-edge hash sum over the deduplicated edges, computed inside
+    the large-star tasks, describing the edge set entering the round): two
+    equal consecutive witnesses mean the edge set is stable, at which
+    point every node neighbours its component minimum.  If the ``rounds``
+    budget is exhausted first a warning is logged and the current labels
+    are returned.
 
     pairs_ds: rows with id_a/id_b.  nodes_ds: optional rows with doc_id for
     singleton nodes.  Returns (doc_id, cluster_id) with cluster_id = min
@@ -363,165 +368,144 @@ def neardup_clusters(
         ).astype({"doc_id": "int64", "cluster_id": "int64"})
         return ray.data.from_pandas(out)
 
+    n_shards = 256
+    # witness terms: per-edge 28-bit hash keeps the global int64 sum exact
+    # up to ~2^35 edges; count is folded in with a small prime multiplier
+    _WMASK = (1 << 28) - 1
+    _WCOUNT_P = 40503
+
     def to_edges(batch: pa.Table) -> pa.Table:
-        a = batch.column("id_a").to_pylist()
-        b = batch.column("id_b").to_pylist()
+        a = np.asarray(batch.column("id_a").to_pylist(), dtype=np.int64)
+        b = np.asarray(batch.column("id_b").to_pylist(), dtype=np.int64)
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        keep = u != v
+        u, v = u[keep], v[keep]
         return pa.table(
             {
-                "node": pa.array(a + b, type=pa.int64()),
-                "peer": pa.array(b + a, type=pa.int64()),
+                "shard": pa.array(u % n_shards, type=pa.int64()),
+                "u": pa.array(u, type=pa.int64()),
+                "v": pa.array(v, type=pa.int64()),
+                "w": pa.array(np.zeros(len(u), dtype=np.int64)),
             }
         )
 
     edges = pairs_ds.map_batches(to_edges, batch_format="pyarrow")
 
-    def to_self(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id")
-        return pa.table(
-            {"node": ids, "peer": ids},
-            schema=pa.schema([("node", pa.int64()), ("peer", pa.int64())]),
+    def _node_mins(df: pd.DataFrame):
+        """Per-u (u, m) with m = min(u, min N(u)) — canonical inside a
+        shard task because all of u's edges share u's shard."""
+        g = df.groupby("u")["v"].min()
+        uu = g.index.to_numpy(dtype=np.int64)
+        m = np.minimum(g.to_numpy(dtype=np.int64), uu)
+        return pd.DataFrame({"u": uu, "m": m})
+
+    def _emit(out: pd.DataFrame, markers: pd.DataFrame | None) -> pd.DataFrame:
+        out = out[out["u"] != out["v"]]
+        sym = pd.concat(
+            [out, out.rename(columns={"u": "v", "v": "u"})], ignore_index=True
+        ).drop_duplicates()
+        sym = sym.astype({"u": "int64", "v": "int64"})
+        sym["shard"] = (sym["u"] % n_shards).astype("int64")
+        sym["w"] = 0
+        sym = sym[["shard", "u", "v", "w"]]
+        if markers is not None and len(markers):
+            sym = pd.concat([sym, markers], ignore_index=True)
+        return sym
+
+    def large_star(df: pd.DataFrame) -> pd.DataFrame:
+        # drop markers from the previous round; dedupe this shard's edges
+        df = df[df["w"] == 0][["u", "v"]].drop_duplicates()
+        if df.empty:
+            return pd.DataFrame(columns=["shard", "u", "v", "w"]).astype(
+                {"shard": "int64", "u": "int64", "v": "int64", "w": "int64"}
+            )
+        # witness over the DEDUPED input: describes the edge set entering
+        # this round; emitted as one marker row (u = v = -1) that the
+        # small-star task passes through for the driver's sum("w")
+        uu = df["u"].to_numpy().astype(np.uint64)
+        vv = df["v"].to_numpy().astype(np.uint64)
+        h = ((uu * np.uint64(0x9E3779B97F4A7C15)) ^ vv) & np.uint64(_WMASK)
+        witness = int(h.sum(dtype=np.uint64)) + len(df) * _WCOUNT_P
+        markers = pd.DataFrame(
+            [{"shard": 0, "u": -1, "v": -1, "w": witness}]
+        ).astype({"shard": "int64", "u": "int64", "v": "int64", "w": "int64"})
+        mins = _node_mins(df)
+        j = df.merge(mins, on="u")
+        sel = j[j["v"] > j["u"]]
+        out = sel[["v", "m"]].rename(columns={"v": "u", "m": "v"})
+        return _emit(out, markers)
+
+    def small_star(df: pd.DataFrame) -> pd.DataFrame:
+        markers = df[df["w"] != 0][["shard", "u", "v", "w"]]
+        df = df[df["w"] == 0][["u", "v"]].drop_duplicates()
+        if df.empty:
+            return markers.reset_index(drop=True)
+        mins = _node_mins(df)
+        j = df.merge(mins, on="u")
+        sel = j[j["v"] < j["u"]]
+        out = pd.concat(
+            [
+                sel[["v", "m"]].rename(columns={"v": "u", "m": "v"}),
+                mins.rename(columns={"u": "u", "m": "v"}),
+            ],
+            ignore_index=True,
         )
+        return _emit(out, markers)
 
-    if nodes_ds is not None:
-        edges = edges.union(
-            nodes_ds.map_batches(to_self, batch_format="pyarrow")
-        )
-
-    n_shards = 256
-
-    def _shard_of(col: pd.Series) -> pd.Series:
-        return (col.astype("int64") % n_shards).astype("int64")
-
-    # pre-shard edges by source node once; all per-round shuffles below are
-    # shard-keyed with the group logic VECTORIZED inside each shard task
-    # (one map_groups UDF call per shard, not per node)
-    def edge_shard(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["shard"] = _shard_of(df["node"])
-        return df
-
-    edges = edges.map_batches(edge_shard, batch_format="pandas").materialize()
-
-    # labels start as each node's own id (derived from the edge list)
-    labels = (
-        edges.map_batches(
-            lambda df: df[["node", "shard"]], batch_format="pandas"
-        )
-        .groupby("shard")
-        .map_groups(
-            lambda df: df.drop_duplicates(subset=["node"]).assign(
-                label=lambda d: d["node"]
-            ),
-            batch_format="pandas",
-        )
-        .materialize()
-    )
-
-    # labels only ever decrease (min over node ids), so sum(label) is a
-    # strictly-monotone convergence witness: unchanged sum <=> fixpoint.
-    prev_sum = labels.sum("label")
+    prev_witness = None
     converged = False
-    # Sentinel -1 (ids are non-negative) instead of NULL for the tagged
-    # unions: Ray's arrow->pandas conversion widens int64-with-nulls to
-    # FLOAT64, which silently rounds md5-derived 63-bit ids (float64 has
-    # 53 mantissa bits) — labels would attach to nonexistent node ids.
     for _ in range(rounds):
-        # -- neighbour-min: join labels to edges within each source shard,
-        # emit (peer, label) + (node, label), re-shard by target, min
-        tagged = labels.map_batches(
-            lambda df: df.assign(peer=-1),
-            batch_format="pandas",
-        ).union(
-            edges.map_batches(
-                lambda df: df.assign(label=-1)[["node", "shard", "label", "peer"]],
-                batch_format="pandas",
-            )
-        )
-
-        def send_shard(df: pd.DataFrame) -> pd.DataFrame:
-            have = df[df["label"] >= 0][["node", "label"]]
-            edge_sub = df[df["peer"] >= 0][["node", "peer"]]
-            to_peers = edge_sub.merge(have, on="node")[["peer", "label"]]
-            to_peers = to_peers.rename(columns={"peer": "node"})
-            msgs = pd.concat([have, to_peers], ignore_index=True)
-            msgs = msgs.groupby("node", as_index=False).agg(label=("label", "min"))
-            out = msgs.astype({"node": "int64", "label": "int64"})
-            out["shard"] = _shard_of(out["node"])
-            return out
-
-        messages = tagged.groupby("shard").map_groups(
-            send_shard, batch_format="pandas"
-        )
-        labels = messages.groupby("shard").map_groups(
-            lambda df: df.groupby(["node", "shard"], as_index=False).agg(
-                label=("label", "min")
-            )[["node", "shard", "label"]],
-            batch_format="pandas",
-        )
-
-        # -- pointer jump (path halving): label[n] <- label[label[n]].
-        # Every label value is itself a node id with an authoritative row;
-        # queries are sharded by the LABEL's shard, answered vectorized.
-        labels = labels.materialize()
-
-        def query_rows(df: pd.DataFrame) -> pd.DataFrame:
-            out = df[["node", "label"]].rename(columns={"label": "key"})
-            out["label"] = -1
-            out["shard"] = _shard_of(out["key"])
-            return out[["shard", "key", "node", "label"]]
-
-        def have_rows(df: pd.DataFrame) -> pd.DataFrame:
-            out = df[["node", "label"]].rename(columns={"node": "key"})
-            out["node"] = -1
-            out["shard"] = _shard_of(out["key"])
-            return out[["shard", "key", "node", "label"]]
-
-        jump_tagged = labels.map_batches(
-            query_rows, batch_format="pandas"
-        ).union(labels.map_batches(have_rows, batch_format="pandas"))
-
-        def jump_shard(df: pd.DataFrame) -> pd.DataFrame:
-            have = df[df["label"] >= 0][["key", "label"]].drop_duplicates(
-                subset=["key"]
-            )
-            queries = df[df["node"] >= 0][["key", "node"]]
-            # INNER merge keeps int64 intact; a left merge would widen the
-            # label column to float64 on any miss and round 63-bit ids.
-            inner = queries.merge(have, on="key")[["node", "label"]]
-            miss = queries[~queries["key"].isin(have["key"])][["node", "key"]]
-            miss = miss.rename(columns={"key": "label"})
-            out = pd.concat([inner, miss], ignore_index=True).astype(
-                {"node": "int64", "label": "int64"}
-            )
-            out["shard"] = _shard_of(out["node"])
-            return out[["node", "shard", "label"]]
-
-        labels = (
-            jump_tagged.groupby("shard")
-            .map_groups(jump_shard, batch_format="pandas")
+        edges = (
+            edges.groupby("shard")
+            .map_groups(large_star, batch_format="pandas")
+            .groupby("shard")
+            .map_groups(small_star, batch_format="pandas")
             .materialize()
         )
-
-        new_sum = labels.sum("label")
-        if new_sum == prev_sum:
+        witness = edges.sum("w")
+        if prev_witness is not None and witness == prev_witness:
             converged = True
             break
-        prev_sum = new_sum
+        prev_witness = witness
 
     if not converged:
         import logging
 
         logging.getLogger(__name__).warning(
-            "neardup_clusters: round budget (%d) exhausted before label "
-            "fixpoint; components wider than resolved may be split",
+            "neardup_clusters: round budget (%d) exhausted before the "
+            "star edge set stabilized; components wider than resolved may "
+            "be split",
             rounds,
         )
 
-    return labels.map_batches(
-        lambda df: df.rename(columns={"node": "doc_id", "label": "cluster_id"})[
-            ["doc_id", "cluster_id"]
-        ],
-        batch_format="pandas",
+    label_input = edges
+    if nodes_ds is not None:
+
+        def to_self(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(
+                batch.column("doc_id").to_pylist(), dtype=np.int64
+            )
+            return pa.table(
+                {
+                    "shard": pa.array(ids % n_shards, type=pa.int64()),
+                    "u": pa.array(ids, type=pa.int64()),
+                    "v": pa.array(ids, type=pa.int64()),
+                    "w": pa.array(np.zeros(len(ids), dtype=np.int64)),
+                }
+            )
+
+        label_input = edges.union(
+            nodes_ds.map_batches(to_self, batch_format="pyarrow")
+        )
+
+    def to_labels(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["w"] == 0]
+        mins = _node_mins(df)
+        return mins.rename(columns={"u": "doc_id", "m": "cluster_id"})
+
+    return label_input.groupby("shard").map_groups(
+        to_labels, batch_format="pandas"
     )
 
 

@@ -15,6 +15,7 @@ tests that don't care about pixels.
 from __future__ import annotations
 
 import hashlib
+import re
 import struct
 
 import numpy as np
@@ -51,14 +52,17 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     real byte-level decoding, numpy only."""
     if not payload.startswith(b"P6"):
         raise ValueError("not a P6 PPM payload")
-    # header: magic, width, height, maxval as whitespace-separated tokens
-    parts = payload.split(maxsplit=4)
-    if len(parts) < 5:
+    # header: magic, width, height, maxval, then exactly ONE whitespace
+    # byte before the raster.  A tokenizing split would also strip raster
+    # bytes that happen to be whitespace (0x09/0x0a/0x20 pixel values), so
+    # the raster offset must come from an anchored header match.
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)[\t\n\x0b\x0c\r ]", payload)
+    if m is None:
         raise ValueError("truncated PPM header")
-    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
-    raster = parts[4]
+    raster = payload[m.end():]
     need = w * h * 3
     if len(raster) < need:
         raise ValueError("truncated PPM raster")

@@ -164,6 +164,79 @@ def _form_node_id(pred: str, obj_norm: str) -> int:
     return int.from_bytes(digest[:8], "big") & 0x7FFF_FFFF_FFFF_FFFF
 
 
+# above this many forms in one (pred, length) block, block_edges switches
+# from the O(m^2) scan to deletion-neighborhood candidate blocking
+_SUBBLOCK_THRESHOLD = 512
+
+
+def _dl1_block_pairs(
+    homes: list[str], guests: list[str]
+) -> tuple[list[tuple[str, str]], int]:
+    """DL<=1 pairs via deletion-neighborhood blocking (FastSS-style), for
+    one (pred, length) block: ``homes`` are distinct same-length forms,
+    ``guests`` distinct forms one char longer.
+
+    Completeness: equal-length strings at DL 1 (substitution, or adjacent
+    transposition) share a single-deletion variant; a cross-length pair at
+    DL 1 (one insertion/deletion) means the shorter string IS a deletion
+    variant of the longer.  So bucket homes by their deletion variants for
+    the home/home pairs, and probe BOTH directions for home/guest pairs —
+    home deletion variants against the guest set (guests one char shorter,
+    the shape ``emit_blocks`` produces) and guest deletion variants
+    against the home set (guests one char longer) — then verify every
+    candidate with the exact predicate.  Returns (edges, n_comparisons) —
+    the comparison count is the bound the sub-blocker exists to enforce
+    (vs m*(m-1)/2 for the full scan).
+    """
+    from collections import defaultdict
+
+    from deduce_ray.matching import within_edit_distance_one
+
+    guest_index = {g: gi for gi, g in enumerate(guests)}
+    gcand: set[tuple[int, int]] = set()
+    del_buckets: dict[str, list[int]] = defaultdict(list)
+    for i, h in enumerate(homes):
+        seen: set[str] = set()
+        for k in range(len(h)):
+            d = h[:k] + h[k + 1 :]
+            if d not in seen:
+                seen.add(d)
+                del_buckets[d].append(i)
+                gi = guest_index.get(d)
+                if gi is not None:
+                    gcand.add((i, gi))
+
+    cand: set[tuple[int, int]] = set()
+    for idxs in del_buckets.values():
+        for a in range(len(idxs)):
+            for b in range(a + 1, len(idxs)):
+                cand.add((idxs[a], idxs[b]))
+
+    edges: list[tuple[str, str]] = []
+    n_comparisons = 0
+    for i, j in cand:
+        n_comparisons += 1
+        if within_edit_distance_one(homes[i], homes[j]):
+            edges.append((homes[i], homes[j]))
+
+    home_index = {h: i for i, h in enumerate(homes)}
+    for gi, g in enumerate(guests):
+        gseen: set[str] = set()
+        for k in range(len(g)):
+            d = g[:k] + g[k + 1 :]
+            if d in gseen:
+                continue
+            gseen.add(d)
+            hi = home_index.get(d)
+            if hi is not None:
+                gcand.add((hi, gi))
+    for hi, gi in gcand:
+        n_comparisons += 1
+        if within_edit_distance_one(homes[hi], guests[gi]):
+            edges.append((homes[hi], guests[gi]))
+    return edges, n_comparisons
+
+
 def canonicalize_entities(triples_ds, cluster_rounds: int = 8):
     """Cross-document entity canonicalization: per predicate, cluster
     mention surface forms whose lowercase texts are within
@@ -188,9 +261,11 @@ def canonicalize_entities(triples_ds, cluster_rounds: int = 8):
        (max mentions, ties to the lexicographically smallest) and labels
        every member.
 
-    Within a block the pair check is O(m^2) over that length's vocabulary;
-    swap in an LSH sub-blocker if a single (pred, length) vocabulary
-    reaches millions.  Returns (pred, obj_norm, canonical, n_mentions).
+    Within a block the pair check is O(m^2) over that length's vocabulary
+    up to ``_SUBBLOCK_THRESHOLD`` forms; above it, deletion-neighborhood
+    blocking (:func:`_dl1_block_pairs`) bounds per-task comparisons so a
+    multi-million-form (pred, length) vocabulary stays tractable.
+    Returns (pred, obj_norm, canonical, n_mentions).
     """
     import pandas as pd
 
@@ -229,14 +304,19 @@ def canonicalize_entities(triples_ds, cluster_rounds: int = 8):
         pred = df["pred"].iloc[0]
         homes = df[df["is_home"]]["obj_norm"].drop_duplicates().tolist()
         guests = df[~df["is_home"]]["obj_norm"].drop_duplicates().tolist()
-        edges = []
-        for i in range(len(homes)):
-            for j in range(i + 1, len(homes)):
-                if within_edit_distance_one(homes[i], homes[j]):
-                    edges.append((homes[i], homes[j]))
-            for g in guests:
-                if within_edit_distance_one(homes[i], g):
-                    edges.append((homes[i], g))
+        if len(homes) + len(guests) > _SUBBLOCK_THRESHOLD:
+            # mega-block: deletion-neighborhood candidate blocking bounds
+            # the comparison count (the O(m^2) scan below would not)
+            edges, _ = _dl1_block_pairs(homes, guests)
+        else:
+            edges = []
+            for i in range(len(homes)):
+                for j in range(i + 1, len(homes)):
+                    if within_edit_distance_one(homes[i], homes[j]):
+                        edges.append((homes[i], homes[j]))
+                for g in guests:
+                    if within_edit_distance_one(homes[i], g):
+                        edges.append((homes[i], g))
         return pd.DataFrame(
             {
                 "id_a": [_form_node_id(pred, a) for a, _ in edges],

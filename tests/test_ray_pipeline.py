@@ -556,6 +556,15 @@ class TestMultimodal:
         pixels = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
         assert np.array_equal(decode_ppm(encode_ppm(pixels)), pixels)
 
+    def test_ppm_roundtrip_whitespace_leading_raster(self):
+        """Raster bytes that ARE whitespace (0x0a/0x20/...) right after the
+        header's single separator must not be eaten by the header parse."""
+        from deduce_ray.ops.multimodal import decode_ppm, encode_ppm
+
+        for ws in (0x09, 0x0A, 0x0D, 0x20):
+            pixels = np.full((4, 5, 3), ws, dtype=np.uint8)
+            assert np.array_equal(decode_ppm(encode_ppm(pixels)), pixels)
+
     def test_wav_roundtrip(self):
         from deduce_ray.ops.multimodal import decode_wav, encode_wav
 
@@ -1071,3 +1080,106 @@ class TestEntityCanonicalization:
         assert by_form["haarlem"] == "haarlem"
         assert by_form["haarlemm"] == "haarlem"
         assert by_form["delft"] == "delft"
+
+    def test_subblocker_matches_brute_force(self):
+        """Deletion-neighborhood blocking finds exactly the brute-force
+        DL<=1 edge set on a mixed random + planted-near-dup vocabulary."""
+        import random
+
+        from deduce_ray.matching import within_edit_distance_one
+        from deduce_ray.rayops.kg import _dl1_block_pairs
+
+        rng = random.Random(7)
+        alphabet = "abcdefgh"
+        homes = set()
+        while len(homes) < 400:
+            homes.add("".join(rng.choice(alphabet) for _ in range(8)))
+        homes = sorted(homes)
+        # plant near-dups: substitutions of existing homes (same length)
+        for h in homes[:60]:
+            v = list(h)
+            v[rng.randrange(8)] = rng.choice(alphabet)
+            cand = "".join(v)
+            if cand not in homes:
+                homes.append(cand)
+        guests = set()
+        while len(guests) < 100:
+            guests.add("".join(rng.choice(alphabet) for _ in range(9)))
+        # plant insertions of homes
+        for h in homes[:40]:
+            k = rng.randrange(9)
+            guests.add(h[:k] + rng.choice(alphabet) + h[k:])
+        guests = sorted(guests)
+
+        got, n_comp = _dl1_block_pairs(homes, guests)
+        want = []
+        for i in range(len(homes)):
+            for j in range(i + 1, len(homes)):
+                if within_edit_distance_one(homes[i], homes[j]):
+                    want.append((homes[i], homes[j]))
+            for g in guests:
+                if within_edit_distance_one(homes[i], g):
+                    want.append((homes[i], g))
+        canon = lambda es: sorted(tuple(sorted(e)) for e in es)
+        assert canon(got) == canon(want)
+        assert len(want) > 20  # the planted pairs actually exercised it
+        # and the blocking did its job: way under the m^2 scan
+        assert n_comp < len(homes) ** 2 // 8
+
+    def test_subblocker_bounded_comparisons_10k(self):
+        """A 10k-form single-length vocabulary stays tractable: the
+        comparison count is bounded by bucket collisions, not m^2/2."""
+        import random
+
+        from deduce_ray.rayops.kg import _dl1_block_pairs
+
+        rng = random.Random(11)
+        forms = set()
+        while len(forms) < 10_000:
+            forms.add(
+                "".join(rng.choice("abcdefghijklmnop") for _ in range(12))
+            )
+        edges, n_comp = _dl1_block_pairs(sorted(forms), [])
+        assert n_comp < 500_000  # vs ~50M for the full scan
+        assert edges == [] or len(edges) < 50  # random 16^12 space: none
+
+    def test_canonicalize_uses_subblocker_same_result(
+        self, ray_session, monkeypatch
+    ):
+        """Forcing the mega-block path (threshold 0) must not change
+        canonicalization output."""
+        import ray.data
+
+        import deduce_ray.rayops.kg as kg
+
+        rows = []
+        for i, (obj, n) in enumerate(
+            [("Ommen", 3), ("Emmen", 1), ("Haarlem", 2), ("Haarlemm", 1)]
+        ):
+            for j in range(n):
+                rows.append(
+                    {
+                        "doc_id": f"d{i}_{j}",
+                        "repo": "org/r",
+                        "path": "p",
+                        "commit": "c",
+                        "lang": "nl",
+                        "pred": "locatie",
+                        "obj": obj,
+                        "start_char": 0,
+                        "end_char": len(obj),
+                        "entity_id": "LOCATIE-1",
+                    }
+                )
+
+        def run():
+            out = kg.canonicalize_entities(
+                ray.data.from_items(rows)
+            ).to_pandas()
+            return sorted(
+                zip(out["pred"], out["obj_norm"], out["canonical"], out["n_mentions"])
+            )
+
+        base = run()
+        monkeypatch.setattr(kg, "_SUBBLOCK_THRESHOLD", 0)
+        assert run() == base
