@@ -35,6 +35,37 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 KG_REPLICATE = int(os.environ.get("KG_REPLICATE", "64"))
 
 
+def _cpu_ticks() -> dict | None:
+    """Aggregate /proc/stat ticks — used to report hypervisor steal over
+    the measured window, so a noisy co-tenant period is visible in the
+    recorded JSON instead of silently inflating wall-times."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        user, nice, system, idle, iowait, irq, softirq, steal = (
+            int(x) for x in parts[1:9]
+        )
+    except (OSError, ValueError, IndexError):
+        return None
+    return {
+        "busy": user + nice + system + irq + softirq,
+        "idle": idle + iowait,
+        "steal": steal,
+    }
+
+
+def _cpu_window(t0: dict | None, t1: dict | None) -> dict:
+    if not t0 or not t1:
+        return {}
+    total = sum(t1[k] - t0[k] for k in t0)
+    if total <= 0:
+        return {}
+    return {
+        "steal_pct": round(100.0 * (t1["steal"] - t0["steal"]) / total, 1),
+        "busy_pct": round(100.0 * (t1["busy"] - t0["busy"]) / total, 1),
+    }
+
+
 def _sf_of(sf_dir: str) -> float:
     name = Path(sf_dir).name
     try:
@@ -130,6 +161,8 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     extras: dict = {}
 
     def timed(name, fn):
+        import gc
+
         t0 = time.time()
         result = fn()
         # force execution for lazy datasets
@@ -138,6 +171,11 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         else:
             extras[f"{name}_rows"] = len(result)
         timings[name] = round(time.time() - t0, 3)
+        # drop the dataset reference and collect BEFORE the next query so
+        # its materialized blocks leave the object store (otherwise later
+        # shuffle-heavy queries inherit avoidable store pressure)
+        del result
+        gc.collect()
 
     head = kg_headline(sf_dir, num_cpus, KG_REPLICATE)
     timings["kg_annotate"] = head["sec"]
@@ -185,11 +223,14 @@ def main() -> None:
         )
 
     if args.kg_only:
+        ticks0 = _cpu_ticks()
         result = kg_headline(args.sf_dir, args.cpus, KG_REPLICATE)
-        print(json.dumps({**result, "num_cpus": args.cpus}))
+        window = _cpu_window(ticks0, _cpu_ticks())
+        print(json.dumps({**result, "num_cpus": args.cpus, **window}))
         ray.shutdown()
         return
 
+    ticks0 = _cpu_ticks()
     suite = run_suite(args.sf_dir, args.cpus)
     total = round(sum(suite["timings"].values()), 3)
     print(
@@ -203,6 +244,7 @@ def main() -> None:
                 "num_cpus": args.cpus,
                 "kg_docs_per_sec": suite["extras"]["kg_docs_per_sec"],
                 "kg_docs": suite["extras"]["kg_docs"],
+                **_cpu_window(ticks0, _cpu_ticks()),
             }
         )
     )
@@ -276,6 +318,8 @@ def run_scaling(args) -> None:
         "docs": results[hi]["docs"],
         f"docs_per_sec_{lo}cpu": tput_lo,
         f"docs_per_sec_{hi}cpu": tput_hi,
+        f"steal_pct_{lo}cpu": results[lo].get("steal_pct"),
+        f"steal_pct_{hi}cpu": results[hi].get("steal_pct"),
     }
     print(json.dumps(out))
 
