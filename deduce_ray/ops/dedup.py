@@ -254,47 +254,75 @@ def minhash_lsh_pairs(
             }
         )
 
-    def similarity(pa_load, pb_load) -> float:
-        if exact:
-            return jaccard(
-                set(int(x) for x in pa_load), set(int(x) for x in pb_load)
-            )
-        sig_a = np.frombuffer(pa_load, dtype=np.uint64)
-        sig_b = np.frombuffer(pb_load, dtype=np.uint64)
-        return float(np.mean(sig_a == sig_b))
-
     def verify_shard(df: pd.DataFrame) -> pd.DataFrame:
-        pairs: dict[tuple[int, int], float] = {}
-        payload_cache: dict[int, object] = {}
+        """Vectorized in-shard verification: one payload row per distinct
+        doc, candidate-pair positions gathered per bucket (np.triu per
+        bucket, Python cost per BUCKET not per pair), pairs deduped with
+        one np.unique, and — in signature mode — ALL pair similarities
+        computed in a single matrix comparison."""
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "jaccard": pd.Series(dtype="float64"),
+            }
+        )
         sizes = df.groupby("bucket")[id_col].nunique()
-        hot_buckets = set(sizes[sizes > 1].index)
-        if hot_buckets:
-            sub = df[df["bucket"].isin(hot_buckets)]
-            for _, group in sub.groupby("bucket"):
-                docs = group.drop_duplicates(subset=[id_col])
-                ids = docs[id_col].astype("int64").tolist()
-                if len(ids) < 2:
-                    continue
-                for doc_id, payload in zip(ids, docs["payload"]):
-                    payload_cache.setdefault(doc_id, payload)
-                ids.sort()
-                for i in range(len(ids)):
-                    for j in range(i + 1, len(ids)):
-                        key = (ids[i], ids[j])
-                        if key in pairs:
-                            continue
-                        sim = similarity(
-                            payload_cache[ids[i]], payload_cache[ids[j]]
-                        )
-                        # remember rejections too, so other buckets in this
-                        # shard skip the recompute
-                        pairs[key] = round(sim, 6) if sim >= threshold else -1.0
-        rows = [
-            {"id_a": k[0], "id_b": k[1], "jaccard": v}
-            for k, v in pairs.items()
-            if v >= 0
-        ]
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+        hot_buckets = sizes[sizes > 1].index
+        if not len(hot_buckets):
+            return empty
+        sub = df[df["bucket"].isin(hot_buckets)]
+        # sorted by id so position order == id order (pairs come out with
+        # id_a < id_b without a per-pair sort)
+        docs = sub.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        doc_ids = docs[id_col].to_numpy(dtype=np.int64)
+        pos = {int(d): p for p, d in enumerate(doc_ids)}
+        if exact:
+            payloads = docs["payload"].tolist()
+        else:
+            payloads = np.vstack(
+                [np.frombuffer(p, dtype=np.uint64) for p in docs["payload"]]
+            )
+        ia_parts: list[np.ndarray] = []
+        ib_parts: list[np.ndarray] = []
+        mem = sub.drop_duplicates(subset=["bucket", id_col])
+        for _, ids in mem.groupby("bucket")[id_col]:
+            arr = np.sort(
+                np.fromiter(
+                    (pos[int(x)] for x in ids), dtype=np.int64, count=len(ids)
+                )
+            )
+            iu, ju = np.triu_indices(len(arr), k=1)
+            ia_parts.append(arr[iu])
+            ib_parts.append(arr[ju])
+        ia = np.concatenate(ia_parts)
+        ib = np.concatenate(ib_parts)
+        uniq = np.unique(np.stack([ia, ib], axis=1), axis=0)
+        ia, ib = uniq[:, 0], uniq[:, 1]
+        if exact:
+            sims = np.fromiter(
+                (
+                    jaccard(
+                        set(int(x) for x in payloads[i]),
+                        set(int(x) for x in payloads[j]),
+                    )
+                    for i, j in zip(ia, ib)
+                ),
+                dtype=np.float64,
+                count=len(ia),
+            )
+        else:
+            sims = (payloads[ia] == payloads[ib]).mean(axis=1)
+        keep = sims >= threshold  # threshold on the unrounded value
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": doc_ids[ia[keep]],
+                "id_b": doc_ids[ib[keep]],
+                "jaccard": np.round(sims[keep], 6),
+            }
+        )
 
     sigs = ds.map_batches(signatures, batch_format="pyarrow")
     pairs = sigs.groupby("shard").map_groups(verify_shard, batch_format="pandas")
