@@ -355,13 +355,14 @@ def neardup_clusters(
     groupby that rewires every node's neighbours toward its neighbourhood
     minimum, so a round costs 2 groupbys + 1 materialize (round 2's
     min-label + pointer-jumping loop cost 3 groupbys + 2 materializes per
-    round).  Convergence is detected by an edge-set witness (count +
-    bounded per-edge hash sum over the deduplicated edges, computed inside
-    the large-star tasks, describing the edge set entering the round): two
-    equal consecutive witnesses mean the edge set is stable, at which
-    point every node neighbours its component minimum.  If the ``rounds``
-    budget is exhausted first a warning is logged and the current labels
-    are returned.
+    round).  Convergence is detected by an edge-set witness pair — two
+    INDEPENDENT bounded per-edge hash sums (plus edge count) over the
+    deduplicated edges, computed inside the large-star tasks and compared
+    exactly on the driver: equal consecutive witness pairs mean the edge
+    set is stable (a false stop needs a simultaneous collision in both
+    families, ~2^-120), at which point every node neighbours its
+    component minimum.  If the ``rounds`` budget is exhausted first a
+    warning is logged and the current labels are returned.
 
     pairs_ds: rows with id_a/id_b.  nodes_ds: optional rows with doc_id for
     singleton nodes.  Returns (doc_id, cluster_id) with cluster_id = min
@@ -397,10 +398,16 @@ def neardup_clusters(
         return ray.data.from_pandas(out)
 
     n_shards = 256
-    # witness terms: per-edge 28-bit hash keeps the global int64 sum exact
-    # up to ~2^35 edges; count is folded in with a small prime multiplier
+    # witness terms: per-edge 28-bit hashes keep each global int64 sum
+    # exact up to ~2^35 edges; count is folded in with a small prime.  TWO
+    # independent hash families ride each marker row (w and v columns) and
+    # both sums must repeat for convergence — a false stop needs a
+    # simultaneous collision in both (~2^-120), vs ~2^-60 for one family
     _WMASK = (1 << 28) - 1
     _WCOUNT_P = 40503
+    _WCOUNT_P2 = 65371
+    _WMUL = np.uint64(0x9E3779B97F4A7C15)
+    _WMUL2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
     def to_edges(batch: pa.Table) -> pa.Table:
         a = np.asarray(batch.column("id_a").to_pylist(), dtype=np.int64)
@@ -448,15 +455,18 @@ def neardup_clusters(
             return pd.DataFrame(columns=["shard", "u", "v", "w"]).astype(
                 {"shard": "int64", "u": "int64", "v": "int64", "w": "int64"}
             )
-        # witness over the DEDUPED input: describes the edge set entering
-        # this round; emitted as one marker row (u = v = -1) that the
-        # small-star task passes through for the driver's sum("w")
+        # witnesses over the DEDUPED input: describe the edge set entering
+        # this round; emitted as one marker row (u = -1, v = witness2,
+        # w = witness1) that the small-star task passes through for the
+        # driver's per-round comparison
         uu = df["u"].to_numpy().astype(np.uint64)
         vv = df["v"].to_numpy().astype(np.uint64)
-        h = ((uu * np.uint64(0x9E3779B97F4A7C15)) ^ vv) & np.uint64(_WMASK)
-        witness = int(h.sum(dtype=np.uint64)) + len(df) * _WCOUNT_P
+        h1 = ((uu * _WMUL) ^ vv) & np.uint64(_WMASK)
+        h2 = ((vv * _WMUL2) ^ uu) & np.uint64(_WMASK)
+        w1 = int(h1.sum(dtype=np.uint64)) + len(df) * _WCOUNT_P
+        w2 = int(h2.sum(dtype=np.uint64)) + len(df) * _WCOUNT_P2
         markers = pd.DataFrame(
-            [{"shard": 0, "u": -1, "v": -1, "w": witness}]
+            [{"shard": 0, "u": -1, "v": w2, "w": w1}]
         ).astype({"shard": "int64", "u": "int64", "v": "int64", "w": "int64"})
         mins = _node_mins(df)
         j = df.merge(mins, on="u")
@@ -481,6 +491,20 @@ def neardup_clusters(
         )
         return _emit(out, markers)
 
+    def _witness_of(ds) -> tuple[int, int]:
+        # marker rows are one per non-empty shard (<= n_shards); exact
+        # Python-int sums of both families on the driver
+        rows = ds.map_batches(
+            lambda t: t.filter(pc.equal(t.column("u"), -1)).select(
+                ["v", "w"]
+            ),
+            batch_format="pyarrow",
+        ).take_all()
+        return (
+            sum(r["w"] for r in rows),
+            sum(r["v"] for r in rows),
+        )
+
     prev_witness = None
     converged = False
     for _ in range(rounds):
@@ -491,7 +515,7 @@ def neardup_clusters(
             .map_groups(small_star, batch_format="pandas")
             .materialize()
         )
-        witness = edges.sum("w")
+        witness = _witness_of(edges)
         if prev_witness is not None and witness == prev_witness:
             converged = True
             break
@@ -507,24 +531,36 @@ def neardup_clusters(
             rounds,
         )
 
-    label_input = edges
+    def _self_rows(ids: np.ndarray) -> pd.DataFrame:
+        # pandas blocks: the star-round edges are pandas (map_groups
+        # output) and the downstream groupby requires one block type
+        return pd.DataFrame(
+            {
+                "shard": ids % n_shards,
+                "u": ids,
+                "v": ids,
+                "w": np.zeros(len(ids), dtype=np.int64),
+            }
+        ).astype({"shard": "int64", "u": "int64", "v": "int64", "w": "int64"})
+
+    # degenerate id_a == id_b pair rows name a node but carry no edge;
+    # to_edges drops them from the star rounds, so re-inject them at
+    # label time as singletons (matching the driver union-find path)
+    def selfies(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["id_a"].to_numpy(dtype=np.int64)
+        b = df["id_b"].to_numpy(dtype=np.int64)
+        return _self_rows(a[a == b])
+
+    label_input = edges.union(
+        pairs_ds.map_batches(selfies, batch_format="pandas")
+    )
     if nodes_ds is not None:
 
-        def to_self(batch: pa.Table) -> pa.Table:
-            ids = np.asarray(
-                batch.column("doc_id").to_pylist(), dtype=np.int64
-            )
-            return pa.table(
-                {
-                    "shard": pa.array(ids % n_shards, type=pa.int64()),
-                    "u": pa.array(ids, type=pa.int64()),
-                    "v": pa.array(ids, type=pa.int64()),
-                    "w": pa.array(np.zeros(len(ids), dtype=np.int64)),
-                }
-            )
+        def to_self(df: pd.DataFrame) -> pd.DataFrame:
+            return _self_rows(df["doc_id"].to_numpy(dtype=np.int64))
 
-        label_input = edges.union(
-            nodes_ds.map_batches(to_self, batch_format="pyarrow")
+        label_input = label_input.union(
+            nodes_ds.map_batches(to_self, batch_format="pandas")
         )
 
     def to_labels(df: pd.DataFrame) -> pd.DataFrame:
@@ -773,18 +809,36 @@ def embedding_neardup_pairs(
         )
 
     def candidate_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        pairs: set[tuple[int, int]] = set()
-        sizes = df.groupby("bucket")["id"].nunique()
-        for bucket in sizes[sizes > 1].index:
-            ids = sorted(
-                df.loc[df["bucket"] == bucket, "id"].astype("int64").unique()
-            )
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    pairs.add((ids[i], ids[j]))
-        return pd.DataFrame(
-            sorted(pairs), columns=["id_a", "id_b"], dtype="int64"
+        """Vectorized like minhash's verify_shard: one groupby pass over
+        hot buckets, np.triu_indices per bucket (Python cost per bucket,
+        not per pair), one np.unique for the cross-bucket dedup."""
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+            }
         )
+        sizes = df.groupby("bucket")["id"].nunique()
+        hot = sizes[sizes > 1].index
+        if not len(hot):
+            return empty
+        mem = df[df["bucket"].isin(hot)].drop_duplicates(
+            subset=["bucket", "id"]
+        )
+        a_parts: list[np.ndarray] = []
+        b_parts: list[np.ndarray] = []
+        for _, ids in mem.groupby("bucket")["id"]:
+            arr = np.sort(ids.to_numpy(dtype=np.int64))
+            iu, ju = np.triu_indices(len(arr), k=1)
+            a_parts.append(arr[iu])
+            b_parts.append(arr[ju])
+        uniq = np.unique(
+            np.stack(
+                [np.concatenate(a_parts), np.concatenate(b_parts)], axis=1
+            ),
+            axis=0,
+        )
+        return pd.DataFrame({"id_a": uniq[:, 0], "id_b": uniq[:, 1]})
 
     sigs = ds_embeddings.map_batches(signatures, batch_format="pyarrow")
     cand = (
@@ -794,6 +848,21 @@ def embedding_neardup_pairs(
     )
 
     n_pairs = cand.count()
+    if n_pairs == 0:
+        # nothing to verify: skip the join entirely (without this, the
+        # id-shard leg would ship EVERY vector for a guaranteed-empty
+        # result — the exact exchange the signature-only design avoids)
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "cosine": pa.array([], type=pa.float64()),
+                }
+            )
+        )
     touched_ref = None
     if 0 < n_pairs <= broadcast_candidate_ids_max:
         cand_df = cand.to_pandas()

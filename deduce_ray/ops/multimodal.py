@@ -15,7 +15,6 @@ tests that don't care about pixels.
 from __future__ import annotations
 
 import hashlib
-import re
 import struct
 
 import numpy as np
@@ -53,16 +52,38 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     if not payload.startswith(b"P6"):
         raise ValueError("not a P6 PPM payload")
     # header: magic, width, height, maxval, then exactly ONE whitespace
-    # byte before the raster.  A tokenizing split would also strip raster
-    # bytes that happen to be whitespace (0x09/0x0a/0x20 pixel values), so
-    # the raster offset must come from an anchored header match.
-    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)[\t\n\x0b\x0c\r ]", payload)
-    if m is None:
+    # byte before the raster.  Parsed byte-by-byte (the header is ~20
+    # bytes) rather than tokenized, for two spec behaviors a split would
+    # break: '#' comments may appear between tokens, and raster bytes that
+    # happen to be whitespace must not be stripped.
+    ws = b"\t\n\x0b\x0c\r "
+    pos, vals = 2, []
+    while len(vals) < 3:
+        if pos >= len(payload):
+            raise ValueError("truncated PPM header")
+        c = payload[pos : pos + 1]
+        if c in ws:
+            pos += 1
+        elif c == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                raise ValueError("truncated PPM header")
+            pos = nl + 1
+        elif c.isdigit():
+            end = pos
+            while end < len(payload) and payload[end : end + 1].isdigit():
+                end += 1
+            vals.append(int(payload[pos:end]))
+            pos = end
+        else:
+            raise ValueError("malformed PPM header")
+    if pos >= len(payload) or payload[pos : pos + 1] not in ws:
         raise ValueError("truncated PPM header")
-    w, h, maxval = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    pos += 1  # the single whitespace separating maxval from the raster
+    w, h, maxval = vals
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
-    raster = payload[m.end():]
+    raster = payload[pos:]
     need = w * h * 3
     if len(raster) < need:
         raise ValueError("truncated PPM raster")
@@ -208,11 +229,17 @@ class MediaFeatureExtractor:
         heights = batch.column("height").to_pylist()
 
         features = []
+        dim = self.FEATURE_DIM
         for payload, kind, w, h in zip(payloads, kinds, widths, heights):
             pixels = self._decode(payload, kind, w, h)
+            if len(pixels) < dim:
+                # tiny-but-valid media (e.g. a 2x2 image, a <32-sample
+                # clip): zero-pad so the fixed-dim pooling never reshapes
+                # an empty array
+                pixels = np.pad(pixels, (0, dim - len(pixels)))
             # mean-pool into a fixed-dim feature vector
-            pooled = pixels[: (len(pixels) // self.FEATURE_DIM) * self.FEATURE_DIM]
-            pooled = pooled.reshape(self.FEATURE_DIM, -1).mean(axis=1)
+            pooled = pixels[: (len(pixels) // dim) * dim]
+            pooled = pooled.reshape(dim, -1).mean(axis=1)
             features.append([round(float(x), 6) for x in pooled])
 
         return pa.table(

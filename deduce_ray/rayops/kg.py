@@ -173,20 +173,20 @@ def _dl1_block_pairs(
     homes: list[str], guests: list[str]
 ) -> tuple[list[tuple[str, str]], int]:
     """DL<=1 pairs via deletion-neighborhood blocking (FastSS-style), for
-    one (pred, length) block: ``homes`` are distinct same-length forms,
-    ``guests`` distinct forms one char longer.
+    one (pred, length) block: ``homes`` are distinct same-length forms
+    (length L), ``guests`` distinct forms one char SHORTER (length L-1 —
+    ``emit_blocks`` sends a form of length n to block n as home and block
+    n+1 as guest).
 
     Completeness: equal-length strings at DL 1 (substitution, or adjacent
-    transposition) share a single-deletion variant; a cross-length pair at
-    DL 1 (one insertion/deletion) means the shorter string IS a deletion
-    variant of the longer.  So bucket homes by their deletion variants for
-    the home/home pairs, and probe BOTH directions for home/guest pairs —
-    home deletion variants against the guest set (guests one char shorter,
-    the shape ``emit_blocks`` produces) and guest deletion variants
-    against the home set (guests one char longer) — then verify every
-    candidate with the exact predicate.  Returns (edges, n_comparisons) —
-    the comparison count is the bound the sub-blocker exists to enforce
-    (vs m*(m-1)/2 for the full scan).
+    transposition) share a single-deletion variant; a home/guest pair at
+    DL 1 (one deletion) means the guest IS a deletion variant of the
+    home.  So one pass over home deletion variants covers both shapes:
+    each variant buckets homes for the home/home candidates AND probes
+    the guest set directly.  Every candidate is then verified with the
+    exact predicate.  Returns (edges, n_comparisons) — the comparison
+    count is the bound the sub-blocker exists to enforce (vs m*(m-1)/2
+    for the full scan).
     """
     from collections import defaultdict
 
@@ -218,18 +218,6 @@ def _dl1_block_pairs(
         n_comparisons += 1
         if within_edit_distance_one(homes[i], homes[j]):
             edges.append((homes[i], homes[j]))
-
-    home_index = {h: i for i, h in enumerate(homes)}
-    for gi, g in enumerate(guests):
-        gseen: set[str] = set()
-        for k in range(len(g)):
-            d = g[:k] + g[k + 1 :]
-            if d in gseen:
-                continue
-            gseen.add(d)
-            hi = home_index.get(d)
-            if hi is not None:
-                gcand.add((hi, gi))
     for hi, gi in gcand:
         n_comparisons += 1
         if within_edit_distance_one(homes[hi], guests[gi]):

@@ -181,14 +181,16 @@ class TokenList:
         Results are memoized per (lookup set, pipeline): the name
         token-pattern annotators share their start sets three ways (prefix
         x3, initial x2), so each distinct candidate list is computed once
-        per document.  Keying on id() is safe because the LookupSet holds
-        its item set for the engine's lifetime (structures.py items()
-        returns the live set, annotators keep a reference)."""
+        per document.  The memo keys on id(lookup_values) but stores the
+        set itself alongside the result and re-checks identity on hit —
+        holding the strong reference means the id cannot be recycled by a
+        different set while the entry is alive, so a transient caller set
+        can never alias a stale entry."""
         pipeline_key = self._pipeline_key(matching_pipeline)
         memo_key = ("token_lookup", id(lookup_values), pipeline_key)
         cached = self._word_index_cache.get(memo_key)
-        if cached is not None:
-            return cached
+        if cached is not None and cached[0] is lookup_values:
+            return cached[1]
         index = self._word_index(pipeline_key, matching_pipeline or ())
         hits: list[Token] = []
         if len(lookup_values) < len(index):
@@ -202,7 +204,7 @@ class TokenList:
                 if text in lookup_values:
                     hits.extend(toks)
             hits.sort(key=lambda t: t.start_char)
-        self._word_index_cache[memo_key] = hits
+        self._word_index_cache[memo_key] = (lookup_values, hits)
         return hits
 
 

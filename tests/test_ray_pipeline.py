@@ -556,6 +556,46 @@ class TestMultimodal:
         pixels = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
         assert np.array_equal(decode_ppm(encode_ppm(pixels)), pixels)
 
+    def test_ppm_header_comments(self):
+        """Netpbm '#' comment lines between header tokens are spec-valid
+        and must parse (GIMP and friends emit them)."""
+        from deduce_ray.ops.multimodal import decode_ppm
+
+        pixels = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3)
+        payload = (
+            b"P6\n# made by a common tool\n3 4\n# another note\n255\n"
+            + pixels.tobytes()
+        )
+        assert np.array_equal(decode_ppm(payload), pixels)
+
+    def test_feature_extractor_tiny_media(self):
+        """Valid media smaller than FEATURE_DIM (a 2x2 image, a short
+        clip) must pool without crashing."""
+        from deduce_ray.ops.multimodal import (
+            MediaFeatureExtractor,
+            encode_ppm,
+            encode_wav,
+        )
+
+        tiny_img = encode_ppm(np.full((2, 2, 3), 7, dtype=np.uint8))
+        tiny_wav = encode_wav(np.arange(5, dtype=np.int16))
+        batch = pa.table(
+            {
+                "media_id": pa.array([1, 2], type=pa.int64()),
+                "kind": pa.array(["image", "audio"]),
+                "mime": pa.array(["image/x-portable-pixmap", "audio/wav"]),
+                "width": pa.array([2, 0], type=pa.int32()),
+                "height": pa.array([2, 0], type=pa.int32()),
+                "payload": pa.array([tiny_img, tiny_wav], type=pa.binary()),
+            }
+        )
+        out = MediaFeatureExtractor()(batch)
+        assert out.num_rows == 2
+        assert all(
+            len(f) == MediaFeatureExtractor.FEATURE_DIM
+            for f in out.column("feature").to_pylist()
+        )
+
     def test_ppm_roundtrip_whitespace_leading_raster(self):
         """Raster bytes that ARE whitespace (0x0a/0x20/...) right after the
         header's single separator must not be eaten by the header parse."""
@@ -857,6 +897,9 @@ class TestClustersAndJoins:
             {"id_a": 2, "id_b": 3},
             {"id_a": 3, "id_b": 4},
             {"id_a": 10, "id_b": 11},
+            # degenerate self-pair: names a node, carries no edge — must
+            # survive BOTH paths as a singleton
+            {"id_a": 20, "id_b": 20},
         ]
         fast = {
             r["doc_id"]: r["cluster_id"]
@@ -868,7 +911,11 @@ class TestClustersAndJoins:
                 ray.data.from_items(rows), driver_threshold=0
             ).take_all()
         }
-        assert fast == dist == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+        assert (
+            fast
+            == dist
+            == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+        )
 
     def test_neardup_clusters_distributed_63bit_ids(self, ray_session):
         """md5-derived node ids exceed float64's 53-bit mantissa; the
@@ -1102,13 +1149,14 @@ class TestEntityCanonicalization:
             cand = "".join(v)
             if cand not in homes:
                 homes.append(cand)
+        # production shape: guests are one char SHORTER than homes
         guests = set()
         while len(guests) < 100:
-            guests.add("".join(rng.choice(alphabet) for _ in range(9)))
-        # plant insertions of homes
+            guests.add("".join(rng.choice(alphabet) for _ in range(7)))
+        # plant single-deletions of homes
         for h in homes[:40]:
-            k = rng.randrange(9)
-            guests.add(h[:k] + rng.choice(alphabet) + h[k:])
+            k = rng.randrange(8)
+            guests.add(h[:k] + h[k + 1 :])
         guests = sorted(guests)
 
         got, n_comp = _dl1_block_pairs(homes, guests)
