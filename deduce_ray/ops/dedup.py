@@ -638,26 +638,60 @@ def simhash_pairs(
         )
 
     def verify_shard(df: pd.DataFrame) -> pd.DataFrame:
-        pairs: dict[tuple[int, int], int] = {}
+        """Vectorized like minhash's verify_shard: candidate positions per
+        hot bucket via np.triu_indices, one np.unique pair dedup, and all
+        Hamming distances in one XOR + unpackbits pass."""
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype="int64"),
+                "id_b": pd.Series(dtype="int64"),
+                "hamming": pd.Series(dtype="int64"),
+            }
+        )
         sizes = df.groupby("bucket")[id_col].nunique()
-        for bucket in sizes[sizes > 1].index:
-            docs = df[df["bucket"] == bucket].drop_duplicates(subset=[id_col])
-            items = sorted(
-                zip(docs[id_col].astype(int), docs["simhash"].astype(np.uint64))
+        hot = sizes[sizes > 1].index
+        if not len(hot):
+            return empty
+        sub = df[df["bucket"].isin(hot)]
+        docs = sub.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        doc_ids = docs[id_col].to_numpy(dtype=np.int64)
+        hashes = docs["simhash"].to_numpy(dtype=np.uint64)
+        pos = {int(d): p for p, d in enumerate(doc_ids)}
+        ia_parts: list[np.ndarray] = []
+        ib_parts: list[np.ndarray] = []
+        mem = sub.drop_duplicates(subset=["bucket", id_col])
+        for _, ids in mem.groupby("bucket")[id_col]:
+            arr = np.sort(
+                np.fromiter(
+                    (pos[int(x)] for x in ids), dtype=np.int64, count=len(ids)
+                )
             )
-            for i in range(len(items)):
-                for j in range(i + 1, len(items)):
-                    key = (items[i][0], items[j][0])
-                    if key in pairs:
-                        continue
-                    dist = int(bin(int(items[i][1]) ^ int(items[j][1])).count("1"))
-                    pairs[key] = dist
-        rows = [
-            {"id_a": k[0], "id_b": k[1], "hamming": v}
-            for k, v in pairs.items()
-            if v <= max_hamming
-        ]
-        return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"])
+            iu, ju = np.triu_indices(len(arr), k=1)
+            ia_parts.append(arr[iu])
+            ib_parts.append(arr[ju])
+        uniq = np.unique(
+            np.stack(
+                [np.concatenate(ia_parts), np.concatenate(ib_parts)], axis=1
+            ),
+            axis=0,
+        )
+        ia, ib = uniq[:, 0], uniq[:, 1]
+        x = hashes[ia] ^ hashes[ib]
+        dist = (
+            np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
+            .sum(axis=1)
+            .astype(np.int64)
+        )
+        keep = dist <= max_hamming
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": doc_ids[ia[keep]],
+                "id_b": doc_ids[ib[keep]],
+                "hamming": dist[keep],
+            }
+        )
 
     sigs = ds.map_batches(signatures, batch_format="pyarrow")
     pairs = sigs.groupby("shard").map_groups(verify_shard, batch_format="pandas")
@@ -732,6 +766,7 @@ def embedding_neardup_pairs(
     n_planes: int = 12,
     n_tables: int = 8,
     broadcast_candidate_ids_max: int = 5_000_000,
+    driver_verify_max: int = 20_000,
 ):
     """Cosine near-duplicates via multi-table random-hyperplane LSH with
     exact verification through a JOIN back to a single vector table.
@@ -754,10 +789,15 @@ def embedding_neardup_pairs(
        sparse; above ``broadcast_candidate_ids_max`` pairs the id filter
        is skipped and every vector ships once) and broadcast via ray.put
        so only TOUCHED vectors enter the verify join;
-    4. an id-shard groupby joins each candidate id to its vector (each
-       touched vector crosses the wire once, plus once per pair side);
-    5. a pair-shard groupby computes exact cosines vectorized and also
-       deduplicates pairs found via buckets in different shards.
+    4. when <= ``driver_verify_max`` vectors are touched (the common
+       case: near-dups are sparse), the touched vectors are collected to
+       the driver — a BOUNDED materialization, like neardup_clusters'
+       union-find path — and every pair is verified in one matmul with no
+       further shuffle; otherwise
+    5. an id-shard groupby joins each candidate id to its vector (each
+       touched vector crosses the wire once, plus once per pair side) and
+       a pair-shard groupby computes exact cosines vectorized, also
+       deduplicating pairs found via buckets in different shards.
 
     Exchange bytes per vector are independent of ``n_tables``; the logged
     estimate makes the trade auditable.
@@ -865,7 +905,9 @@ def embedding_neardup_pairs(
         )
     touched_ref = None
     if 0 < n_pairs <= broadcast_candidate_ids_max:
-        cand_df = cand.to_pandas()
+        # candidate_pairs dedupes within a shard only; the same pair found
+        # via buckets in DIFFERENT shards appears once per shard
+        cand_df = cand.to_pandas().drop_duplicates(subset=["id_a", "id_b"])
         touched = np.unique(
             np.concatenate([cand_df["id_a"].to_numpy(), cand_df["id_b"].to_numpy()])
         )
@@ -876,6 +918,70 @@ def embedding_neardup_pairs(
             n_pairs,
             len(touched),
         )
+
+        if len(touched) <= driver_verify_max:
+            # sparse-candidate fast path (the common case: near-dups are
+            # rare relative to the corpus): collect ONLY the touched
+            # vectors to the driver — a bounded materialization, like the
+            # union-find path in neardup_clusters — and verify all pairs
+            # in one matmul, skipping both join shuffles entirely
+            def touched_vectors(batch: pa.Table) -> pa.Table:
+                ids = np.asarray(
+                    batch.column(id_col).to_pylist(), dtype=np.int64
+                )
+                keep = pc.is_in(
+                    pa.array(ids, type=pa.int64()),
+                    value_set=ray.get(touched_ref),
+                ).to_numpy(zero_copy_only=False)
+                idx = np.flatnonzero(keep)
+                return pa.table(
+                    {
+                        "id": pa.array(ids[idx], type=pa.int64()),
+                        "vec": pc.cast(
+                            batch.column(vec_col).take(
+                                pa.array(idx, type=pa.int64())
+                            ),
+                            pa.list_(pa.float64()),
+                        ),
+                    }
+                )
+
+            import ray.data
+
+            vec_df = (
+                ds_embeddings.map_batches(
+                    touched_vectors, batch_format="pyarrow"
+                )
+                .to_pandas()
+                .drop_duplicates(subset=["id"])
+            )
+            mat = np.asarray(list(vec_df["vec"]), dtype=np.float64)
+            index = {int(i): p for p, i in enumerate(vec_df["id"])}
+            ia = np.fromiter(
+                (index[int(x)] for x in cand_df["id_a"]),
+                dtype=np.int64,
+                count=len(cand_df),
+            )
+            ib = np.fromiter(
+                (index[int(x)] for x in cand_df["id_b"]),
+                dtype=np.int64,
+                count=len(cand_df),
+            )
+            mat_a, mat_b = mat[ia], mat[ib]
+            denom = np.linalg.norm(mat_a, axis=1) * np.linalg.norm(
+                mat_b, axis=1
+            )
+            denom[denom == 0] = 1.0
+            cos = np.round((mat_a * mat_b).sum(axis=1) / denom, 6)
+            keep_pairs = cos >= threshold
+            out = pd.DataFrame(
+                {
+                    "id_a": cand_df["id_a"].to_numpy(dtype=np.int64)[keep_pairs],
+                    "id_b": cand_df["id_b"].to_numpy(dtype=np.int64)[keep_pairs],
+                    "cosine": cos[keep_pairs],
+                }
+            ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+            return ray.data.from_pandas(out)
 
     # verify join, leg 1: requests (one row per pair side) + vectors,
     # co-sharded on id.  Sentinel -1 instead of nulls: Ray's arrow->pandas

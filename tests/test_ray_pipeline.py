@@ -282,6 +282,36 @@ class TestDedupOps:
         ).take_all()
         assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
 
+    def test_embedding_neardup_join_path_matches_fast_path(self, ray_session):
+        """driver_verify_max=0 forces the distributed verify join; it must
+        report exactly the fast path's pairs and cosines."""
+        import ray.data
+
+        from deduce_ray.ops.dedup import embedding_neardup_pairs
+
+        rng = np.random.default_rng(3)
+        rows = []
+        for i in range(40):
+            v = rng.standard_normal(16)
+            rows.append({"vec_id": i, "embedding": list(v)})
+            if i % 5 == 0:
+                rows.append(
+                    {"vec_id": 1000 + i, "embedding": list(v * 2.0)}
+                )
+
+        def run(**kw):
+            return sorted(
+                (p["id_a"], p["id_b"], p["cosine"])
+                for p in embedding_neardup_pairs(
+                    ray.data.from_items(rows), threshold=0.95, **kw
+                ).take_all()
+            )
+
+        fast = run()
+        joined = run(driver_verify_max=0)
+        assert fast == joined
+        assert len(fast) >= 8  # the planted scaled copies were found
+
     def test_minhash_verify_modes_agree(self, ray_session):
         """Signature-agreement (fixed-width shuffle) and exact-Jaccard
         verification report the same pair set away from the threshold."""
