@@ -155,11 +155,32 @@ def jaccard(s1: set[int], s2: set[int]) -> float:
     return inter / (len(s1) + len(s2) - inter)
 
 
-def _dedup_pairs(pairs_ds, value_col: str, n_shards: int = 256):
-    """Distinct on (id_a, id_b) without one group task per pair: shard by a
-    hash of the pair, drop duplicates vectorized inside each shard task.
-    The verification value is deterministic per pair, so either copy of a
-    pair found via different shards is interchangeable."""
+def _dedup_pairs(
+    pairs_ds, value_col: str, n_shards: int = 256, driver_max: int = 2_000_000
+):
+    """Distinct on (id_a, id_b).  The verification value is deterministic
+    per pair, so either copy of a pair found via different shards is
+    interchangeable.
+
+    Verified pair sets are tiny relative to the corpus, so the common
+    path materializes the pairs once and, up to ``driver_max`` rows,
+    dedupes on the driver — a BOUNDED materialization (same precedent as
+    neardup_clusters' union-find path) that saves the second all-to-all
+    sort the shard-groupby path costs.  Above the bound: shard by a hash
+    of the pair, drop duplicates vectorized inside each shard task."""
+    import ray.data
+
+    pairs_ds = pairs_ds.materialize()
+    if driver_max and pairs_ds.count() <= driver_max:
+        df = pairs_ds.to_pandas()
+        out = (
+            df.drop_duplicates(subset=["id_a", "id_b"])[
+                ["id_a", "id_b", value_col]
+            ]
+            .astype({"id_a": "int64", "id_b": "int64"})
+            .reset_index(drop=True)
+        )
+        return ray.data.from_pandas(out)
 
     def add_shard(batch: pa.Table) -> pa.Table:
         a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.uint64)
