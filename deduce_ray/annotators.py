@@ -325,11 +325,20 @@ class ContextAnnotator(TokenPatternAnnotator):
 
         return annotations
 
-    def _expand(self, text: str, annotations: AnnotationSet) -> AnnotationSet:
+    def _expand(
+        self,
+        text: str,
+        annotations: AnnotationSet,
+        deadline: float | None = None,
+        doc: Document | None = None,
+    ) -> AnnotationSet:
         """Fixpoint extension.  Iterative rather than recursive: each round
         re-processes only the annotations changed by the previous round
         (adversarially long token chains must not hit the recursion
-        limit — a straggler concern at scale, SURVEY.md §4.2)."""
+        limit — a straggler concern at scale, SURVEY.md §4.2).  A
+        ``deadline`` (time.monotonic value, from the engine's per-doc
+        budget) stops the fixpoint mid-iteration, keeping annotations
+        found so far and flagging the document."""
         if not self.iterative:
             for ctx in self.pattern:
                 annotations = self._extend_with_pattern(text, annotations, ctx)
@@ -339,6 +348,14 @@ class ContextAnnotator(TokenPatternAnnotator):
         work = annotations
         rounds = 0
         while work:
+            if deadline is not None:
+                import time
+
+                if time.monotonic() > deadline:
+                    if doc is not None:
+                        doc.budget_exhausted = True
+                    settled.update(work)
+                    break
             original = AnnotationSet(work)
             for ctx in self.pattern:
                 work = self._extend_with_pattern(text, work, ctx)
@@ -352,7 +369,12 @@ class ContextAnnotator(TokenPatternAnnotator):
         return settled
 
     def annotate(self, doc: Document) -> list[Annotation]:
-        doc.annotations = self._expand(doc.text, doc.annotations)
+        doc.annotations = self._expand(
+            doc.text,
+            doc.annotations,
+            deadline=getattr(doc, "_deadline", None),
+            doc=doc,
+        )
         return []
 
 

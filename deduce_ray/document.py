@@ -25,7 +25,16 @@ class MetaData:
 
 
 class Document:
-    __slots__ = ("text", "metadata", "annotations", "deidentified_text", "_tokenizer", "_tokens")
+    __slots__ = (
+        "text",
+        "metadata",
+        "annotations",
+        "deidentified_text",
+        "budget_exhausted",
+        "_deadline",
+        "_tokenizer",
+        "_tokens",
+    )
 
     def __init__(
         self,
@@ -37,6 +46,11 @@ class Document:
         self.metadata = MetaData(metadata)
         self.annotations = AnnotationSet()
         self.deidentified_text: str | None = None
+        # set when a per-document time budget cut processing short
+        # (engine.deidentify time_budget_s); annotations present are
+        # valid but possibly incomplete
+        self.budget_exhausted = False
+        self._deadline: float | None = None
         self._tokenizer = tokenizer
         self._tokens: TokenList | None = None
 

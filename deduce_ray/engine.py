@@ -232,16 +232,39 @@ class DeduceEngine:
         metadata: dict | None = None,
         enabled: set[str] | None = None,
         disabled: set[str] | None = None,
+        time_budget_s: float | None = None,
     ) -> Document:
+        """``time_budget_s``: optional per-document wall-clock budget — a
+        straggler guard for adversarial inputs at scale.  On breach the
+        remaining ANNOTATORS are skipped (the found annotations stay
+        valid), the annotation PROCESSORS still run so the output is
+        well-formed, and ``doc.budget_exhausted`` is set for the caller
+        to flag.  Deadline-aware annotators (the context fixpoint) also
+        stop mid-iteration.  Off (None) by default: budgeted output
+        depends on wall-clock, so conformance paths must not use it."""
         if enabled is not None and disabled is not None:
             raise ValueError("pass either enabled or disabled, not both")
 
         doc = Document(text, tokenizer=self.tokenizer, metadata=metadata)
+        if time_budget_s is not None:
+            import time
+
+            doc._deadline = time.monotonic() + time_budget_s
 
         # run off a flat precomputed (kind, proc) list for this mask
         # signature: the isinstance dispatch and two mask tests per
         # processor are measurable at ~34 processors/doc
+        if doc._deadline is None:
+            for kind, proc in self._dispatch_plan(enabled, disabled):
+                self._run_kind(kind, proc, doc)
+            return doc
+
+        import time
+
         for kind, proc in self._dispatch_plan(enabled, disabled):
+            if kind == 0 and time.monotonic() > doc._deadline:
+                doc.budget_exhausted = True
+                continue
             self._run_kind(kind, proc, doc)
         return doc
 

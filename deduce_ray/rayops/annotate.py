@@ -70,6 +70,7 @@ class AnnotateBatch:
         disabled=None,
         with_redacted: bool = False,
         max_content_chars: int = 2_000_000,
+        time_budget_s: float | None = None,
     ) -> None:
         from deduce_ray.engine import DeduceEngine
 
@@ -97,6 +98,11 @@ class AnnotateBatch:
         # straggler guard: annotate only the first N chars of pathological
         # documents and flag them with a pred="_truncated" row
         self.max_content_chars = max_content_chars
+        # second straggler guard, opt-in: per-document wall-clock budget;
+        # breached documents keep their annotations-so-far and gain a
+        # pred="_budget_exhausted" flag row.  Off by default (budgeted
+        # output depends on wall-clock — conformance must not use it).
+        self.time_budget_s = time_budget_s
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from deduce_ray.linker import assign_entity_ids
@@ -142,6 +148,7 @@ class AnnotateBatch:
                 metadata=metadata,
                 enabled=self.enabled,
                 disabled=self.disabled,
+                time_budget_s=self.time_budget_s,
             )
             entity_ids = assign_entity_ids(doc.annotations)
 
@@ -169,6 +176,18 @@ class AnnotateBatch:
                 append["end_char"](len(content))
                 append["entity_id"]("")
 
+            if getattr(doc, "budget_exhausted", False):
+                append["doc_id"](doc_id)
+                append["repo"](repo)
+                append["path"](path)
+                append["commit"](commit)
+                append["lang"](lang)
+                append["pred"]("_budget_exhausted")
+                append["obj"](str(self.time_budget_s))
+                append["start_char"](0)
+                append["end_char"](len(content))
+                append["entity_id"]("")
+
             if self.with_redacted and doc.deidentified_text is not None:
                 append["doc_id"](doc_id)
                 append["repo"](repo)
@@ -187,7 +206,9 @@ class AnnotateBatch:
 _WORKER_ENGINE_CACHE: dict = {}
 
 
-def _cached_engine(lexicon_ref, enabled, disabled, with_redacted=False):
+def _cached_engine(
+    lexicon_ref, enabled, disabled, with_redacted=False, time_budget_s=None
+):
     """Per-worker-process engine cache for the task-pool variant: Ray
     reuses worker processes across map tasks, so the engine (lexicon) is
     built once per worker — actor-like amortization with task-pool
@@ -197,6 +218,7 @@ def _cached_engine(lexicon_ref, enabled, disabled, with_redacted=False):
         tuple(sorted(enabled)) if enabled else None,
         tuple(sorted(disabled)) if disabled else None,
         with_redacted,
+        time_budget_s,
     )
     worker = _WORKER_ENGINE_CACHE.get(key)
     if worker is None:
@@ -205,6 +227,7 @@ def _cached_engine(lexicon_ref, enabled, disabled, with_redacted=False):
             enabled=enabled,
             disabled=disabled,
             with_redacted=with_redacted,
+            time_budget_s=time_budget_s,
         )
         # keep a FEW configs resident: interleaved stages with different
         # enabled sets share worker processes, and a single-slot cache
@@ -228,6 +251,7 @@ def extract_triples(
     concurrency=(1, 8),
     batch_size: int = 128,
     num_cpus: float = 1,
+    time_budget_s: float | None = None,
 ):
     """repo-table Dataset -> flat triple Dataset.
 
@@ -248,9 +272,9 @@ def extract_triples(
     if mode == "tasks":
 
         def annotate(batch: pa.Table) -> pa.Table:
-            return _cached_engine(lexicon_ref, enabled, disabled, with_redacted)(
-                batch
-            )
+            return _cached_engine(
+                lexicon_ref, enabled, disabled, with_redacted, time_budget_s
+            )(batch)
 
         return ds.map_batches(
             annotate,
@@ -285,5 +309,6 @@ def extract_triples(
             "enabled": enabled,
             "disabled": disabled,
             "with_redacted": with_redacted,
+            "time_budget_s": time_budget_s,
         },
     )

@@ -115,3 +115,26 @@ def test_regression_corpus(engine, category):
             failures.append(example["id"])
 
     assert failures == [], f"{category}: {len(failures)} mismatches: {failures}"
+
+
+class TestTimeBudget:
+    """Per-document wall-clock budget (straggler guard, opt-in)."""
+
+    def test_adversarial_chain_flags_and_returns_fast(self, engine):
+        import time
+
+        text = "Jansen " * 2500  # quadratic context-fixpoint input
+        t0 = time.monotonic()
+        doc = engine.deidentify(text, time_budget_s=0.5)
+        elapsed = time.monotonic() - t0
+        assert doc.budget_exhausted is True
+        # generous margin over the 0.5 s budget: one fixpoint round plus
+        # the remaining (cheap) processors
+        assert elapsed < 5.0
+
+    def test_normal_doc_unaffected(self, engine):
+        text = "Patient Jan Jansen werd gezien door dr. Peter de Visser."
+        base = engine.deidentify(text)
+        budgeted = engine.deidentify(text, time_budget_s=30.0)
+        assert budgeted.budget_exhausted is False
+        assert base.annotations == budgeted.annotations

@@ -1284,3 +1284,29 @@ class TestEntityCanonicalization:
         base = run()
         monkeypatch.setattr(kg, "_SUBBLOCK_THRESHOLD", 0)
         assert run() == base
+
+
+class TestTimeBudgetStage:
+    def test_stage_emits_flag_row(self, ray_session, lexicon_ref):
+        """A budget-breached document keeps its rows and gains a
+        pred="_budget_exhausted" flag row (second straggler guard next to
+        _truncated)."""
+        import ray.data
+
+        from deduce_ray.rayops.annotate import extract_triples
+
+        rows = [
+            {
+                "repo": "org/r",
+                "path": "p",
+                "commit": "c",
+                "lang": "nl",
+                "content": "Jansen " * 2500,
+            }
+        ]
+        out = extract_triples(
+            ray.data.from_items(rows),
+            lexicon_ref=lexicon_ref,
+            time_budget_s=0.5,
+        ).take_all()
+        assert any(r["pred"] == "_budget_exhausted" for r in out)
