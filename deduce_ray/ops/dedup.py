@@ -242,11 +242,15 @@ def minhash_lsh_pairs(
     # per-bucket work vectorized in pandas inside each shard.
     exact = verify == "exact"
 
+    _BP1 = np.uint64(0x9E3779B97F4A7C15)
+    _BP2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
     def signatures(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
+        ids_in = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        out = {"shard": [], "bucket": [], id_col: [], "payload": []}
-        for i, t in zip(ids, texts):
+        sh_list: list[np.ndarray] = []
+        kept: list[int] = []
+        for i, t in zip(ids_in, texts):
             sh = word_shingles(t or "", k)
             if sh.size == 0:
                 # shingle-less (empty/whitespace-only) docs all share the
@@ -254,24 +258,77 @@ def minhash_lsh_pairs(
                 # one bucket (O(m^2) verify, all "jaccard 1.0") — they are
                 # exact duplicates of each other and belong to exact_dedup
                 continue
-            sig = minhash_signature(sh, a, b)
-            payload = sh.tolist() if exact else sig.tobytes()
-            for band in range(bands):
-                band_slice = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                bucket = hashlib.md5(
-                    struct.pack("<i", band) + band_slice.tobytes()
-                ).hexdigest()[:16]
-                out["shard"].append(int(bucket[:4], 16) % n_shards)
-                out["bucket"].append(bucket)
-                out[id_col].append(i)
-                out["payload"].append(payload)
+            sh_list.append(sh)
+            kept.append(i)
+
         payload_type = pa.list_(pa.uint64()) if exact else pa.binary()
+        if not kept:
+            return pa.table(
+                {
+                    "shard": pa.array([], type=pa.int32()),
+                    "bucket": pa.array([], type=pa.int64()),
+                    id_col: pa.array([], type=pa.int64()),
+                    "payload": pa.array([], type=payload_type),
+                }
+            )
+
+        # batched signatures (ROADMAP #6): ONE affine transform + per-doc
+        # segmented min per chunk of docs, instead of an (n_perm x
+        # n_shingles) product per document; chunks bound the intermediate
+        # at ~64 MB
+        n_docs = len(kept)
+        sig_rows = np.empty((n_docs, n_perm), dtype=np.uint64)
+        max_chunk_shingles = max(1, 8_000_000 // n_perm)
+        start = 0
+        while start < n_docs:
+            end, total = start, 0
+            while end < n_docs and (
+                end == start or total + sh_list[end].size <= max_chunk_shingles
+            ):
+                total += sh_list[end].size
+                end += 1
+            chunk = sh_list[start:end]
+            lens = np.fromiter(
+                (s.size for s in chunk), dtype=np.int64, count=len(chunk)
+            )
+            offsets = np.zeros(len(chunk), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            allsh = np.concatenate(chunk)
+            with np.errstate(over="ignore"):
+                prod = a[:, None] * allsh[None, :] + b[:, None]
+            sig_rows[start:end] = np.minimum.reduceat(prod, offsets, axis=1).T
+            start = end
+
+        # vectorized band buckets: polynomial combine of each band's sig
+        # rows with the band index mixed in — int64 keys (faster groupby
+        # than hex strings), and equal band slices still map to equal
+        # buckets so LSH recall is unchanged; a cross-band collision only
+        # ADDS a candidate that verification removes (~2^-64 per pair)
+        ids_arr = np.asarray(kept, dtype=np.int64)
+        bucket_rows = np.empty((bands, n_docs), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for band in range(bands):
+                seg = sig_rows[:, band * rows_per_band : (band + 1) * rows_per_band]
+                acc = seg[:, 0].copy()
+                for j in range(1, rows_per_band):
+                    acc *= _BP1
+                    acc += seg[:, j]
+                acc += np.uint64(band) * _BP1
+                acc *= _BP2
+                bucket_rows[band] = acc
+        buckets_flat = bucket_rows.reshape(-1)
+        if exact:
+            doc_payloads = [s.tolist() for s in sh_list]
+        else:
+            doc_payloads = [sig_rows[d].tobytes() for d in range(n_docs)]
         return pa.table(
             {
-                "shard": pa.array(out["shard"], type=pa.int32()),
-                "bucket": pa.array(out["bucket"]),
-                id_col: pa.array(out[id_col], type=pa.int64()),
-                "payload": pa.array(out["payload"], type=payload_type),
+                "shard": pa.array(
+                    (buckets_flat % n_shards).astype(np.int32), type=pa.int32()
+                ),
+                "bucket": pa.array(buckets_flat.view(np.int64), type=pa.int64()),
+                id_col: pa.array(np.tile(ids_arr, bands), type=pa.int64()),
+                "payload": pa.array(doc_payloads * bands, type=payload_type),
             }
         )
 
