@@ -476,6 +476,54 @@ class TestSimilarity:
         top1 = {r["query_id"]: r["vec_id"] for r in approx if r["rank"] == 1}
         assert top1 == {0: 0, 1: 1, 2: 2}
 
+    def test_ivf_exhaustive_probe_equals_brute_force(self, ray_session):
+        """Mode equivalence: with n_probe == n_lists every list is scanned,
+        so the IVF machinery (quantizer assignment, list pruning, local
+        top-k, global merge) must reproduce brute force EXACTLY — rows,
+        scores, and ranks.  This is the same honesty pattern as minhash's
+        signature/exact mode-equivalence test: the approximate path differs
+        from the value-checked exact path only by its pruning knob."""
+        import ray.data
+
+        from deduce_ray.ops.similarity import brute_force_topk, ivf_topk
+
+        rng = np.random.default_rng(17)
+        mat = rng.standard_normal((250, 12))
+        items = [{"vec_id": i, "embedding": list(mat[i])} for i in range(250)]
+        exact = brute_force_topk(
+            ray.data.from_items(items), queries=mat[:4], k=10
+        ).take_all()
+        full = ivf_topk(
+            ray.data.from_items(items), queries=mat[:4], k=10,
+            n_lists=8, n_probe=8,
+        ).take_all()
+        key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+        exact_rows = {key(r): (r["vec_id"], r["score"]) for r in exact}
+        full_rows = {key(r): (r["vec_id"], r["score"]) for r in full}
+        assert full_rows == exact_rows
+
+    def test_lsh_exhaustive_probe_equals_brute_force(self, ray_session):
+        """Mode equivalence: with n_planes=1 the probe set {base, base^1}
+        covers both buckets, so the LSH machinery must reproduce brute
+        force EXACTLY."""
+        import ray.data
+
+        from deduce_ray.ops.similarity import brute_force_topk, lsh_bucketed_topk
+
+        rng = np.random.default_rng(18)
+        mat = rng.standard_normal((250, 12))
+        items = [{"vec_id": i, "embedding": list(mat[i])} for i in range(250)]
+        exact = brute_force_topk(
+            ray.data.from_items(items), queries=mat[:4], k=10
+        ).take_all()
+        full = lsh_bucketed_topk(
+            ray.data.from_items(items), queries=mat[:4], k=10, n_planes=1
+        ).take_all()
+        key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+        exact_rows = {key(r): (r["vec_id"], r["score"]) for r in exact}
+        full_rows = {key(r): (r["vec_id"], r["score"]) for r in full}
+        assert full_rows == exact_rows
+
     def test_hll_approx_distinct(self, ray_session):
         """HLL sketch within ~5% of exact distinct counts, deterministic."""
         import ray.data
