@@ -11,6 +11,7 @@ the reference pipeline stages configured in
 from __future__ import annotations
 
 import re
+import time
 from collections.abc import Sequence
 
 from deduce_ray.annotation import Annotation, AnnotationSet
@@ -349,8 +350,6 @@ class ContextAnnotator(TokenPatternAnnotator):
         rounds = 0
         while work:
             if deadline is not None:
-                import time
-
                 if time.monotonic() > deadline:
                     if doc is not None:
                         doc.budget_exhausted = True

@@ -24,6 +24,7 @@ processors, deduce.py:293-326):
 
 from __future__ import annotations
 
+import time
 from pathlib import Path
 
 from deduce_ray import annotators as ann_mod
@@ -246,23 +247,19 @@ class DeduceEngine:
             raise ValueError("pass either enabled or disabled, not both")
 
         doc = Document(text, tokenizer=self.tokenizer, metadata=metadata)
+        deadline = None
         if time_budget_s is not None:
-            import time
-
-            doc._deadline = time.monotonic() + time_budget_s
+            deadline = doc._deadline = time.monotonic() + time_budget_s
 
         # run off a flat precomputed (kind, proc) list for this mask
         # signature: the isinstance dispatch and two mask tests per
         # processor are measurable at ~34 processors/doc
-        if doc._deadline is None:
-            for kind, proc in self._dispatch_plan(enabled, disabled):
-                self._run_kind(kind, proc, doc)
-            return doc
-
-        import time
-
         for kind, proc in self._dispatch_plan(enabled, disabled):
-            if kind == 0 and time.monotonic() > doc._deadline:
+            if (
+                deadline is not None
+                and kind == 0
+                and time.monotonic() > deadline
+            ):
                 doc.budget_exhausted = True
                 continue
             self._run_kind(kind, proc, doc)

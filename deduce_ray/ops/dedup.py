@@ -15,7 +15,6 @@ processes and cluster sizes.
 from __future__ import annotations
 
 import hashlib
-import struct
 
 import numpy as np
 import pandas as pd
@@ -173,6 +172,16 @@ def _dedup_pairs(
     pairs_ds = pairs_ds.materialize()
     if driver_max and pairs_ds.count() <= driver_max:
         df = pairs_ds.to_pandas()
+        if "id_a" not in df.columns:
+            # empty dataset -> zero-column DataFrame; return a typed empty
+            # result instead of crashing drop_duplicates
+            df = pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    value_col: pd.Series(dtype="float64"),
+                }
+            )
         out = (
             df.drop_duplicates(subset=["id_a", "id_b"])[
                 ["id_a", "id_b", value_col]
@@ -1045,12 +1054,20 @@ def embedding_neardup_pairs(
                 dtype=np.int64,
                 count=len(cand_df),
             )
-            mat_a, mat_b = mat[ia], mat[ib]
-            denom = np.linalg.norm(mat_a, axis=1) * np.linalg.norm(
-                mat_b, axis=1
-            )
-            denom[denom == 0] = 1.0
-            cos = np.round((mat_a * mat_b).sum(axis=1) / denom, 6)
+            # chunk over pairs: mat[ia]/mat[ib] would materialize two
+            # (n_pairs, dim) float64 copies — at 5M pairs x 768 dims that
+            # is ~60 GB on the driver.  65536-pair chunks bound the
+            # working set to ~0.8 GB at 768 dims regardless of pair count.
+            norms = np.linalg.norm(mat, axis=1)
+            cos = np.empty(len(ia), dtype=np.float64)
+            chunk = 65536
+            for lo in range(0, len(ia), chunk):
+                hi = min(lo + chunk, len(ia))
+                ca, cb = ia[lo:hi], ib[lo:hi]
+                denom = norms[ca] * norms[cb]
+                denom[denom == 0] = 1.0
+                cos[lo:hi] = (mat[ca] * mat[cb]).sum(axis=1) / denom
+            cos = np.round(cos, 6)
             keep_pairs = cos >= threshold
             out = pd.DataFrame(
                 {

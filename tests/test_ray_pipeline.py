@@ -248,6 +248,23 @@ class TestDedupOps:
         assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 2)}
         assert pairs[0]["jaccard"] > 0.5
 
+    def test_minhash_no_pairs_returns_empty(self, ray_session):
+        """Regression: the bounded driver-side pair dedup crashed with a
+        KeyError on a zero-candidate corpus (empty dataset -> zero-column
+        DataFrame -> drop_duplicates on missing columns)."""
+        import ray.data
+
+        from deduce_ray.ops.dedup import minhash_lsh_pairs, simhash_pairs
+
+        ds = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": "alpha beta gamma delta " * 10},
+                {"doc_id": 2, "text": "epsilon zeta eta theta " * 10},
+            ]
+        )
+        assert minhash_lsh_pairs(ds, threshold=0.5).take_all() == []
+        assert simhash_pairs(ds, max_hamming=3).take_all() == []
+
     def test_simhash_pairs(self, ray_session):
         import ray.data
 
