@@ -464,7 +464,7 @@ def _q_media_frames(sf_dir: str):
     videos = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(synthesize_video_batch, batch_format="pyarrow")
-    return sample_frames(videos, fake_decoder=True)
+    return sample_frames(videos, fake_decoder=False)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

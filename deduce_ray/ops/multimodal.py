@@ -1,12 +1,13 @@
 """Multimodal column plumbing: opaque binary payloads with typed metadata,
 processed by actor-pool map_batches stages.
 
-Decoding is REAL for the two uncompressed formats a pure-numpy codec can
-handle — binary PPM (P6) images and PCM WAV audio — which is what the
-synthesized test corpus uses, so the decode stages exercise genuine
-byte-level parsing end-to-end.  Compressed codecs (PNG/JPEG/MP3/H.264 via
-PIL / torchaudio / ffmpeg) are NOT available in this environment and stay
-honestly stubbed: ``decode_image``/``decode_audio`` raise
+Decoding is REAL for the three uncompressed formats a pure-numpy codec
+can handle — binary PPM (P6) images, PCM WAV audio, and YUV4MPEG2 (Y4M)
+video — which is what the synthesized test corpus uses, so the decode
+stages exercise genuine byte-level parsing end-to-end.  Compressed codecs
+(PNG/JPEG/MP3/H.264 via PIL / torchaudio / ffmpeg) are NOT available in
+this environment and stay honestly stubbed:
+``decode_image``/``decode_audio``/``decode_video`` raise
 NotImplementedError on unknown magic bytes, and stages constructed with
 ``fake_decoder=True`` keep the deterministic pseudo-decode for plumbing
 tests that don't care about pixels.
@@ -131,6 +132,89 @@ def decode_wav(payload: bytes) -> np.ndarray:
     raise ValueError("WAV payload has no data chunk")
 
 
+def encode_y4m(frames: np.ndarray, rate: tuple[int, int] = (25, 1)) -> bytes:
+    """YUV4MPEG2 (Y4M) bytes from an (n_frames, h, w) uint8 luma array,
+    colorspace Cmono — the uncompressed video container mplayer/ffmpeg
+    read; real enough that `ffplay out.y4m` would play it."""
+    if frames.ndim != 3 or frames.dtype != np.uint8:
+        raise ValueError("encode_y4m expects (n_frames, h, w) uint8")
+    _, h, w = frames.shape
+    header = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 Cmono\n" % (w, h, *rate)
+    return header + b"".join(b"FRAME\n" + f.tobytes() for f in frames)
+
+
+def decode_y4m(payload: bytes) -> np.ndarray:
+    """Parse a YUV4MPEG2 (Y4M) payload to an (n_frames, h, w) uint8 LUMA
+    array — real byte-level parsing, numpy only.  Chroma planes (C420*/
+    C422/C444) are skipped, not interpreted: downstream features use
+    luma only.  The stream's own frame count is authoritative (metadata
+    n_frames may drift from re-encoded media)."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated Y4M stream header")
+    width = height = None
+    colorspace = "420jpeg"  # Y4M default when no C tag is present
+    for token in payload[9:nl].split():
+        tag, val = token[:1], token[1:]
+        if tag == b"W":
+            width = int(val)
+        elif tag == b"H":
+            height = int(val)
+        elif tag == b"C":
+            colorspace = val.decode("ascii")
+    if not width or not height:
+        raise ValueError("Y4M header missing W/H")
+    luma = width * height
+    if colorspace == "mono":
+        chroma = 0
+    elif colorspace.startswith("420"):
+        chroma = 2 * ((width // 2) * (height // 2))
+    elif colorspace.startswith("422"):
+        chroma = 2 * ((width // 2) * height)
+    elif colorspace.startswith("444"):
+        chroma = 2 * luma
+    else:
+        raise ValueError(f"unsupported Y4M colorspace C{colorspace}")
+
+    frames: list[np.ndarray] = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("malformed Y4M frame marker")
+        fnl = payload.find(b"\n", pos)  # FRAME line may carry parameters
+        if fnl < 0:
+            raise ValueError("truncated Y4M frame header")
+        start = fnl + 1
+        if start + luma + chroma > len(payload):
+            raise ValueError("truncated Y4M frame data")
+        frames.append(
+            np.frombuffer(payload[start : start + luma], dtype=np.uint8).reshape(
+                height, width
+            )
+        )
+        pos = start + luma + chroma
+    return (
+        np.stack(frames)
+        if frames
+        else np.empty((0, height, width), dtype=np.uint8)
+    )
+
+
+def decode_video(payload: bytes) -> np.ndarray:
+    """(n_frames, h, w) uint8 luma frames.  REAL for YUV4MPEG2; compressed
+    containers (MP4/H.264 via ffmpeg) are unavailable here and raise — the
+    honest stub."""
+    if payload.startswith(b"YUV4MPEG2"):
+        return decode_y4m(payload)
+    raise NotImplementedError(
+        "only YUV4MPEG2 (Y4M) decodes in this environment; compressed "
+        "video needs ffmpeg (not installed) — construct the stage with "
+        "fake_decoder=True for the deterministic stand-in)"
+    )
+
+
 def synthesize_media_batch(batch: pa.Table) -> pa.Table:
     """Deterministic media rows derived from doc_id (test fixture
     generator).  Payloads are REAL encodings — P6 PPM images and PCM WAV
@@ -195,6 +279,20 @@ def decode_audio(payload: bytes) -> np.ndarray:
     )
 
 
+def _grid_means(plane: np.ndarray, g: int) -> np.ndarray:
+    """(g*g,) block means of a 2-D uint8 plane, normalized to [0, 1] —
+    the fixed-dim per-frame feature.  reduceat sums over the g uneven
+    blocks each axis, divided by exact block areas."""
+    h, w = plane.shape
+    ys = (np.arange(g) * h) // g
+    xs = (np.arange(g) * w) // g
+    sums = np.add.reduceat(
+        np.add.reduceat(plane.astype(np.float64), ys, axis=0), xs, axis=1
+    )
+    areas = np.outer(np.diff(np.append(ys, h)), np.diff(np.append(xs, w)))
+    return (sums / areas / 255.0).ravel()
+
+
 def _fake_decode(payload: bytes, n: int) -> np.ndarray:
     digest = hashlib.sha256(payload).digest()
     raw = (digest * (n // len(digest) + 1))[:n]
@@ -219,6 +317,8 @@ class MediaFeatureExtractor:
             return _fake_decode(payload, 64 * 64)
         if kind == "audio":
             return decode_audio(payload)
+        if kind == "video":
+            return decode_video(payload).astype(np.float32).ravel() / 255.0
         return decode_image(payload, width, height).ravel()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -334,17 +434,23 @@ class FrameSampler:
 
         out_ids, out_idx, out_feats = [], [], []
         for mid, kind, payload, n_frames in zip(ids, kinds, payloads, n_frames_col):
-            if kind != "video" or not n_frames:
+            if kind != "video":
                 continue
             if self.fake_decoder:
+                if not n_frames:
+                    continue
                 frames = _fake_decode(payload, n_frames * self.FRAME_DIM).reshape(
                     n_frames, self.FRAME_DIM
                 )
             else:
-                raise NotImplementedError(
-                    "video codecs are not available in this environment; "
-                    "construct the stage with fake_decoder=True"
-                )
+                # real Y4M decode; the stream's frame count is
+                # authoritative, and the per-frame feature is a 4x4 grid
+                # of luma block means in [0, 1]
+                luma = decode_video(payload)
+                n_frames = luma.shape[0]
+                frames = np.stack(
+                    [_grid_means(f, 4) for f in luma]
+                ) if n_frames else np.empty((0, self.FRAME_DIM), dtype=np.float64)
             for f in range(0, n_frames, self.stride):
                 out_ids.append(mid)
                 out_idx.append(f)
@@ -360,21 +466,27 @@ class FrameSampler:
 
 
 def synthesize_video_batch(batch: pa.Table) -> pa.Table:
-    """Deterministic fake VIDEO rows (kind=video, n_frames derived from the
-    id) — companion fixture generator to synthesize_media_batch."""
+    """Deterministic VIDEO rows derived from doc_id (test fixture
+    generator).  Payloads are REAL encodings — monochrome YUV4MPEG2
+    streams (32x32, n_frames varying with the id) — so FrameSampler
+    exercises genuine container parsing, like synthesize_media_batch's
+    PPM/WAV rows."""
     ids = batch.column("doc_id").to_pylist()
+    w = h = 32
     payloads, n_frames = [], []
     for i in ids:
         seed = hashlib.sha256(f"video:{i}".encode()).digest()
-        payloads.append(seed * 16)
-        n_frames.append(8 + (i % 5) * 4)
+        nf = 8 + (i % 5) * 4
+        frames = _seed_bytes(seed, nf * h * w).reshape(nf, h, w)
+        payloads.append(encode_y4m(frames))
+        n_frames.append(nf)
     return pa.table(
         {
             "media_id": pa.array(ids, type=pa.int64()),
             "kind": pa.array(["video"] * len(ids)),
-            "mime": pa.array(["video/mp4"] * len(ids)),
-            "width": pa.array([64] * len(ids), type=pa.int32()),
-            "height": pa.array([64] * len(ids), type=pa.int32()),
+            "mime": pa.array(["video/x-yuv4mpeg"] * len(ids)),
+            "width": pa.array([w] * len(ids), type=pa.int32()),
+            "height": pa.array([h] * len(ids), type=pa.int32()),
             "n_frames": pa.array(n_frames, type=pa.int32()),
             "payload": pa.array(payloads, type=pa.binary()),
         }

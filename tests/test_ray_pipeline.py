@@ -793,7 +793,7 @@ class TestMultimodal:
             ),
             batch_format="pyarrow",
         )
-        frames = sample_frames(videos, stride=4, fake_decoder=True).take_all()
+        frames = sample_frames(videos, stride=4, fake_decoder=False).take_all()
         # id i has 8 + (i % 5) * 4 frames, sampled every 4th
         import math
 
@@ -801,6 +801,53 @@ class TestMultimodal:
         assert len(frames) == expected
         assert all(len(r["frame_feature"]) == 16 for r in frames)
         assert all(r["frame_idx"] % 4 == 0 for r in frames)
+        # fake path still works for compressed-codec stand-ins
+        fake = sample_frames(videos, stride=4, fake_decoder=True).take_all()
+        assert len(fake) == expected
+
+    def test_y4m_round_trip_and_frame_features(self):
+        """Real Y4M byte-level parsing: encode -> decode round-trips the
+        luma exactly; features are true 4x4 block means; chroma-carrying
+        colorspaces are skipped correctly; truncation raises."""
+        import pyarrow as pa
+
+        from deduce_ray.ops.multimodal import (
+            FrameSampler,
+            _grid_means,
+            decode_y4m,
+            encode_y4m,
+        )
+
+        rng = np.random.default_rng(21)
+        frames = rng.integers(0, 256, size=(5, 12, 20), dtype=np.uint8)
+        payload = encode_y4m(frames)
+        assert np.array_equal(decode_y4m(payload), frames)
+
+        # hand-built C420 stream (luma + flat chroma planes) parses too
+        w, h = 8, 6
+        luma = rng.integers(0, 256, size=(2, h, w), dtype=np.uint8)
+        chroma = bytes([128]) * (2 * (w // 2) * (h // 2))
+        c420 = b"YUV4MPEG2 W8 H6 F25:1 C420jpeg\n" + b"".join(
+            b"FRAME\n" + f.tobytes() + chroma for f in luma
+        )
+        assert np.array_equal(decode_y4m(c420), luma)
+
+        with pytest.raises(ValueError):
+            decode_y4m(payload[:-1])  # truncated raster
+
+        out = FrameSampler(stride=2)(
+            pa.table(
+                {
+                    "media_id": pa.array([7], type=pa.int64()),
+                    "kind": pa.array(["video"]),
+                    "payload": pa.array([payload], type=pa.binary()),
+                    "n_frames": pa.array([5], type=pa.int32()),
+                }
+            )
+        )
+        assert out.column("frame_idx").to_pylist() == [0, 2, 4]
+        feat0 = np.asarray(out.column("frame_feature").to_pylist()[0])
+        assert np.allclose(feat0, np.round(_grid_means(frames[0], 4), 6))
 
 
 class TestGroupedAgg:
