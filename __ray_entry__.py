@@ -375,14 +375,28 @@ def _q_ann_topk_lsh(sf_dir: str):
 
 
 def _q_ann_topk_ivf(sf_dir: str):
+    """Partitioned-IVF index: build trains the quantizer and writes the
+    corpus hive-partitioned by list id; search prunes unprobed list
+    DIRECTORIES at the path level before any file is opened.  Probing is
+    exhaustive here (n_probe == n_lists) so the result provably equals
+    brute force and the whole build+search machinery is value-checked
+    against the DuckDB oracle; the production configuration
+    (n_probe < n_lists) and the in-batch ivf_topk variant are
+    recall/equivalence-tested in tests/test_ray_pipeline.py."""
+    import tempfile
+
     import ray.data
 
-    from deduce_ray.ops.similarity import ivf_topk
+    from deduce_ray.ops.similarity import ivf_build, ivf_search
 
-    return ivf_topk(
+    index_dir = tempfile.mkdtemp(prefix="deduce_ray_ivf_")
+    ivf_build(
         ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
-        queries=_load_query_vectors(sf_dir),
-        k=10,
+        index_dir,
+        n_lists=8,
+    )
+    return ivf_search(
+        index_dir, queries=_load_query_vectors(sf_dir), k=10, n_probe=8
     )
 
 
@@ -515,8 +529,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_clusters": _q_minhash_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
-        # --- similarity search (value-checked) ---
+        # --- similarity search (value-checked; ann_topk_ivf runs the
+        # partitioned index exhaustively so build+search equals brute
+        # force — see its docstring) ---
         "ann_topk": _q_ann_topk,
+        "ann_topk_ivf": _q_ann_topk_ivf,
         # --- relational ops over the TPC-H-ish tables (value-checked) ---
         "pricing_summary": rel.pricing_summary,
         "top_customers": rel.top_customers,
@@ -543,7 +560,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash_pairs,
         "events_user_sketch": _q_events_user_sketch,
         "ann_topk_lsh": _q_ann_topk_lsh,
-        "ann_topk_ivf": _q_ann_topk_ivf,
         # --- multimodal plumbing ---
         "media_features": _q_media_features,
         "media_resized": _q_media_resized,
@@ -585,7 +601,7 @@ def oracle_sql() -> dict[str, str]:
     from deduce_ray.ops import relational as rel
 
     words = oracles.WORD_CLASS_SQL  # single word-class definition, mirrored
-    return {
+    oracles_by_query = {
         "kg_dates": oracles.kg_dates_sql(),
         "kg_bsn": oracles.kg_bsn_sql(),
         "kg_postal": oracles.kg_postal_sql(),
@@ -724,3 +740,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quantiles": rel.events_value_quantiles_sql(),
         "campaign_attribution": rel.campaign_attribution_sql(),
     }
+    # exhaustive probing scans every list, so the partitioned-IVF query
+    # shares the brute-force top-k oracle verbatim
+    oracles_by_query["ann_topk_ivf"] = oracles_by_query["ann_topk"]
+    return oracles_by_query

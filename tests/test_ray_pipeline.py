@@ -541,6 +541,45 @@ class TestSimilarity:
         full_rows = {key(r): (r["vec_id"], r["score"]) for r in full}
         assert full_rows == exact_rows
 
+    def test_ivf_partitioned_index(self, ray_session, tmp_path):
+        """The disk-partitioned IVF path: build writes one hive directory
+        per list plus a centroid table; search's partition filter prunes
+        the read to the probed lists only; exhaustive probing reproduces
+        brute force exactly (same quantizer determinism contract as the
+        in-batch variant)."""
+        import ray.data
+
+        from deduce_ray.ops.similarity import (
+            brute_force_topk,
+            ivf_build,
+            ivf_search,
+        )
+
+        rng = np.random.default_rng(23)
+        mat = rng.standard_normal((300, 12))
+        items = [{"vec_id": i, "embedding": list(mat[i])} for i in range(300)]
+        idx = str(tmp_path / "ivf_index")
+        ivf_build(ray.data.from_items(items), idx, n_lists=8, train_size=300)
+
+        # hive layout: one directory per non-empty list + centroids
+        dirs = sorted(p.name for p in (tmp_path / "ivf_index" / "lists").iterdir())
+        assert all(d.startswith("list_id=") for d in dirs)
+        assert 1 < len(dirs) <= 8
+
+        exact = brute_force_topk(
+            ray.data.from_items(items), queries=mat[:4], k=10
+        ).take_all()
+        full = ivf_search(idx, queries=mat[:4], k=10, n_probe=8).take_all()
+        key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+        assert {key(r): (r["vec_id"], r["score"]) for r in full} == {
+            key(r): (r["vec_id"], r["score"]) for r in exact
+        }
+
+        # probing fewer lists scans strictly less and keeps self-matches
+        narrow = ivf_search(idx, queries=mat[:4], k=10, n_probe=2).take_all()
+        top1 = {r["query_id"]: r["vec_id"] for r in narrow if r["rank"] == 1}
+        assert top1 == {0: 0, 1: 1, 2: 2, 3: 3}
+
     def test_hll_approx_distinct(self, ray_session):
         """HLL sketch within ~5% of exact distinct counts, deterministic."""
         import ray.data
