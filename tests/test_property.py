@@ -221,3 +221,63 @@ def test_union_find_matches_reachability(pairs):
             parent[max(ra, rb)] = min(ra, rb)
     for node in adj:
         assert find(node) == min_reachable(node)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=4),
+    st.integers(min_value=1, max_value=17),
+    st.integers(min_value=1, max_value=23),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_y4m_round_trip_any_shape(n, h, w, seed):
+    """encode_y4m -> decode_y4m is the identity on the luma for any frame
+    count and (odd or even) dimensions; one trailing byte less raises."""
+    import numpy as np
+
+    from deduce_ray.ops.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(n, h, w), dtype=np.uint8)
+    payload = encode_y4m(frames)
+    out = decode_y4m(payload)
+    assert out.shape == (n, h, w)
+    assert np.array_equal(out, frames)
+    if n > 0:
+        try:
+            decode_y4m(payload[:-1])
+        except ValueError:
+            pass
+        else:
+            raise AssertionError("truncated payload must not parse")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**63 - 1),
+            st.integers(min_value=0, max_value=2**63 - 1),
+        ),
+        max_size=60,
+    )
+)
+def test_dedup_pairs_driver_path_distinct(pairs):
+    """The bounded driver-side pair dedup keeps exactly one row per
+    (id_a, id_b) — including the empty input that used to crash — and
+    preserves 63-bit ids exactly."""
+    import pandas as pd
+    import ray.data
+
+    from deduce_ray.ops.dedup import _dedup_pairs
+
+    df = pd.DataFrame(
+        {
+            "id_a": pd.Series([a for a, _ in pairs], dtype="int64"),
+            "id_b": pd.Series([b for _, b in pairs], dtype="int64"),
+            "jaccard": pd.Series([0.75] * len(pairs), dtype="float64"),
+        }
+    )
+    out = _dedup_pairs(ray.data.from_pandas(df), "jaccard").take_all()
+    assert {(r["id_a"], r["id_b"]) for r in out} == set(pairs)
+    assert len(out) == len(set(pairs))
