@@ -14,6 +14,7 @@ processes and cluster sizes.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 
 import numpy as np
@@ -147,6 +148,26 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
     return prod.min(axis=1)
 
 
+def _vec_matrix(column) -> np.ndarray:
+    """Zero-copy-where-possible Arrow list<float> -> (n, dim) float64
+    (shared with the ANN ops)."""
+    from deduce_ray.ops.similarity import _as_matrix
+
+    return _as_matrix(column)
+
+
+@functools.lru_cache(maxsize=8)
+def _lsh_planes(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
+    """(n_tables, dim, n_planes) deterministic hyperplane stack, cached
+    per worker process instead of re-drawn per batch."""
+    return np.stack(
+        [
+            np.random.default_rng(1000 + t).standard_normal((dim, n_planes))
+            for t in range(n_tables)
+        ]
+    )
+
+
 def jaccard(s1: set[int], s2: set[int]) -> float:
     if not s1 and not s2:
         return 1.0
@@ -155,7 +176,11 @@ def jaccard(s1: set[int], s2: set[int]) -> float:
 
 
 def _dedup_pairs(
-    pairs_ds, value_col: str, n_shards: int = 256, driver_max: int = 2_000_000
+    pairs_ds,
+    value_col: str,
+    n_shards: int = 256,
+    driver_max: int = 2_000_000,
+    value_dtype: str = "float64",
 ):
     """Distinct on (id_a, id_b).  The verification value is deterministic
     per pair, so either copy of a pair found via different shards is
@@ -179,7 +204,7 @@ def _dedup_pairs(
                 {
                     "id_a": pd.Series(dtype="int64"),
                     "id_b": pd.Series(dtype="int64"),
-                    value_col: pd.Series(dtype="float64"),
+                    value_col: pd.Series(dtype=value_dtype),
                 }
             )
         out = (
@@ -243,6 +268,13 @@ def minhash_lsh_pairs(
     """
     if verify not in ("signature", "exact"):
         raise ValueError(f"unknown verify mode {verify!r}")
+    if bands <= 0 or n_perm % bands != 0:
+        # silently banding with n_perm//bands rows would drop trailing
+        # permutations and change the documented S-curve; fail fast on the
+        # driver instead of deep inside a Ray task
+        raise ValueError(
+            f"bands ({bands}) must evenly divide n_perm ({n_perm})"
+        )
     rows_per_band = n_perm // bands
     a, b = _minhash_params(n_perm)
     n_shards = 256  # shuffle key granularity: most band-buckets are global
@@ -718,7 +750,9 @@ def simhash_pairs(
         return pa.table(
             {
                 "shard": pa.array(out["shard"], type=pa.int32()),
-                "bucket": pa.array(out["bucket"]),
+                # explicit type: an all-skipped batch (word-less docs) must
+                # emit string, not null, or block schemas diverge
+                "bucket": pa.array(out["bucket"], type=pa.string()),
                 id_col: pa.array(out[id_col], type=pa.int64()),
                 "simhash": pa.array(out["simhash"], type=pa.uint64()),
             }
@@ -782,7 +816,7 @@ def simhash_pairs(
 
     sigs = ds.map_batches(signatures, batch_format="pyarrow")
     pairs = sigs.groupby("shard").map_groups(verify_shard, batch_format="pandas")
-    return _dedup_pairs(pairs, "hamming", n_shards)
+    return _dedup_pairs(pairs, "hamming", n_shards, value_dtype="int64")
 
 
 # ---------------------------------------------------------------------------
@@ -888,6 +922,12 @@ def embedding_neardup_pairs(
 
     Exchange bytes per vector are independent of ``n_tables``; the logged
     estimate makes the trade auditable.
+
+    Contract: ids must be NON-NEGATIVE int64 — the verify join tags
+    vector rows with an id_a = -1 sentinel (Ray's arrow->pandas widens
+    nullable int64 to float64, so nulls are unusable), and a negative
+    real id would be misclassified as a vector row and silently lose its
+    pairs.  Enforced per batch in the signature pass.
     """
     import logging
 
@@ -914,15 +954,18 @@ def embedding_neardup_pairs(
         )
         if batch.num_rows == 0:
             return empty
-        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = _vec_matrix(batch.column(vec_col))
         ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        if ids.size and int(ids.min()) < 0:
+            raise ValueError(
+                "embedding_neardup_pairs requires non-negative ids: the "
+                "verify join reserves negative id_a as its vector-row tag"
+            )
         out_shard, out_bucket, out_ids = [], [], []
         weights = 1 << np.arange(n_planes)
+        all_planes = _lsh_planes(vecs.shape[1], n_planes, n_tables)
         for t in range(n_tables):
-            planes = np.random.default_rng(1000 + t).standard_normal(
-                (vecs.shape[1], n_planes)
-            )
-            codes = ((vecs @ planes) > 0) @ weights
+            codes = ((vecs @ all_planes[t]) > 0) @ weights
             buckets = t * (1 << n_planes) + codes.astype(np.int64)
             out_shard.append((buckets % n_shards).astype(np.int32))
             out_bucket.append(buckets)
@@ -1146,7 +1189,13 @@ def embedding_neardup_pairs(
             sides_b, on=["id_a", "id_b"], suffixes=("_a", "_b")
         )
         if merged.empty:
-            return pd.DataFrame(columns=["id_a", "id_b", "cosine"])
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "cosine": pd.Series(dtype="float64"),
+                }
+            )
         mat_a = np.asarray(list(merged["vec_a"]), dtype=np.float64)
         mat_b = np.asarray(list(merged["vec_b"]), dtype=np.float64)
         na = np.linalg.norm(mat_a, axis=1)

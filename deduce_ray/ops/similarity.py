@@ -11,13 +11,49 @@ Hamming-1 neighbors), cutting the scanned fraction to ~ (1 + n_planes)/2^p.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 
 def _as_matrix(column) -> np.ndarray:
+    """(n, dim) float64 from an Arrow list<float> column WITHOUT creating
+    per-element Python objects: for uniform-width null-free rows (the
+    embedding contract) read the flat values buffer and reshape — at 768
+    dims this avoids materializing ~dim x n Python floats per batch.
+    Ragged or null rows fall back to the object path."""
+    if isinstance(column, pa.ChunkedArray):
+        column = column.combine_chunks()
+    try:
+        if column.null_count == 0 and len(column):
+            if isinstance(column, pa.FixedSizeListArray):
+                flat = column.values.to_numpy(zero_copy_only=False)
+                return flat.astype(np.float64, copy=False).reshape(
+                    len(column), -1
+                )
+            offsets = column.offsets.to_numpy(zero_copy_only=False)
+            widths = np.diff(offsets)
+            if (widths == widths[0]).all() and widths[0] > 0:
+                # offsets are absolute into the shared values buffer (a
+                # sliced array does not start at 0)
+                flat = column.values.to_numpy(zero_copy_only=False)[
+                    offsets[0] : offsets[-1]
+                ]
+                return flat.astype(np.float64, copy=False).reshape(
+                    len(column), int(widths[0])
+                )
+    except (AttributeError, pa.ArrowInvalid):
+        pass
     return np.asarray(column.to_pylist(), dtype=np.float64)
+
+
+@functools.lru_cache(maxsize=8)
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic (dim, n_planes) hyperplane matrix, cached per worker
+    process — regenerating identical RNG draws per batch is pure waste."""
+    return np.random.default_rng(seed).standard_normal((dim, n_planes))
 
 
 def _unit_rows(mat: np.ndarray) -> np.ndarray:
@@ -227,9 +263,7 @@ def lsh_bucketed_topk(
         return bits @ (1 << np.arange(n_planes))
 
     probe_sets = []
-    planes_for_queries = np.random.default_rng(54321).standard_normal(
-        (queries.shape[1], n_planes)
-    )
+    planes_for_queries = _hyperplanes(queries.shape[1], n_planes, 54321)
     qb = bucket_of(unit_queries, planes_for_queries)
     for qi in range(len(unit_queries)):
         base = int(qb[qi])
@@ -249,10 +283,7 @@ def lsh_bucketed_topk(
         q, probes = ray.get(queries_ref)
         ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
         mat = _unit_rows(_as_matrix(batch.column(vec_col)))
-        planes = np.random.default_rng(54321).standard_normal(
-            (mat.shape[1], n_planes)
-        )
-        buckets = bucket_of(mat, planes)
+        buckets = bucket_of(mat, _hyperplanes(mat.shape[1], n_planes, 54321))
         out = {"query_id": [], id_col: [], "score": []}
         for qi in range(q.shape[0]):
             mask = np.isin(buckets, list(probes[qi]))
