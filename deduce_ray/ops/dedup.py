@@ -168,6 +168,45 @@ def _lsh_planes(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
     )
 
 
+def _hot_bucket_pairs(df: pd.DataFrame, key_col: str, id_col: str):
+    """Distinct candidate pairs from bucket co-membership — the shared
+    core of every in-shard LSH verification (minhash, simhash, embedding).
+
+    Returns ``(docs, ia, ib)``: ``docs`` holds one row per distinct id
+    (sorted by id, so position order == id order and emitted pairs come
+    out id_a < id_b without a per-pair sort), and ``ia``/``ib`` are int64
+    POSITION arrays into ``docs`` for the candidate pairs — np.triu per
+    bucket (Python cost per bucket, not per pair), cross-bucket dedup via
+    one np.unique.  ``(None, None, None)`` when no bucket has 2+ ids."""
+    sizes = df.groupby(key_col)[id_col].nunique()
+    hot = sizes[sizes > 1].index
+    if not len(hot):
+        return None, None, None
+    sub = df[df[key_col].isin(hot)]
+    docs = sub.drop_duplicates(subset=[id_col]).sort_values(id_col)
+    doc_ids = docs[id_col].to_numpy(dtype=np.int64)
+    pos = {int(d): p for p, d in enumerate(doc_ids)}
+    ia_parts: list[np.ndarray] = []
+    ib_parts: list[np.ndarray] = []
+    mem = sub.drop_duplicates(subset=[key_col, id_col])
+    for _, ids in mem.groupby(key_col)[id_col]:
+        arr = np.sort(
+            np.fromiter(
+                (pos[int(x)] for x in ids), dtype=np.int64, count=len(ids)
+            )
+        )
+        iu, ju = np.triu_indices(len(arr), k=1)
+        ia_parts.append(arr[iu])
+        ib_parts.append(arr[ju])
+    uniq = np.unique(
+        np.stack(
+            [np.concatenate(ia_parts), np.concatenate(ib_parts)], axis=1
+        ),
+        axis=0,
+    )
+    return docs, uniq[:, 0], uniq[:, 1]
+
+
 def jaccard(s1: set[int], s2: set[int]) -> float:
     if not s1 and not s2:
         return 1.0
@@ -386,39 +425,12 @@ def minhash_lsh_pairs(
                 "jaccard": pd.Series(dtype="float64"),
             }
         )
-        sizes = df.groupby("bucket")[id_col].nunique()
-        hot_buckets = sizes[sizes > 1].index
-        if not len(hot_buckets):
+        docs, ia, ib = _hot_bucket_pairs(df, "bucket", id_col)
+        if docs is None:
             return empty
-        sub = df[df["bucket"].isin(hot_buckets)]
-        # sorted by id so position order == id order (pairs come out with
-        # id_a < id_b without a per-pair sort)
-        docs = sub.drop_duplicates(subset=[id_col]).sort_values(id_col)
         doc_ids = docs[id_col].to_numpy(dtype=np.int64)
-        pos = {int(d): p for p, d in enumerate(doc_ids)}
         if exact:
             payloads = docs["payload"].tolist()
-        else:
-            payloads = np.vstack(
-                [np.frombuffer(p, dtype=np.uint64) for p in docs["payload"]]
-            )
-        ia_parts: list[np.ndarray] = []
-        ib_parts: list[np.ndarray] = []
-        mem = sub.drop_duplicates(subset=["bucket", id_col])
-        for _, ids in mem.groupby("bucket")[id_col]:
-            arr = np.sort(
-                np.fromiter(
-                    (pos[int(x)] for x in ids), dtype=np.int64, count=len(ids)
-                )
-            )
-            iu, ju = np.triu_indices(len(arr), k=1)
-            ia_parts.append(arr[iu])
-            ib_parts.append(arr[ju])
-        ia = np.concatenate(ia_parts)
-        ib = np.concatenate(ib_parts)
-        uniq = np.unique(np.stack([ia, ib], axis=1), axis=0)
-        ia, ib = uniq[:, 0], uniq[:, 1]
-        if exact:
             sims = np.fromiter(
                 (
                     jaccard(
@@ -431,7 +443,10 @@ def minhash_lsh_pairs(
                 count=len(ia),
             )
         else:
-            sims = (payloads[ia] == payloads[ib]).mean(axis=1)
+            sigs_mat = np.vstack(
+                [np.frombuffer(p, dtype=np.uint64) for p in docs["payload"]]
+            )
+            sims = (sigs_mat[ia] == sigs_mat[ib]).mean(axis=1)
         keep = sims >= threshold  # threshold on the unrounded value
         if not keep.any():
             return empty
@@ -769,34 +784,11 @@ def simhash_pairs(
                 "hamming": pd.Series(dtype="int64"),
             }
         )
-        sizes = df.groupby("bucket")[id_col].nunique()
-        hot = sizes[sizes > 1].index
-        if not len(hot):
+        docs, ia, ib = _hot_bucket_pairs(df, "bucket", id_col)
+        if docs is None:
             return empty
-        sub = df[df["bucket"].isin(hot)]
-        docs = sub.drop_duplicates(subset=[id_col]).sort_values(id_col)
         doc_ids = docs[id_col].to_numpy(dtype=np.int64)
         hashes = docs["simhash"].to_numpy(dtype=np.uint64)
-        pos = {int(d): p for p, d in enumerate(doc_ids)}
-        ia_parts: list[np.ndarray] = []
-        ib_parts: list[np.ndarray] = []
-        mem = sub.drop_duplicates(subset=["bucket", id_col])
-        for _, ids in mem.groupby("bucket")[id_col]:
-            arr = np.sort(
-                np.fromiter(
-                    (pos[int(x)] for x in ids), dtype=np.int64, count=len(ids)
-                )
-            )
-            iu, ju = np.triu_indices(len(arr), k=1)
-            ia_parts.append(arr[iu])
-            ib_parts.append(arr[ju])
-        uniq = np.unique(
-            np.stack(
-                [np.concatenate(ia_parts), np.concatenate(ib_parts)], axis=1
-            ),
-            axis=0,
-        )
-        ia, ib = uniq[:, 0], uniq[:, 1]
         x = hashes[ia] ^ hashes[ib]
         dist = (
             np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1)
@@ -979,36 +971,16 @@ def embedding_neardup_pairs(
         )
 
     def candidate_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        """Vectorized like minhash's verify_shard: one groupby pass over
-        hot buckets, np.triu_indices per bucket (Python cost per bucket,
-        not per pair), one np.unique for the cross-bucket dedup."""
-        empty = pd.DataFrame(
-            {
-                "id_a": pd.Series(dtype="int64"),
-                "id_b": pd.Series(dtype="int64"),
-            }
-        )
-        sizes = df.groupby("bucket")["id"].nunique()
-        hot = sizes[sizes > 1].index
-        if not len(hot):
-            return empty
-        mem = df[df["bucket"].isin(hot)].drop_duplicates(
-            subset=["bucket", "id"]
-        )
-        a_parts: list[np.ndarray] = []
-        b_parts: list[np.ndarray] = []
-        for _, ids in mem.groupby("bucket")["id"]:
-            arr = np.sort(ids.to_numpy(dtype=np.int64))
-            iu, ju = np.triu_indices(len(arr), k=1)
-            a_parts.append(arr[iu])
-            b_parts.append(arr[ju])
-        uniq = np.unique(
-            np.stack(
-                [np.concatenate(a_parts), np.concatenate(b_parts)], axis=1
-            ),
-            axis=0,
-        )
-        return pd.DataFrame({"id_a": uniq[:, 0], "id_b": uniq[:, 1]})
+        docs, ia, ib = _hot_bucket_pairs(df, "bucket", "id")
+        if docs is None:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                }
+            )
+        ids = docs["id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
 
     sigs = ds_embeddings.map_batches(signatures, batch_format="pyarrow")
     cand = (

@@ -86,6 +86,72 @@ def _merge_topk(k: int, id_col: str):
     return merge
 
 
+def _ann_scan(
+    ds,
+    unit_queries: np.ndarray,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    labels_fn=None,
+    probe_rows=None,
+):
+    """The shared ANN scan shape: per-batch local top-k per query (prune
+    inside the batch), then one tiny global groupby merge under the
+    ordering contract (_merge_topk).  ``labels_fn(batch, mat)`` assigns a
+    per-row int label and ``probe_rows[qi]`` lists the labels query ``qi``
+    scans; both None means every query scans every row (brute force,
+    computed as one BLAS matmul per batch)."""
+    import ray
+
+    state_ref = ray.put((unit_queries, probe_rows))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        q, probes = ray.get(state_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        mat = _unit_rows(_as_matrix(batch.column(vec_col)))
+        labels = labels_fn(batch, mat) if labels_fn is not None else None
+        sims_all = mat @ q.T if labels is None else None
+        out = {"query_id": [], id_col: [], "score": []}
+        for qi in range(q.shape[0]):
+            if labels is None:
+                sub_ids, col = ids, sims_all[:, qi]
+            else:
+                mask = np.isin(labels, probes[qi])
+                if not mask.any():
+                    continue
+                sub_ids = ids[mask]
+                col = mat[mask] @ q[qi]
+            top = min(k, len(sub_ids))
+            idx = _top_indices(col, sub_ids, top)
+            for i in idx:
+                out["query_id"].append(qi)
+                out[id_col].append(int(sub_ids[i]))
+                out["score"].append(round(float(col[i]), 6))
+        if not out["query_id"]:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                id_col: pa.array(out[id_col], type=pa.int64()),
+                "score": pa.array(out["score"], type=pa.float64()),
+            }
+        )
+
+    local = ds.map_batches(local_topk, batch_format="pyarrow")
+    return local.groupby("query_id").map_groups(
+        _merge_topk(k, id_col), batch_format="pandas"
+    )
+
+
 def brute_force_topk(
     ds_embeddings,
     queries: np.ndarray,
@@ -98,46 +164,8 @@ def brute_force_topk(
     Returns a Dataset of (query_id, vec_id, score, rank); scores rounded to
     6 decimals, ties broken by vec_id ascending (deterministic).
     """
-    import ray
-
     unit_queries = _unit_rows(np.asarray(queries, dtype=np.float64))
-    queries_ref = ray.put(unit_queries)
-
-    def local_topk(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "query_id": pa.array([], type=pa.int64()),
-                    id_col: pa.array([], type=pa.int64()),
-                    "score": pa.array([], type=pa.float64()),
-                }
-            )
-        q = ray.get(queries_ref)
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        mat = _unit_rows(_as_matrix(batch.column(vec_col)))
-        sims = mat @ q.T  # (batch, n_queries)
-        out = {"query_id": [], id_col: [], "score": []}
-        top = min(k, len(ids))
-        for qi in range(q.shape[0]):
-            col = sims[:, qi]
-            # local prune: keep only this batch's top-k candidates
-            idx = _top_indices(col, ids, top)
-            for i in idx:
-                out["query_id"].append(qi)
-                out[id_col].append(int(ids[i]))
-                out["score"].append(round(float(col[i]), 6))
-        return pa.table(
-            {
-                "query_id": pa.array(out["query_id"], type=pa.int64()),
-                id_col: pa.array(out[id_col], type=pa.int64()),
-                "score": pa.array(out["score"], type=pa.float64()),
-            }
-        )
-
-    local = ds_embeddings.map_batches(local_topk, batch_format="pyarrow")
-    return local.groupby("query_id").map_groups(
-        _merge_topk(k, id_col), batch_format="pandas"
-    )
+    return _ann_scan(ds_embeddings, unit_queries, k, id_col, vec_col)
 
 
 def kmeans_centroids(
@@ -188,8 +216,6 @@ def ivf_topk(
     relevant blocks; here list pruning happens inside each batch, the same
     shape as :func:`lsh_bucketed_topk`.
     """
-    import ray
-
     queries = np.asarray(queries, dtype=np.float64)
     unit_queries = _unit_rows(queries)
 
@@ -201,45 +227,17 @@ def ivf_topk(
     q_sims = unit_queries @ cents.T
     probe_lists = np.argsort(-q_sims, axis=1)[:, :n_probe]
 
-    state_ref = ray.put((unit_queries, cents, probe_lists))
+    def assign_lists(batch: pa.Table, mat: np.ndarray) -> np.ndarray:
+        return np.argmax(mat @ cents.T, axis=1)
 
-    def local_topk(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "query_id": pa.array([], type=pa.int64()),
-                    id_col: pa.array([], type=pa.int64()),
-                    "score": pa.array([], type=pa.float64()),
-                }
-            )
-        q, centroids, probes = ray.get(state_ref)
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        mat = _unit_rows(_as_matrix(batch.column(vec_col)))
-        assign = np.argmax(mat @ centroids.T, axis=1)
-        out = {"query_id": [], id_col: [], "score": []}
-        for qi in range(q.shape[0]):
-            mask = np.isin(assign, probes[qi])
-            if not mask.any():
-                continue
-            sub_ids = ids[mask]
-            sims = mat[mask] @ q[qi]
-            top = min(k, len(sub_ids))
-            idx = _top_indices(sims, sub_ids, top)
-            for i in idx:
-                out["query_id"].append(qi)
-                out[id_col].append(int(sub_ids[i]))
-                out["score"].append(round(float(sims[i]), 6))
-        return pa.table(
-            {
-                "query_id": pa.array(out["query_id"], type=pa.int64()),
-                id_col: pa.array(out[id_col], type=pa.int64()),
-                "score": pa.array(out["score"], type=pa.float64()),
-            }
-        )
-
-    local = ds_embeddings.map_batches(local_topk, batch_format="pyarrow")
-    return local.groupby("query_id").map_groups(
-        _merge_topk(k, id_col), batch_format="pandas"
+    return _ann_scan(
+        ds_embeddings,
+        unit_queries,
+        k,
+        id_col,
+        vec_col,
+        labels_fn=assign_lists,
+        probe_rows=probe_lists,
     )
 
 
@@ -253,8 +251,6 @@ def lsh_bucketed_topk(
 ):
     """Approximate top-k: vectors bucketed by hyperplane signs; each query
     scans only its bucket and all Hamming-1 neighbor buckets."""
-    import ray
-
     queries = np.asarray(queries, dtype=np.float64)
     unit_queries = _unit_rows(queries)
 
@@ -262,52 +258,26 @@ def lsh_bucketed_topk(
         bits = (mat @ planes) > 0
         return bits @ (1 << np.arange(n_planes))
 
-    probe_sets = []
-    planes_for_queries = _hyperplanes(queries.shape[1], n_planes, 54321)
-    qb = bucket_of(unit_queries, planes_for_queries)
-    for qi in range(len(unit_queries)):
-        base = int(qb[qi])
-        probe_sets.append({base} | {base ^ (1 << p) for p in range(n_planes)})
-
-    queries_ref = ray.put((unit_queries, probe_sets))
-
-    def local_topk(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "query_id": pa.array([], type=pa.int64()),
-                    id_col: pa.array([], type=pa.int64()),
-                    "score": pa.array([], type=pa.float64()),
-                }
-            )
-        q, probes = ray.get(queries_ref)
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        mat = _unit_rows(_as_matrix(batch.column(vec_col)))
-        buckets = bucket_of(mat, _hyperplanes(mat.shape[1], n_planes, 54321))
-        out = {"query_id": [], id_col: [], "score": []}
-        for qi in range(q.shape[0]):
-            mask = np.isin(buckets, list(probes[qi]))
-            if not mask.any():
-                continue
-            sub_ids = ids[mask]
-            sims = mat[mask] @ q[qi]
-            top = min(k, len(sub_ids))
-            idx = _top_indices(sims, sub_ids, top)
-            for i in idx:
-                out["query_id"].append(qi)
-                out[id_col].append(int(sub_ids[i]))
-                out["score"].append(round(float(sims[i]), 6))
-        return pa.table(
-            {
-                "query_id": pa.array(out["query_id"], type=pa.int64()),
-                id_col: pa.array(out[id_col], type=pa.int64()),
-                "score": pa.array(out["score"], type=pa.float64()),
-            }
+    qb = bucket_of(unit_queries, _hyperplanes(queries.shape[1], n_planes, 54321))
+    probe_rows = [
+        np.array(
+            sorted({int(b)} | {int(b) ^ (1 << p) for p in range(n_planes)}),
+            dtype=np.int64,
         )
+        for b in qb
+    ]
 
-    local = ds_embeddings.map_batches(local_topk, batch_format="pyarrow")
-    return local.groupby("query_id").map_groups(
-        _merge_topk(k, id_col), batch_format="pandas"
+    def assign_buckets(batch: pa.Table, mat: np.ndarray) -> np.ndarray:
+        return bucket_of(mat, _hyperplanes(mat.shape[1], n_planes, 54321))
+
+    return _ann_scan(
+        ds_embeddings,
+        unit_queries,
+        k,
+        id_col,
+        vec_col,
+        labels_fn=assign_buckets,
+        probe_rows=probe_rows,
     )
 
 
@@ -400,8 +370,6 @@ def ivf_search(
     probe_lists = np.argsort(-q_sims, axis=1)[:, :n_probe]
     probed = {int(x) for x in probe_lists.ravel()}
 
-    state_ref = ray.put((unit_queries, probe_lists))
-
     # hive partition values parse as int so the per-row probe masks below
     # compare integers; the path filter is what skips unprobed directories
     ds = ray.data.read_parquet(
@@ -412,46 +380,15 @@ def ivf_search(
         ),
     )
 
-    def local_topk(batch: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "query_id": pa.array([], type=pa.int64()),
-                id_col: pa.array([], type=pa.int64()),
-                "score": pa.array([], type=pa.float64()),
-            }
-        )
-        if batch.num_rows == 0:
-            return empty
-        q, probes = ray.get(state_ref)
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        lists = np.asarray(
-            batch.column("list_id").to_pylist(), dtype=np.int64
-        )
-        mat = _unit_rows(_as_matrix(batch.column(vec_col)))
-        out = {"query_id": [], id_col: [], "score": []}
-        for qi in range(q.shape[0]):
-            mask = np.isin(lists, probes[qi])
-            if not mask.any():
-                continue
-            sub_ids = ids[mask]
-            sims = mat[mask] @ q[qi]
-            top = min(k, len(sub_ids))
-            idx = _top_indices(sims, sub_ids, top)
-            for i in idx:
-                out["query_id"].append(qi)
-                out[id_col].append(int(sub_ids[i]))
-                out["score"].append(round(float(sims[i]), 6))
-        if not out["query_id"]:
-            return empty
-        return pa.table(
-            {
-                "query_id": pa.array(out["query_id"], type=pa.int64()),
-                id_col: pa.array(out[id_col], type=pa.int64()),
-                "score": pa.array(out["score"], type=pa.float64()),
-            }
-        )
+    def read_lists(batch: pa.Table, mat: np.ndarray) -> np.ndarray:
+        return np.asarray(batch.column("list_id").to_pylist(), dtype=np.int64)
 
-    local = ds.map_batches(local_topk, batch_format="pyarrow")
-    return local.groupby("query_id").map_groups(
-        _merge_topk(k, id_col), batch_format="pandas"
+    return _ann_scan(
+        ds,
+        unit_queries,
+        k,
+        id_col,
+        vec_col,
+        labels_fn=read_lists,
+        probe_rows=probe_lists,
     )
