@@ -477,6 +477,12 @@ def neardup_clusters(
 ):
     """Cluster near-duplicate pairs into components.
 
+    Contract: node ids must be NON-NEGATIVE int64 (the 63-bit md5
+    convention used throughout) — the distributed path reserves id -1 as
+    its witness-marker sentinel, so a real -1 node would contaminate the
+    convergence witness.  The driver union-find path has no such
+    restriction.
+
     The upstream LSH pipeline is executed ONCE: ``pairs_ds`` is materialized
     before the size check, so the count and the subsequent passes read the
     cached blocks instead of re-running the shuffle.
