@@ -383,13 +383,20 @@ def _q_ann_topk_ivf(sf_dir: str):
     against the DuckDB oracle; the production configuration
     (n_probe < n_lists) and the in-batch ivf_topk variant are
     recall/equivalence-tested in tests/test_ray_pipeline.py."""
-    import tempfile
+    import hashlib
+    import shutil
 
     import ray.data
 
     from deduce_ray.ops.similarity import ivf_build, ivf_search
 
-    index_dir = tempfile.mkdtemp(prefix="deduce_ray_ivf_")
+    # fixed per-sf scratch path, rebuilt each call: a mkdtemp per run
+    # would leak one corpus-sized copy into /tmp per benchmark invocation
+    index_dir = (
+        "/tmp/deduce_ray_ivf_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    )
+    shutil.rmtree(index_dir, ignore_errors=True)
     ivf_build(
         ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
         index_dir,

@@ -159,12 +159,12 @@ def _vec_matrix(column) -> np.ndarray:
 @functools.lru_cache(maxsize=8)
 def _lsh_planes(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
     """(n_tables, dim, n_planes) deterministic hyperplane stack, cached
-    per worker process instead of re-drawn per batch."""
+    per worker process instead of re-drawn per batch; each table's matrix
+    comes from the shared seeded factory in ops.similarity."""
+    from deduce_ray.ops.similarity import _hyperplanes
+
     return np.stack(
-        [
-            np.random.default_rng(1000 + t).standard_normal((dim, n_planes))
-            for t in range(n_tables)
-        ]
+        [_hyperplanes(dim, n_planes, 1000 + t) for t in range(n_tables)]
     )
 
 

@@ -282,15 +282,30 @@ def decode_audio(payload: bytes) -> np.ndarray:
 def _grid_means(plane: np.ndarray, g: int) -> np.ndarray:
     """(g*g,) block means of a 2-D uint8 plane, normalized to [0, 1] —
     the fixed-dim per-frame feature.  reduceat sums over the g uneven
-    blocks each axis, divided by exact block areas."""
+    blocks each axis, divided by exact block areas.  Frames smaller than
+    the grid take the clamped-range path (each block covers >= 1 pixel,
+    overlapping when necessary) — the reduceat boundaries would collapse
+    to zero-area blocks and emit inf."""
     h, w = plane.shape
-    ys = (np.arange(g) * h) // g
-    xs = (np.arange(g) * w) // g
-    sums = np.add.reduceat(
-        np.add.reduceat(plane.astype(np.float64), ys, axis=0), xs, axis=1
-    )
-    areas = np.outer(np.diff(np.append(ys, h)), np.diff(np.append(xs, w)))
-    return (sums / areas / 255.0).ravel()
+    if h >= g and w >= g:
+        ys = (np.arange(g) * h) // g
+        xs = (np.arange(g) * w) // g
+        sums = np.add.reduceat(
+            np.add.reduceat(plane.astype(np.float64), ys, axis=0), xs, axis=1
+        )
+        areas = np.outer(
+            np.diff(np.append(ys, h)), np.diff(np.append(xs, w))
+        )
+        return (sums / areas / 255.0).ravel()
+    out = np.empty(g * g, dtype=np.float64)
+    for i in range(g):
+        y0 = (i * h) // g
+        y1 = max(((i + 1) * h) // g, y0 + 1)
+        for j in range(g):
+            x0 = (j * w) // g
+            x1 = max(((j + 1) * w) // g, x0 + 1)
+            out[i * g + j] = plane[y0:y1, x0:x1].mean()
+    return out / 255.0
 
 
 def _fake_decode(payload: bytes, n: int) -> np.ndarray:
@@ -445,12 +460,17 @@ class FrameSampler:
             else:
                 # real Y4M decode; the stream's frame count is
                 # authoritative, and the per-frame feature is a 4x4 grid
-                # of luma block means in [0, 1]
+                # of luma block means in [0, 1] — computed ONLY for the
+                # sampled frames (stride-skipped frames cost nothing)
                 luma = decode_video(payload)
                 n_frames = luma.shape[0]
-                frames = np.stack(
-                    [_grid_means(f, 4) for f in luma]
-                ) if n_frames else np.empty((0, self.FRAME_DIM), dtype=np.float64)
+                for f in range(0, n_frames, self.stride):
+                    out_ids.append(mid)
+                    out_idx.append(f)
+                    out_feats.append(
+                        [round(float(x), 6) for x in _grid_means(luma[f], 4)]
+                    )
+                continue
             for f in range(0, n_frames, self.stride):
                 out_ids.append(mid)
                 out_idx.append(f)

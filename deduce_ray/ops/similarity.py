@@ -194,6 +194,18 @@ def kmeans_centroids(
     return cents
 
 
+def _train_quantizer(
+    ds_embeddings, train_size: int, n_lists: int, vec_col: str
+) -> np.ndarray:
+    """Shared coarse-quantizer training for the in-batch and partitioned
+    IVF paths — one bounded driver materialization of the first
+    ``train_size`` rows, then deterministic spherical k-means.  Must stay
+    the SINGLE implementation so both paths quantize identically."""
+    sample = ds_embeddings.limit(train_size).take_all()
+    train = np.asarray([r[vec_col] for r in sample], dtype=np.float64)
+    return kmeans_centroids(train, n_lists)
+
+
 def ivf_topk(
     ds_embeddings,
     queries: np.ndarray,
@@ -219,9 +231,7 @@ def ivf_topk(
     queries = np.asarray(queries, dtype=np.float64)
     unit_queries = _unit_rows(queries)
 
-    sample = ds_embeddings.limit(train_size).take_all()
-    train = np.asarray([r[vec_col] for r in sample], dtype=np.float64)
-    cents = kmeans_centroids(train, n_lists)
+    cents = _train_quantizer(ds_embeddings, train_size, n_lists, vec_col)
 
     # each query probes its n_probe nearest lists
     q_sims = unit_queries @ cents.T
@@ -291,7 +301,6 @@ def ivf_build(
     index_dir: str,
     n_lists: int = 16,
     train_size: int = 2048,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
     """Build a PARTITIONED IVF index: train a coarse spherical-k-means
@@ -310,9 +319,7 @@ def ivf_build(
     import ray
     import ray.data
 
-    sample = ds_embeddings.limit(train_size).take_all()
-    train = np.asarray([r[vec_col] for r in sample], dtype=np.float64)
-    cents = kmeans_centroids(train, n_lists)
+    cents = _train_quantizer(ds_embeddings, train_size, n_lists, vec_col)
     cents_ref = ray.put(cents)
 
     def assign(batch: pa.Table) -> pa.Table:

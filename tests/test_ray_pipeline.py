@@ -888,6 +888,24 @@ class TestMultimodal:
         feat0 = np.asarray(out.column("frame_feature").to_pylist()[0])
         assert np.allclose(feat0, np.round(_grid_means(frames[0], 4), 6))
 
+        # frames smaller than the feature grid: clamped overlapping blocks,
+        # finite values (the reduceat boundaries would divide by zero)
+        tiny = rng.integers(0, 256, size=(2, 2, 3), dtype=np.uint8)
+        out2 = FrameSampler(stride=1)(
+            pa.table(
+                {
+                    "media_id": pa.array([8], type=pa.int64()),
+                    "kind": pa.array(["video"]),
+                    "payload": pa.array([encode_y4m(tiny)], type=pa.binary()),
+                    "n_frames": pa.array([2], type=pa.int32()),
+                }
+            )
+        )
+        feats = np.asarray(out2.column("frame_feature").to_pylist())
+        assert feats.shape == (2, 16)
+        assert np.isfinite(feats).all()
+        assert (feats >= 0).all() and (feats <= 1).all()
+
 
 class TestGroupedAgg:
     def test_matches_pandas(self, ray_session):
