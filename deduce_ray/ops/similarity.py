@@ -376,6 +376,15 @@ def ivf_search(
     n_probe = min(n_probe, len(cents))
     probe_lists = np.argsort(-q_sims, axis=1)[:, :n_probe]
     probed = {int(x) for x in probe_lists.ravel()}
+    import logging
+
+    logging.getLogger(__name__).info(
+        "ivf_search: probing %d of %d lists (%.0f%% of the index is never "
+        "opened, path-level pruning)",
+        len(probed),
+        len(cents),
+        100.0 * (1 - len(probed) / max(1, len(cents))),
+    )
 
     # hive partition values parse as int so the per-row probe masks below
     # compare integers; the path filter is what skips unprobed directories
