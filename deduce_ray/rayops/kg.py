@@ -21,12 +21,26 @@ import hashlib
 import json
 import os
 import time
+import zlib
 from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
 
 _GRAPH_KEY = ["repo", "lang", "doc_id", "pred", "obj", "entity_id"]
+
+
+def _doc_bucket(d, n: int) -> int:
+    """Uniform bucket from a doc id: hex-prefix fast path (the md5-hex ids
+    this pipeline emits), crc32 fallback for arbitrary string ids, 0 for
+    null — callers must not crash on non-hex or null ids (nulls are
+    preserved through dedup by design)."""
+    if isinstance(d, str) and d:
+        try:
+            return int(d[:4], 16) % n
+        except ValueError:
+            return zlib.crc32(d.encode()) % n
+    return 0
 
 
 def _dedup_batch(batch: pa.Table) -> pa.Table:
@@ -41,9 +55,19 @@ def _dedup_batch(batch: pa.Table) -> pa.Table:
             }
         )
     grouped = batch.group_by(_GRAPH_KEY).aggregate(
-        [("start_char", "count"), ("start_char", "min")]
+        [([], "count_all"), ("start_char", "min")]
     )
-    return grouped.rename_columns(_GRAPH_KEY + ["n_mentions", "first_start_char"])
+    # count_all (row count), not ("start_char", "count"): a count aggregate
+    # skips nulls, undercounting mentions with null spans.  Columns selected
+    # BY NAME — positional rename assumes keys-first aggregate output, which
+    # is a pyarrow implementation detail.
+    return pa.table(
+        {
+            **{k: grouped.column(k) for k in _GRAPH_KEY},
+            "n_mentions": grouped.column("count_all"),
+            "first_start_char": grouped.column("start_char_min"),
+        }
+    )
 
 
 def _merge_graph_rows(df):
@@ -75,9 +99,10 @@ def dedup_triples(triples_ds, by_doc_first: bool = False):
 
     def merge_and_bucket(df):
         out = _merge_graph_rows(df)
-        out["doc_bucket"] = [
-            int(d[:4], 16) % 256 if d else 0 for d in out["doc_id"]
-        ]
+        # _doc_bucket, not a bare int(d[:4], 16): pandas groupby(dropna=
+        # False) re-materializes null keys as truthy float NaN, and ids
+        # are not guaranteed hex for external callers
+        out["doc_bucket"] = [_doc_bucket(d, 256) for d in out["doc_id"]]
         return out
 
     # batch_size coalesces the many small combiner outputs into few blocks
@@ -122,11 +147,22 @@ def canonical_entities(triples_ds):
                     "n_mentions": pa.array([], type=pa.int64()),
                 }
             )
+        # cast first: an all-null block arrives with a null-typed obj
+        # column, for which utf8_lower has no kernel
         batch = batch.append_column(
-            "obj_norm", pc.utf8_lower(batch.column("obj"))
+            "obj_norm",
+            pc.utf8_lower(pc.cast(batch.column("obj"), pa.string())),
         )
-        grouped = batch.group_by(["pred", "obj_norm"]).aggregate([("obj", "count")])
-        return grouped.rename_columns(["pred", "obj_norm", "n_mentions"])
+        grouped = batch.group_by(["pred", "obj_norm"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table(
+            {
+                "pred": grouped.column("pred"),
+                "obj_norm": grouped.column("obj_norm"),
+                "n_mentions": grouped.column("count_all"),
+            }
+        )
 
     combined = triples_ds.map_batches(combine, batch_format="pyarrow")
 
@@ -158,9 +194,15 @@ def canonical_entities(triples_ds):
     )
 
 
-def _form_node_id(pred: str, obj_norm: str) -> int:
-    """Deterministic positive int64 id for a (pred, surface form) node."""
-    digest = hashlib.md5(f"{pred}\x00{obj_norm}".encode()).digest()
+def _form_node_id(pred: str | None, obj_norm: str | None) -> int:
+    """Deterministic positive int64 id for a (pred, surface form) node.
+    Null fields are tagged distinctly from any string (a bare f-string
+    would render None as the literal 'None', colliding with that form)."""
+    parts = [
+        b"\x01" if s is None else b"\x02" + s.encode()
+        for s in (pred, obj_norm)
+    ]
+    digest = hashlib.md5(b"\x00".join(parts)).digest()
     return int.from_bytes(digest[:8], "big") & 0x7FFF_FFFF_FFFF_FFFF
 
 
@@ -267,7 +309,12 @@ def canonicalize_entities(triples_ds, cluster_rounds: int = 8):
         counts = batch.column("n_mentions").to_pylist()
         out = {"pred": [], "block": [], "is_home": [], "obj_norm": [], "n_mentions": []}
         for p, f, n in zip(preds, forms, counts):
-            length = len(f or "")
+            if f is None:
+                # null forms never edge to anything (the DL predicate is
+                # undefined on null); they keep their own node id through
+                # tag_forms and come out as singleton clusters
+                continue
+            length = len(f)
             for block, home in ((length, True), (length + 1, False)):
                 out["pred"].append(p)
                 out["block"].append(block)
@@ -375,7 +422,10 @@ def canonicalize_entities(triples_ds, cluster_rounds: int = 8):
             .groupby("node", as_index=False)
             .agg(cluster=("cluster", "min"))
         )
-        forms = df[df["obj_norm"].notna()][
+        # form rows carry n_mentions >= 0, label rows the -1 sentinel —
+        # selecting on obj_norm.notna() would silently drop null-form
+        # rows (which are legitimate singleton entities)
+        forms = df[df["n_mentions"] >= 0][
             ["node", "pred", "obj_norm", "n_mentions"]
         ]
         # INNER merge + explicit miss set: a left merge would widen the
@@ -394,19 +444,29 @@ def canonicalize_entities(triples_ds, cluster_rounds: int = 8):
     )
 
     def pick_canonical(df: pd.DataFrame) -> pd.DataFrame:
-        parts = []
-        for _, grp in df.groupby("cluster"):
-            best = grp.sort_values(
-                ["n_mentions", "obj_norm"], ascending=[False, True]
-            ).iloc[0]
-            part = grp[["pred", "obj_norm", "n_mentions"]].copy()
-            part["canonical"] = best["obj_norm"]
-            parts.append(part)
-        if not parts:
+        """Vectorized: one global sort + drop_duplicates picks each
+        cluster's canonical (max mentions, ties to the lexicographically
+        smallest form), one merge labels the members — no per-cluster
+        pandas loop (a shard can hold hundreds of thousands of singleton
+        clusters)."""
+        if df.empty:
             return pd.DataFrame(
-                columns=["pred", "obj_norm", "canonical", "n_mentions"]
+                {
+                    "pred": pd.Series(dtype="object"),
+                    "obj_norm": pd.Series(dtype="object"),
+                    "canonical": pd.Series(dtype="object"),
+                    "n_mentions": pd.Series(dtype="int64"),
+                }
             )
-        out = pd.concat(parts, ignore_index=True)
+        best = (
+            df.sort_values(
+                ["cluster", "n_mentions", "obj_norm"],
+                ascending=[True, False, True],
+            )
+            .drop_duplicates("cluster")[["cluster", "obj_norm"]]
+            .rename(columns={"obj_norm": "canonical"})
+        )
+        out = df.merge(best, on="cluster")
         return out[["pred", "obj_norm", "canonical", "n_mentions"]]
 
     return clustered.groupby("cluster_shard").map_groups(
@@ -462,11 +522,27 @@ def detect_hot_keys(
     grand = int(totals.sum())
     if grand == 0:
         return set()
-    return {r for r, n in totals.items() if n / grand >= hot_fraction}
+    # null repo groups come back as float NaN keys: normalize to '' to
+    # match materialize_graph's normalize_keys, so a hot null partition is
+    # actually salted (and sorted(hot_keys) never compares float to str)
+    return {
+        (r if isinstance(r, str) else "")
+        for r, n in totals.items()
+        if n / grand >= hot_fraction
+    }
+
+
+def _slug_field(s: str) -> str:
+    """Injective filename-safe field encoding: '%', '/', and '_' are
+    escaped so the '__' joiner can never be produced by field content —
+    without this, repo 'org/x' and repo 'org__x' would collide on one
+    slug and silently overwrite each other's parquet + manifest.  The
+    Arrow-side mirror lives in materialize_graph's drop_done."""
+    return s.replace("%", "%25").replace("/", "%2F").replace("_", "%5F")
 
 
 def _partition_slug(repo: str, lang: str) -> str:
-    return f"{repo.replace('/', '__')}__{lang}"
+    return f"{_slug_field(repo)}__{_slug_field(lang)}"
 
 
 def completed_partitions(out_dir: str | Path) -> set[str]:
@@ -524,6 +600,10 @@ def materialize_graph(
         "hot_keys": sorted(hot_keys or ()),
         "n_salts": int(n_salts),
     }
+    # ONE manifest scan collects both the config check and the completed
+    # set (a second completed_partitions() pass would re-glob and re-parse
+    # every unit manifest on the driver)
+    done: set[str] = set()
     if resume:
         for mf in (out_dir / "_manifests").glob("*.json"):
             if mf.name.startswith("_run_"):
@@ -541,6 +621,8 @@ def materialize_graph(
                     f"written with {recorded}; clear the output directory or "
                     "rerun with the original hot_keys/n_salts"
                 )
+            if manifest.get("complete") and "partition" in manifest:
+                done.add(manifest["partition"])
 
     def normalize_keys(batch: pa.Table) -> pa.Table:
         # partition keys must be non-null strings for slug construction and
@@ -578,21 +660,26 @@ def materialize_graph(
         repos = batch.column("repo").to_pylist()
         doc_ids = batch.column("doc_id").to_pylist()
         salts = [
-            int(d[:4], 16) % n_salts if (r in hot and d) else 0
+            _doc_bucket(d, n_salts) if r in hot else 0
             for r, d in zip(repos, doc_ids)
         ]
         return batch.append_column("salt", pa.array(salts, type=pa.int32()))
 
     salted = combined.map_batches(add_salt, batch_format="pyarrow")
 
-    done = completed_partitions(out_dir) if resume else set()
     if done:
         done_list = pa.array(sorted(done))
 
         def drop_done(batch: pa.Table) -> pa.Table:
+            def esc(col):
+                # Arrow mirror of _slug_field — keep the two in sync
+                col = pc.replace_substring(col, "%", "%25")
+                col = pc.replace_substring(col, "/", "%2F")
+                return pc.replace_substring(col, "_", "%5F")
+
             slug = pc.binary_join_element_wise(
-                pc.replace_substring(batch.column("repo"), "/", "__"),
-                batch.column("lang"),
+                esc(batch.column("repo")),
+                esc(batch.column("lang")),
                 pc.cast(batch.column("salt"), pa.string()),
                 "__",
             )
@@ -625,9 +712,16 @@ def materialize_graph(
         graph.to_parquet(tmp_path, index=False)
         os.replace(tmp_path, data_path)
 
+        # fillna: null doc_id/pred/obj are preserved through dedup by
+        # design; NaN elements would make the string concat NaN and
+        # '\n'.join raise mid-sink
         content_hash = hashlib.sha256(
             "\n".join(
-                graph["doc_id"] + "|" + graph["pred"] + "|" + graph["obj"]
+                graph["doc_id"].fillna("")
+                + "|"
+                + graph["pred"].fillna("")
+                + "|"
+                + graph["obj"].fillna("")
             ).encode()
         ).hexdigest()
         manifest = {

@@ -104,8 +104,10 @@ class TestGraphMaterialize:
         # partition files exist and are readable
         import pyarrow.parquet as pq
 
+        from deduce_ray.rayops.kg import _partition_slug
+
         row = metrics.iloc[0]
-        part_dir = out / f"{row['repo'].replace('/', '__')}__{row['lang']}"
+        part_dir = out / _partition_slug(row["repo"], row["lang"])
         part = pq.read_table(part_dir / f"part-{row['salt']}.parquet")
         assert part.num_rows == row["rows"]
 
@@ -138,6 +140,75 @@ class TestGraphMaterialize:
         # resume skips both completed units (incl. the ''-keyed one)
         metrics2 = materialize_graph(ray.data.from_items(rows), out).to_pandas()
         assert len(metrics2) == 0
+
+    def test_materialize_slug_injective(self, ray_session, tmp_path):
+        """Repos 'org/x' and 'org__x' used to collide on one slug (the
+        '/'->'__' replacement) and silently overwrite each other's parquet
+        and manifest; the escaped slug keeps them distinct."""
+        import ray.data
+
+        from deduce_ray.rayops.kg import materialize_graph
+
+        def row(i, repo):
+            return {
+                "doc_id": f"{i:08x}", "repo": repo, "path": "p",
+                "commit": "c", "lang": "nl", "pred": "id",
+                "obj": f"obj-{i}", "start_char": 0, "end_char": 5,
+                "entity_id": "ID-1",
+            }
+
+        rows = [row(1, "org/x"), row(2, "org__x")]
+        out = tmp_path / "sluggy"
+        metrics = materialize_graph(ray.data.from_items(rows), out).to_pandas()
+        assert len(metrics) == 2
+        import pyarrow.parquet as pq
+
+        total = sum(
+            pq.read_table(f).num_rows for f in out.glob("*/part-*.parquet")
+        )
+        assert total == 2  # both partitions' rows survive on disk
+
+    def test_materialize_null_and_nonhex_doc_ids(self, ray_session, tmp_path):
+        """Null and non-hex doc_ids flow through dedup + a salted sink:
+        the doc-bucket/salt derivation must not assume md5-hex ids (pandas
+        groupby(dropna=False) also re-materializes null keys as truthy
+        NaN, which the old 'if d' guard missed)."""
+        import ray.data
+
+        from deduce_ray.rayops.kg import dedup_triples, materialize_graph
+
+        rows = [
+            {
+                "doc_id": d, "repo": "org/hot", "path": "p", "commit": "c",
+                "lang": "nl", "pred": "id", "obj": f"o{i}",
+                "start_char": 0, "end_char": 2, "entity_id": "ID-1",
+            }
+            for i, d in enumerate([None, "doc-1", "not hex!", "abcd1234"])
+        ]
+        graph = dedup_triples(ray.data.from_items(rows)).to_pandas()
+        assert len(graph) == 4  # the null-id row survives the merge
+        assert int(graph["n_mentions"].sum()) == 4
+
+        out = tmp_path / "nonhex"
+        metrics = materialize_graph(
+            ray.data.from_items(rows), out, hot_keys={"org/hot"}, n_salts=4
+        ).to_pandas()
+        assert int(metrics["rows"].sum()) == 4
+
+    def test_detect_hot_keys_null_repo(self, ray_session):
+        """A dominant null-repo group is reported as '' (matching the
+        sink's normalized key) rather than float NaN, so sorted(hot_keys)
+        and the salting filter both work."""
+        import ray.data
+
+        from deduce_ray.rayops.kg import detect_hot_keys
+
+        rows = [{"repo": None, "doc_id": f"{i:08x}"} for i in range(60)] + [
+            {"repo": f"org/r{i}", "doc_id": f"{i:08x}"} for i in range(40)
+        ]
+        hot = detect_hot_keys(ray.data.from_items(rows), hot_fraction=0.5)
+        assert hot == {""}
+        assert sorted(hot) == [""]
 
     def test_detect_hot_keys(self, ray_session, lexicon_ref):
         from deduce_ray.rayops.annotate import extract_triples
@@ -1313,6 +1384,30 @@ class TestEntityCanonicalization:
         assert by_form["ommen"] == "ommen"
         assert by_form["utrecht"] == "utrecht"
         assert by_form["rotterdam"] == "rotterdam"
+
+    def test_null_obj_is_singleton_entity(self, ray_session):
+        """A null obj flows through canonicalization as its own singleton
+        cluster (the DL predicate is undefined on null) instead of
+        crashing block_edges or being silently dropped in resolve."""
+        import ray.data
+
+        from deduce_ray.rayops.kg import canonicalize_entities
+
+        def row(i, obj):
+            return {
+                "doc_id": f"d{i}", "repo": "org/r", "path": "p",
+                "commit": "c", "lang": "nl", "pred": "locatie", "obj": obj,
+                "start_char": 0, "end_char": 5, "entity_id": "LOCATIE-1",
+            }
+
+        rows = [row(0, None), row(1, "Ommen"), row(2, "Emmen"), row(3, None)]
+        out = canonicalize_entities(ray.data.from_items(rows)).to_pandas()
+        null_rows = out[out["obj_norm"].isna()]
+        assert len(null_rows) == 1
+        assert int(null_rows["n_mentions"].iloc[0]) == 2  # count_all, not count(obj)
+        assert null_rows["canonical"].isna().all()
+        by_form = dict(zip(out["obj_norm"], out["canonical"]))
+        assert by_form["emmen"] == "ommen" or by_form["ommen"] == "emmen"
 
     def test_adjacent_length_blocks_merge(self, ray_session):
         """Forms of adjacent lengths live in different home blocks; the
