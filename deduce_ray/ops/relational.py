@@ -32,6 +32,19 @@ def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
     )
 
 
+def _one_minus_disc_cents(discount_col) -> pa.ChunkedArray:
+    """round((1 - discount) * 100) as int64 — the discount side of the
+    integer-cents revenue product, shared by pricing_summary and the
+    bucketed join so the rounding mode can never drift between them."""
+    return pc.cast(
+        pc.round(
+            pc.multiply(pc.subtract(1.0, discount_col), 100.0),
+            round_mode="half_towards_infinity",
+        ),
+        pa.int64(),
+    )
+
+
 def pricing_summary(sf_dir: str):
     """TPC-H Q1-style pricing summary over lineitem."""
     import ray.data
@@ -55,13 +68,7 @@ def pricing_summary(sf_dir: str):
             pc.less_equal(batch.column("l_shipdate"), pa.scalar(cutoff))
         )
         ext_cents = _cents(batch.column("l_extendedprice"))
-        disc_cents = pc.cast(
-            pc.round(
-                pc.multiply(pc.subtract(1.0, batch.column("l_discount")), 100.0),
-                round_mode="half_towards_infinity",
-            ),
-            pa.int64(),
-        )
+        disc_cents = _one_minus_disc_cents(batch.column("l_discount"))
         return pa.table(
             {
                 "l_returnflag": batch.column("l_returnflag"),
@@ -412,12 +419,15 @@ def brand_volume_sql() -> str:
 
 def bucketed_join_revenue(sf_dir: str, n_buckets: int = 32):
     """Large x large join via explicit bucketed hash join: both sides get a
-    ``bucket = key % B`` column, one groupby co-locates matching buckets,
-    and the join happens per bucket inside map_groups — the portable
-    pattern when neither side fits a broadcast.  Output: revenue per
-    o_orderpriority.
+    ``bucket = key & (B-1)`` column (``n_buckets`` must be a power of
+    two), one groupby co-locates matching buckets, and the join happens
+    per bucket inside map_groups — the portable pattern when neither side
+    fits a broadcast.  Output: revenue per o_orderpriority.
     """
     import ray.data
+
+    if n_buckets & (n_buckets - 1):
+        raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
@@ -443,13 +453,7 @@ def bucketed_join_revenue(sf_dir: str, n_buckets: int = 32):
     def tag_lineitem(batch: pa.Table) -> pa.Table:
         keys = batch.column("l_orderkey")
         ext_cents = _cents(batch.column("l_extendedprice"))
-        disc_cents = pc.cast(
-            pc.round(
-                pc.multiply(pc.subtract(1.0, batch.column("l_discount")), 100.0),
-                round_mode="half_towards_infinity",
-            ),
-            pa.int64(),
-        )
+        disc_cents = _one_minus_disc_cents(batch.column("l_discount"))
         return pa.table(
             {
                 "bucket": pc.cast(
@@ -490,8 +494,10 @@ def bucketed_join_revenue(sf_dir: str, n_buckets: int = 32):
             }
         ).sort_values("o_orderpriority").reset_index(drop=True)
 
-    # final merge across buckets is tiny (<= priorities x buckets rows)
-    return finish(per_bucket.to_pandas())
+    # final merge across buckets is tiny (<= priorities x buckets rows);
+    # wrapped back into a Dataset so every query returns the same type
+    # (a bare DataFrame would break consumers probing .count())
+    return ray.data.from_pandas(finish(per_bucket.to_pandas()))
 
 
 def bucketed_join_revenue_sql() -> str:
@@ -524,9 +530,13 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30):
     n_shards = 256
 
     def add_shard(batch: pa.Table) -> pa.Table:
+        # fill_null: SQL's GROUP BY keeps one NULL-user group, so null
+        # users must land in ONE deterministic shard, not a null key
         shard = pc.cast(
-            pc.bit_wise_and(pc.cast(batch.column("user_id"), pa.int64()),
-                            n_shards - 1),
+            pc.bit_wise_and(
+                pc.fill_null(pc.cast(batch.column("user_id"), pa.int64()), 0),
+                n_shards - 1,
+            ),
             pa.int64(),
         )
         return batch.append_column("__shard", shard)
@@ -535,12 +545,20 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30):
         # vectorized sessionization for ALL users in the shard at once
         # (one map_groups UDF call per user would dominate wall-clock at
         # realistic user cardinality): sort by (user, ts, event_id); a new
-        # session starts on a user change or a gap beyond the threshold
+        # session starts on a user change or a gap beyond the threshold.
+        # Null users form ONE group (SQL GROUP BY semantics): the change
+        # detector compares a sentinel-filled copy (NaN != NaN would make
+        # every null-user row its own session) and the groupby keeps the
+        # null key.
         df = df.sort_values(["user_id", "ts", "event_id"])
-        user_change = df["user_id"].ne(df["user_id"].shift())
+        # plain int64 (not nullable Int64) so shift()'s leading NA uses
+        # numpy semantics (NaN != x -> True) instead of propagating pd.NA
+        # into the session flag
+        uid = df["user_id"].fillna(-(2**63)).astype("int64")
+        user_change = uid.ne(uid.shift())
         new_session = user_change | (df["ts"].diff() > gap)
         df = df.assign(__new=new_session.astype("int64"))
-        out = df.groupby("user_id", as_index=False).agg(
+        out = df.groupby("user_id", as_index=False, dropna=False).agg(
             n_sessions=("__new", "sum"), n_events=("__new", "count")
         )
         return out
@@ -556,7 +574,15 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30):
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        for col in ("user_id", "n_sessions", "n_events"):
+        # a null-user group must survive as null, not crash the int64
+        # cast — but only pay the nullable-Int64 dtype when nulls exist,
+        # so the common all-present case keeps plain int64 (what DuckDB
+        # hands back for the oracle comparison)
+        if df["user_id"].isna().any():
+            df["user_id"] = df["user_id"].astype("Int64")
+        else:
+            df["user_id"] = df["user_id"].astype("int64")
+        for col in ("n_sessions", "n_events"):
             df[col] = df[col].astype("int64")
         return df.sort_values("user_id").reset_index(drop=True)
 

@@ -1266,7 +1266,7 @@ class TestClustersAndJoins:
         )
 
         sf = "/root/testdata/sf0.001"
-        mine = bucketed_join_revenue(sf)
+        mine = bucketed_join_revenue(sf).to_pandas()
         con = duckdb.connect()
         for t in ("orders", "lineitem"):
             con.execute(
@@ -1290,6 +1290,47 @@ class TestClustersAndJoins:
         oracle = con.execute(user_sessions_sql()).df()
         assert list(mine["n_sessions"]) == list(oracle["n_sessions"])
         assert list(mine["n_events"]) == list(oracle["n_events"])
+
+    def test_user_sessions_null_users(self, ray_session, tmp_path):
+        """Null user_ids must form ONE group (SQL GROUP BY semantics),
+        not one session per row, and must not crash the int cast."""
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from deduce_ray.ops.relational import user_sessions, user_sessions_sql
+
+        base = pd.Timestamp("2024-01-01 00:00:00")
+        rows = []
+        eid = 0
+        # user 7: two sessions (gap 45 min > 30); nulls: three events,
+        # two sessions (one 40-min gap)
+        for uid, offsets in [(7, [0, 5, 50]), (None, [0, 10, 55])]:
+            for m in offsets:
+                rows.append(
+                    {"event_id": eid, "user_id": uid,
+                     "ts": base + pd.Timedelta(minutes=m),
+                     "event_type": "x", "props": "{}"}
+                )
+                eid += 1
+        df = pd.DataFrame(rows)
+        df["user_id"] = df["user_id"].astype("Int64")
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       str(tmp_path / "events.parquet"))
+
+        mine = user_sessions(str(tmp_path)).to_pandas()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/events.parquet')"
+        )
+        oracle = con.execute(user_sessions_sql()).df()
+        assert len(mine) == 2 and len(oracle) == 2
+        # both sort user_id ASC with nulls last
+        assert list(mine["n_sessions"]) == list(oracle["n_sessions"])
+        assert list(mine["n_events"]) == list(oracle["n_events"])
+        assert mine["user_id"].isna().sum() == 1
 
 
 class TestRuntimeTailoring:
