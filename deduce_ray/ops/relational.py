@@ -438,6 +438,9 @@ def bucketed_join_revenue(sf_dir: str, n_buckets: int = 32):
     )
 
     def tag_orders(batch: pa.Table) -> pa.Table:
+        # SQL inner join never matches NULL keys, but pandas merge pairs
+        # NaN with NaN — drop them before bucketing (both sides)
+        batch = batch.filter(pc.is_valid(batch.column("o_orderkey")))
         keys = batch.column("o_orderkey")
         return pa.table(
             {
@@ -451,6 +454,7 @@ def bucketed_join_revenue(sf_dir: str, n_buckets: int = 32):
         )
 
     def tag_lineitem(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch.column("l_orderkey")))
         keys = batch.column("l_orderkey")
         ext_cents = _cents(batch.column("l_extendedprice"))
         disc_cents = _one_minus_disc_cents(batch.column("l_discount"))
@@ -767,7 +771,15 @@ def click_attribution(sf_dir: str, n_shards: int = 256):
         import pyarrow.compute as pc
 
         batch = batch.filter(
-            pc.is_in(batch.column("event_type"), value_set=pa.array(["click", "view"]))
+            pc.and_(
+                pc.is_in(
+                    batch.column("event_type"),
+                    value_set=pa.array(["click", "view"]),
+                ),
+                # SQL equality never matches NULL, but pandas merge_asof
+                # by= would pair NaN with NaN — drop null users up front
+                pc.is_valid(batch.column("user_id")),
+            )
         )
         shard = pc.cast(
             pc.bit_wise_and(pc.cast(batch.column("user_id"), pa.int64()), n_shards - 1),

@@ -736,6 +736,34 @@ class TestSimilarity:
         assert {e for e, _ in got} == {2, 3}
         assert all(v == ts[0] for _, v in got)
 
+    def test_click_attribution_null_users_never_match(self, ray_session):
+        """SQL equality never matches NULL; pandas merge_asof by= would
+        pair NaN with NaN, so null-user rows must be dropped up front."""
+        import os
+        import tempfile
+
+        import pandas as pd
+
+        from deduce_ray.ops.relational import click_attribution
+
+        d = tempfile.mkdtemp()
+        ts = pd.to_datetime(
+            ["2024-01-01 00:00", "2024-01-01 01:00",
+             "2024-01-01 00:10", "2024-01-01 01:30"]
+        )
+        df = pd.DataFrame(
+            {
+                "event_id": [1, 2, 3, 4],
+                "ts": ts,
+                "user_id": pd.array([None, None, 7, 7], dtype="Int64"),
+                "event_type": ["view", "click", "view", "click"],
+            }
+        )
+        df.to_parquet(os.path.join(d, "events.parquet"), index=False)
+        out = click_attribution(d).take_all()
+        # only user 7's click survives; the null-user click matches nothing
+        assert {r["event_id"] for r in out} == {4}
+
     def test_kmeans_deterministic(self):
         from deduce_ray.ops.similarity import kmeans_centroids
 
