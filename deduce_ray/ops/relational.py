@@ -426,7 +426,7 @@ def bucketed_join_revenue(sf_dir: str, n_buckets: int = 32):
     """
     import ray.data
 
-    if n_buckets & (n_buckets - 1):
+    if n_buckets <= 0 or n_buckets & (n_buckets - 1):
         raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
 
     orders = ray.data.read_parquet(

@@ -31,13 +31,17 @@ _GRAPH_KEY = ["repo", "lang", "doc_id", "pred", "obj", "entity_id"]
 
 
 def _doc_bucket(d, n: int) -> int:
-    """Uniform bucket from a doc id: hex-prefix fast path (the md5-hex ids
-    this pipeline emits), crc32 fallback for arbitrary string ids, 0 for
-    null — callers must not crash on non-hex or null ids (nulls are
-    preserved through dedup by design)."""
+    """Uniform bucket from a doc id: full-string hex fast path (the
+    md5-hex ids this pipeline emits; ``% n`` takes the LOW hex chars, so
+    even hex ids with a constant prefix spread), crc32 fallback for
+    arbitrary string ids, 0 for null — callers must not crash on non-hex
+    or null ids (nulls are preserved through dedup by design).  A
+    PREFIX-only hex parse would collapse id schemes like
+    '2024-08-17-<seq>' (constant hex-parseable first chars) into one
+    bucket, defeating the uniform merge shuffle and hot-key salting."""
     if isinstance(d, str) and d:
         try:
-            return int(d[:4], 16) % n
+            return int(d, 16) % n
         except ValueError:
             return zlib.crc32(d.encode()) % n
     return 0
@@ -197,12 +201,19 @@ def canonical_entities(triples_ds):
 def _form_node_id(pred: str | None, obj_norm: str | None) -> int:
     """Deterministic positive int64 id for a (pred, surface form) node.
     Null fields are tagged distinctly from any string (a bare f-string
-    would render None as the literal 'None', colliding with that form)."""
-    parts = [
-        b"\x01" if s is None else b"\x02" + s.encode()
-        for s in (pred, obj_norm)
-    ]
-    digest = hashlib.md5(b"\x00".join(parts)).digest()
+    would render None as the literal 'None', colliding with that form),
+    and each string part is LENGTH-PREFIXED so the encoding is injective
+    even when field content contains the tag/joiner bytes (a plain
+    delimiter join would conflate pred='a\\x00\\x02b', obj='c' with
+    pred='a', obj='b\\x00\\x02c')."""
+    parts = []
+    for s in (pred, obj_norm):
+        if s is None:
+            parts.append(b"\x01")
+        else:
+            raw = s.encode()
+            parts.append(len(raw).to_bytes(8, "big") + b"\x02" + raw)
+    digest = hashlib.md5(b"".join(parts)).digest()
     return int.from_bytes(digest[:8], "big") & 0x7FFF_FFFF_FFFF_FFFF
 
 
@@ -518,18 +529,30 @@ def detect_hot_keys(
     ).to_pandas()
     if parts.empty:
         return set()
-    totals = parts.groupby("repo", dropna=False)["n"].sum()
+    # normalize BEFORE thresholding: materialize_graph's normalize_keys
+    # merges null and '' repos into one sink partition, so their volumes
+    # must be summed before the hot-fraction test — thresholded separately,
+    # a 6%-null + 6%-'' corpus would escape salting of its 12% partition
+    # (and sorted(hot_keys) never compares float NaN to str)
+    parts["repo"] = parts["repo"].map(lambda r: r if isinstance(r, str) else "")
+    totals = parts.groupby("repo")["n"].sum()
     grand = int(totals.sum())
     if grand == 0:
         return set()
-    # null repo groups come back as float NaN keys: normalize to '' to
-    # match materialize_graph's normalize_keys, so a hot null partition is
-    # actually salted (and sorted(hot_keys) never compares float to str)
-    return {
-        (r if isinstance(r, str) else "")
-        for r, n in totals.items()
-        if n / grand >= hot_fraction
-    }
+    return {r for r, n in totals.items() if n / grand >= hot_fraction}
+
+
+# single source of truth for the slug escape table: _slug_field (Python)
+# and materialize_graph's drop_done (Arrow) both iterate this list, so the
+# two encodings cannot drift apart.  '%' first: it is the escape character.
+_SLUG_ESCAPES = (("%", "%25"), ("/", "%2F"), ("_", "%5F"))
+
+# version of the on-disk unit layout: slug escape format + salt/bucket
+# derivation.  Recorded in every unit manifest; resume refuses a mismatch
+# the same way it refuses a changed salting config (rows would re-route
+# into differently-named units while the old part files survive —
+# duplicated graph rows).  v1 = pre-escape slugs + hex-prefix buckets.
+_LAYOUT_VERSION = 2
 
 
 def _slug_field(s: str) -> str:
@@ -538,7 +561,9 @@ def _slug_field(s: str) -> str:
     without this, repo 'org/x' and repo 'org__x' would collide on one
     slug and silently overwrite each other's parquet + manifest.  The
     Arrow-side mirror lives in materialize_graph's drop_done."""
-    return s.replace("%", "%25").replace("/", "%2F").replace("_", "%5F")
+    for raw, esc in _SLUG_ESCAPES:
+        s = s.replace(raw, esc)
+    return s
 
 
 def _partition_slug(repo: str, lang: str) -> str:
@@ -621,6 +646,20 @@ def materialize_graph(
                     f"written with {recorded}; clear the output directory or "
                     "rerun with the original hot_keys/n_salts"
                 )
+            # layout (slug escape format + salt derivation) must match too:
+            # units written under an older layout carry names the current
+            # drop_done can never produce, so resume would silently
+            # recompute them into NEW directories while the old part files
+            # survive — every triple duplicated for any consumer globbing
+            # the output tree
+            recorded_layout = manifest.get("layout", 1)
+            if recorded_layout != _LAYOUT_VERSION:
+                raise ValueError(
+                    f"materialize_graph: output dir was written with unit "
+                    f"layout v{recorded_layout} but this version writes "
+                    f"v{_LAYOUT_VERSION}; resuming would duplicate rows "
+                    "under new unit names — clear the output directory"
+                )
             if manifest.get("complete") and "partition" in manifest:
                 done.add(manifest["partition"])
 
@@ -672,10 +711,10 @@ def materialize_graph(
 
         def drop_done(batch: pa.Table) -> pa.Table:
             def esc(col):
-                # Arrow mirror of _slug_field — keep the two in sync
-                col = pc.replace_substring(col, "%", "%25")
-                col = pc.replace_substring(col, "/", "%2F")
-                return pc.replace_substring(col, "_", "%5F")
+                # Arrow mirror of _slug_field, driven by the same table
+                for raw, escaped in _SLUG_ESCAPES:
+                    col = pc.replace_substring(col, raw, escaped)
+                return col
 
             slug = pc.binary_join_element_wise(
                 esc(batch.column("repo")),
@@ -735,6 +774,7 @@ def materialize_graph(
             "triples_sha256": content_hash,
             "duration_s": round(time.time() - t0, 3),
             "salting": salting,
+            "layout": _LAYOUT_VERSION,
             "complete": True,
         }
         mtmp = out_dir / "_manifests" / f".{slug}.{os.getpid()}.tmp"

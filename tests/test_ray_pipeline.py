@@ -285,6 +285,91 @@ class TestGraphMaterialize:
                 triples3, out, hot_keys={"org/monorepo"}, n_salts=2
             )
 
+    def test_layout_version_resume_refused(self, ray_session, tmp_path):
+        """An output dir written under an older unit layout (different slug
+        escaping / salt derivation) must refuse resume: its unit names can
+        never match the current drop_done filter, so resuming would
+        silently duplicate every row under new unit names."""
+        import json
+
+        import pytest
+        import ray.data
+
+        from deduce_ray.rayops.kg import materialize_graph
+
+        out = tmp_path / "old_layout"
+        (out / "_manifests").mkdir(parents=True)
+        # a v1-era manifest: complete unit, no 'layout' field
+        with open(out / "_manifests" / "org__x__nl__0.json", "w") as fh:
+            json.dump(
+                {
+                    "partition": "org__x__nl__0",
+                    "salting": {"hot_keys": [], "n_salts": 8},
+                    "complete": True,
+                },
+                fh,
+            )
+        rows = [
+            {
+                "repo": "org/x", "lang": "nl", "doc_id": "ab12",
+                "pred": "email", "obj": "a@b.nl", "entity_id": "e1",
+                "start_char": 0,
+            }
+        ]
+        with pytest.raises(ValueError, match="layout"):
+            materialize_graph(ray.data.from_items(rows), out)
+
+    def test_doc_bucket_spreads_constant_prefix_ids(self):
+        """Id schemes with a constant hex-parseable PREFIX (dates,
+        zero-padded sequences) must still spread across buckets — the old
+        int(d[:4], 16) fast path collapsed them all into one bucket,
+        defeating the uniform merge shuffle and hot-key salting."""
+        from deduce_ray.rayops.kg import _doc_bucket
+
+        for ids in (
+            [f"2024{i:08d}" for i in range(1000)],        # fully hex-parseable
+            [f"2024-08-17-{i:06d}" for i in range(1000)], # crc32 fallback
+            [f"{i:032x}" for i in range(1000)],           # digest-style
+        ):
+            buckets = {_doc_bucket(d, 256) for d in ids}
+            # the old prefix parse put ALL of these in one bucket; decimal
+            # suffixes reach exactly 100 of 256 residues, the others all 256
+            assert len(buckets) >= 100, ids[0]
+        assert _doc_bucket(None, 256) == 0
+        assert _doc_bucket("", 256) == 0
+        # deterministic across calls
+        assert _doc_bucket("deadbeef", 256) == _doc_bucket("deadbeef", 256)
+
+    def test_form_node_id_injective(self):
+        """Length-prefixed encoding: content containing the tag/joiner
+        bytes must not conflate distinct (pred, form) nodes, and None is
+        distinct from the literal 'None'."""
+        from deduce_ray.rayops.kg import _form_node_id
+
+        assert _form_node_id("a\x00\x02b", "c") != _form_node_id("a", "b\x00\x02c")
+        assert _form_node_id(None, "x") != _form_node_id("None", "x")
+        assert _form_node_id("x", None) != _form_node_id("x", "None")
+        assert _form_node_id("p", "q") == _form_node_id("p", "q")
+
+    def test_detect_hot_keys_null_and_empty_merge(self, ray_session):
+        """Null and '' repos sink into ONE '____<lang>' partition, so
+        their volumes must be summed BEFORE the hot-fraction threshold."""
+        import ray.data
+
+        from deduce_ray.rayops.kg import detect_hot_keys
+
+        rows = (
+            [{"repo": None, "doc_id": f"{i:08x}"} for i in range(30)]
+            + [{"repo": "", "doc_id": f"a{i:07x}"} for i in range(30)]
+            + [
+                {"repo": f"org/cold-{i % 44:02d}", "doc_id": f"b{i:07x}"}
+                for i in range(440)
+            ]
+        )
+        # null 6% + '' 6% = 12% >= 10%; separately each is under threshold
+        hot = detect_hot_keys(ray.data.from_items(rows), hot_fraction=0.1)
+        assert hot == {""}
+
 
 class TestDedupOps:
     def test_exact_dedup(self, ray_session):
@@ -1304,6 +1389,15 @@ class TestClustersAndJoins:
         assert list(mine["revenue"]) == list(oracle["revenue"])
         assert list(mine["n_items"]) == list(oracle["n_items"])
 
+    def test_bucketed_join_rejects_bad_bucket_counts(self, ray_session):
+        import pytest
+
+        from deduce_ray.ops.relational import bucketed_join_revenue
+
+        for bad in (0, -4, 3, 48):
+            with pytest.raises(ValueError, match="power of two"):
+                bucketed_join_revenue("/root/testdata/sf0.001", n_buckets=bad)
+
     def test_user_sessions_matches_duckdb(self, ray_session):
         import duckdb
 
@@ -1332,9 +1426,10 @@ class TestClustersAndJoins:
         base = pd.Timestamp("2024-01-01 00:00:00")
         rows = []
         eid = 0
-        # user 7: two sessions (gap 45 min > 30); nulls: three events,
-        # two sessions (one 40-min gap)
-        for uid, offsets in [(7, [0, 5, 50]), (None, [0, 10, 55])]:
+        # deliberately ASYMMETRIC stats so a group swap is detectable:
+        # user 7 -> two sessions / three events; nulls -> ONE session of
+        # two events
+        for uid, offsets in [(7, [0, 5, 50]), (None, [0, 10])]:
             for m in offsets:
                 rows.append(
                     {"event_id": eid, "user_id": uid,
@@ -1355,10 +1450,20 @@ class TestClustersAndJoins:
         )
         oracle = con.execute(user_sessions_sql()).df()
         assert len(mine) == 2 and len(oracle) == 2
-        # both sort user_id ASC with nulls last
-        assert list(mine["n_sessions"]) == list(oracle["n_sessions"])
-        assert list(mine["n_events"]) == list(oracle["n_events"])
-        assert mine["user_id"].isna().sum() == 1
+
+        # compare keyed by user (the finish sort is per-batch, so global
+        # row order is not part of the contract — the driver's comparison
+        # is order-insensitive too)
+        def by_user(df):
+            return {
+                (None if pd.isna(r["user_id"]) else int(r["user_id"])):
+                    (int(r["n_sessions"]), int(r["n_events"]))
+                for _, r in df.iterrows()
+            }
+
+        got, want = by_user(mine), by_user(oracle)
+        assert got == want
+        assert got[7] == (2, 3) and got[None] == (1, 2)
 
 
 class TestRuntimeTailoring:
