@@ -281,3 +281,58 @@ def test_dedup_pairs_driver_path_distinct(pairs):
     out = _dedup_pairs(ray.data.from_pandas(df), "jaccard").take_all()
     assert {(r["id_a"], r["id_b"]) for r in out} == set(pairs)
     assert len(out) == len(set(pairs))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.tuples(st.text(max_size=12), st.text(max_size=12)),
+    st.tuples(st.text(max_size=12), st.text(max_size=12)),
+)
+def test_partition_slug_injective(pair_a, pair_b):
+    """_partition_slug must be injective over (repo, lang) pairs: a slug
+    collision between distinct pairs would silently overwrite one
+    partition's parquet + manifest with the other's."""
+    from deduce_ray.rayops.kg import _partition_slug
+
+    sa = _partition_slug(*pair_a)
+    sb = _partition_slug(*pair_b)
+    if pair_a != pair_b:
+        assert sa != sb
+    else:
+        assert sa == sb
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.tuples(
+        st.one_of(st.none(), st.text(max_size=10)),
+        st.one_of(st.none(), st.text(max_size=10)),
+    ),
+    st.tuples(
+        st.one_of(st.none(), st.text(max_size=10)),
+        st.one_of(st.none(), st.text(max_size=10)),
+    ),
+)
+def test_form_node_id_collision_free(pa_, pb_):
+    """Length-prefixed encoding: distinct (pred, obj_norm) inputs map to
+    distinct node ids (md5 collisions aside), including None vs any
+    string and content containing the tag bytes."""
+    from deduce_ray.rayops.kg import _form_node_id
+
+    ia, ib = _form_node_id(*pa_), _form_node_id(*pb_)
+    if pa_ != pb_:
+        assert ia != ib
+    else:
+        assert ia == ib
+    assert 0 <= ia < 2**63
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.one_of(st.none(), st.text(max_size=24)), st.integers(2, 1024))
+def test_doc_bucket_total_and_deterministic(doc_id, n):
+    """_doc_bucket never raises, lands in [0, n), and is deterministic."""
+    from deduce_ray.rayops.kg import _doc_bucket
+
+    b = _doc_bucket(doc_id, n)
+    assert 0 <= b < n
+    assert b == _doc_bucket(doc_id, n)
