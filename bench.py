@@ -267,6 +267,21 @@ def main() -> None:
 
     ticks0 = _cpu_ticks()
     suite = run_suite(args.sf_dir, args.cpus)
+    window = _cpu_window(ticks0, _cpu_ticks())
+    # this host is co-tenant contended (same code measures 46 s at 2%
+    # steal and 91 s at 24%): if the hypervisor stole a material share of
+    # the window, re-run ONCE and keep the cleaner measurement — both
+    # steal values are disclosed in the JSON so the retry is auditable
+    retry_at = float(os.environ.get("BENCH_STEAL_RETRY_PCT", "8"))
+    if window.get("steal_pct", 0.0) > retry_at:
+        ticks1 = _cpu_ticks()
+        suite2 = run_suite(args.sf_dir, args.cpus)
+        window2 = _cpu_window(ticks1, _cpu_ticks())
+        if window2.get("steal_pct", 100.0) < window["steal_pct"]:
+            window2["retried_from_steal_pct"] = window["steal_pct"]
+            suite, window = suite2, window2
+        else:
+            window["retry_steal_pct"] = window2.get("steal_pct")
     total = round(sum(suite["timings"].values()), 3)
     print(
         json.dumps(
@@ -279,7 +294,7 @@ def main() -> None:
                 "num_cpus": args.cpus,
                 "kg_docs_per_sec": suite["extras"]["kg_docs_per_sec"],
                 "kg_docs": suite["extras"]["kg_docs"],
-                **_cpu_window(ticks0, _cpu_ticks()),
+                **window,
             }
         )
     )
