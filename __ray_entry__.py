@@ -23,6 +23,8 @@ from typing import Any
 _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO_DIR)
 
+from deduce_ray.corpus import read_parquet_sliced  # noqa: E402
+
 _LEX_REF = None
 
 
@@ -133,7 +135,7 @@ def _q_doc_token_counts(sf_dir: str):
 
     from deduce_ray.ops.textstats import token_count_batch
 
-    return ray.data.read_parquet(
+    return read_parquet_sliced(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(token_count_batch, batch_format="pyarrow")
 
@@ -143,7 +145,7 @@ def _q_doc_quality(sf_dir: str):
 
     from deduce_ray.ops.textstats import quality_batch
 
-    return ray.data.read_parquet(
+    return read_parquet_sliced(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(quality_batch, batch_format="pyarrow")
 
@@ -153,7 +155,7 @@ def _q_doc_fingerprints(sf_dir: str):
 
     from deduce_ray.ops.textstats import fingerprint_batch
 
-    return ray.data.read_parquet(
+    return read_parquet_sliced(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(fingerprint_batch, batch_format="pyarrow")
 
@@ -164,7 +166,7 @@ def _q_doc_langid(sf_dir: str):
     from deduce_ray.ops.agg import grouped_agg
     from deduce_ray.ops.textstats import langid_batch
 
-    per_doc = ray.data.read_parquet(
+    per_doc = read_parquet_sliced(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(langid_batch, batch_format="pyarrow")
     return grouped_agg(
@@ -178,7 +180,7 @@ def _q_top_terms(sf_dir: str):
     from deduce_ray.ops.textstats import top_terms
 
     return top_terms(
-        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+        read_parquet_sliced(f"{sf_dir}/documents.parquet", columns=["text"])
     )
 
 
@@ -188,7 +190,7 @@ def _q_doc_sample(sf_dir: str):
     from deduce_ray.ops.textstats import doc_sample
 
     return doc_sample(
-        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        read_parquet_sliced(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     )
 
 
@@ -201,7 +203,7 @@ def _q_events_user_sketch(sf_dir: str):
     from deduce_ray.ops.agg import approx_distinct
 
     return approx_distinct(
-        ray.data.read_parquet(
+        read_parquet_sliced(
             f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
         ),
         keys=["event_type"],
@@ -215,7 +217,7 @@ def _q_exact_dedup(sf_dir: str):
     from deduce_ray.ops.dedup import exact_dedup_groups
 
     return exact_dedup_groups(
-        ray.data.read_parquet(
+        read_parquet_sliced(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
     )
@@ -227,7 +229,7 @@ def _q_dedup_survivors(sf_dir: str):
     from deduce_ray.ops.dedup import dedup_survivors
 
     return dedup_survivors(
-        ray.data.read_parquet(
+        read_parquet_sliced(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
         )
     ).select_columns(["doc_id", "lang"])
@@ -240,7 +242,7 @@ def _q_docs_not_blocklisted(sf_dir: str):
 
     from deduce_ray.ops.dedup import anti_join_blocklist
 
-    docs = ray.data.read_parquet(
+    docs = read_parquet_sliced(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     )
     blocked = range(0, 1_000_000, 7)
@@ -253,7 +255,7 @@ def _q_minhash_pairs(sf_dir: str):
     from deduce_ray.ops.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        ray.data.read_parquet(
+        read_parquet_sliced(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         ),
         threshold=0.5,
@@ -268,7 +270,7 @@ def _q_minhash_pairs_exact(sf_dir: str):
     from deduce_ray.ops.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        ray.data.read_parquet(
+        read_parquet_sliced(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         ),
         threshold=0.5,
@@ -286,7 +288,7 @@ def _q_minhash_clusters(sf_dir: str):
 
     from deduce_ray.ops.dedup import minhash_lsh_pairs, neardup_clusters
 
-    docs = ray.data.read_parquet(
+    docs = read_parquet_sliced(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     pairs = minhash_lsh_pairs(docs, threshold=0.5, verify="exact")
@@ -299,7 +301,7 @@ def _q_simhash_pairs(sf_dir: str):
     from deduce_ray.ops.dedup import simhash_pairs
 
     return simhash_pairs(
-        ray.data.read_parquet(
+        read_parquet_sliced(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
         )
     )
@@ -315,7 +317,7 @@ def _q_embedding_neardup(sf_dir: str):
     from deduce_ray.ops.dedup import embedding_neardup_pairs, plant_embedding_neardups
 
     planted = plant_embedding_neardups(
-        ray.data.read_parquet(
+        read_parquet_sliced(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
         )
     )
@@ -356,7 +358,7 @@ def _q_ann_topk(sf_dir: str):
     from deduce_ray.ops.similarity import brute_force_topk
 
     return brute_force_topk(
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        read_parquet_sliced(f"{sf_dir}/embeddings.parquet"),
         queries=_load_query_vectors(sf_dir),
         k=10,
     )
@@ -368,7 +370,7 @@ def _q_ann_topk_lsh(sf_dir: str):
     from deduce_ray.ops.similarity import lsh_bucketed_topk
 
     return lsh_bucketed_topk(
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        read_parquet_sliced(f"{sf_dir}/embeddings.parquet"),
         queries=_load_query_vectors(sf_dir),
         k=10,
     )
@@ -398,7 +400,7 @@ def _q_ann_topk_ivf(sf_dir: str):
     )
     shutil.rmtree(index_dir, ignore_errors=True)
     ivf_build(
-        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        read_parquet_sliced(f"{sf_dir}/embeddings.parquet"),
         index_dir,
         n_lists=8,
     )
@@ -447,7 +449,7 @@ def _q_doc_shingle_fingerprints(sf_dir: str):
             }
         )
 
-    return ray.data.read_parquet(
+    return read_parquet_sliced(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     ).map_batches(fp_batch, batch_format="pyarrow")
 
@@ -460,7 +462,7 @@ def _q_media_features(sf_dir: str):
 
     from deduce_ray.ops.multimodal import extract_media_features, synthesize_media_batch
 
-    media = ray.data.read_parquet(
+    media = read_parquet_sliced(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(synthesize_media_batch, batch_format="pyarrow")
     return extract_media_features(media, fake_decoder=False)
@@ -471,7 +473,7 @@ def _q_media_resized(sf_dir: str):
 
     from deduce_ray.ops.multimodal import resize_images, synthesize_media_batch
 
-    media = ray.data.read_parquet(
+    media = read_parquet_sliced(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(synthesize_media_batch, batch_format="pyarrow")
     return resize_images(media, fake_decoder=False)
@@ -482,7 +484,7 @@ def _q_media_frames(sf_dir: str):
 
     from deduce_ray.ops.multimodal import sample_frames, synthesize_video_batch
 
-    videos = ray.data.read_parquet(
+    videos = read_parquet_sliced(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(synthesize_video_batch, batch_format="pyarrow")
     return sample_frames(videos, fake_decoder=False)

@@ -85,42 +85,60 @@ def decorate_batch(batch):
     )
 
 
-# single-file inputs at or below this row count are sliced driver-side
-# into CPU-sized blocks (see read_repo_table); larger inputs stream
-_DRIVER_SLICE_MAX_ROWS = 100_000
+# single parquet FILES at or below this compressed size with ONE row
+# group are read driver-side and pre-sliced into CPU-sized blocks (see
+# read_parquet_sliced); anything larger, multi-row-group, or a directory
+# streams through ray.data.read_parquet unchanged
+_DRIVER_SLICE_MAX_BYTES = 64 << 20
 
 
-def read_repo_table(sf_dir: str, columns: list[str] | None = None):
-    """documents.parquet -> repo-shaped Dataset (streaming, column-pruned).
+def read_parquet_sliced(path, columns: list[str] | None = None,
+                        blocks_per_cpu: int = 4):
+    """``read_parquet`` with a fix for the one-file/one-row-group artifact.
 
     Block-shape note: the test-SF inputs are ONE parquet file with ONE row
     group, which ``read_parquet`` yields as a single block — and Ray Data
-    parallelizes per block, so every downstream per-document stage
-    (annotate above all) would serialize onto one task (measured: ~1k
-    docs/s vs ~35k with proper blocks at 32 CPUs).  Small single-file
-    inputs are therefore read driver-side (a few MB) and pre-sliced into
-    ~4 blocks per CPU via ``from_arrow`` — the same proven pattern as the
-    bench corpus builder, with no repartition exchange.  Real corpora are
-    thousands of files / many row groups and take the streaming
-    ``read_parquet`` path unchanged.
+    parallelizes per block, so every downstream per-row stage (annotate
+    above all) would serialize onto one task (measured: ~1k docs/s vs
+    ~35k with proper blocks at 32 CPUs).  Such files are therefore read
+    driver-side (bounded: single file, one row group, <=64 MB compressed,
+    column-pruned) and pre-sliced into ~``blocks_per_cpu`` blocks per CPU
+    via ``from_arrow`` — the same proven pattern as the bench corpus
+    builder, with no repartition exchange.  Real corpora are thousands of
+    files / many row groups and take the streaming ``read_parquet`` path
+    unchanged; this never materializes anything a real deployment would
+    stream.
     """
     import pyarrow.parquet as pq
     import ray
     import ray.data
+    from pathlib import Path
 
-    path = f"{sf_dir}/documents.parquet"
-    meta = pq.ParquetFile(path).metadata
-    if meta.num_row_groups == 1 and meta.num_rows <= _DRIVER_SLICE_MAX_ROWS:
-        tbl = pq.read_table(path, columns=["doc_id", "text", "lang"])
-        n = tbl.num_rows
-        cpus = int(ray.cluster_resources().get("CPU", 32)) if ray.is_initialized() else 32
-        # ~4 blocks per CPU for annotate parallelism, but never blocks so
-        # tiny that downstream shuffle metadata explodes (min 64 rows)
-        block_rows = max(64, -(-n // max(1, cpus * 4)))
-        blocks = [tbl.slice(i, block_rows) for i in range(0, n, block_rows)]
-        ds = ray.data.from_arrow(blocks)
-    else:
-        ds = ray.data.read_parquet(path, columns=["doc_id", "text", "lang"])
+    p = Path(path)
+    if p.is_file() and p.stat().st_size <= _DRIVER_SLICE_MAX_BYTES:
+        meta = pq.ParquetFile(p).metadata
+        if meta.num_row_groups == 1:
+            tbl = pq.read_table(p, columns=columns)
+            n = tbl.num_rows
+            cpus = (
+                int(ray.cluster_resources().get("CPU", 32))
+                if ray.is_initialized()
+                else 32
+            )
+            # ~4 blocks per CPU for parallelism, but never blocks so tiny
+            # that downstream shuffle metadata explodes (min 64 rows)
+            block_rows = max(64, -(-n // max(1, cpus * blocks_per_cpu)))
+            blocks = [tbl.slice(i, block_rows) for i in range(0, n, block_rows)]
+            return ray.data.from_arrow(blocks if blocks else [tbl])
+    return ray.data.read_parquet(str(path), columns=columns)
+
+
+def read_repo_table(sf_dir: str, columns: list[str] | None = None):
+    """documents.parquet -> repo-shaped Dataset (column-pruned; block
+    shaping via read_parquet_sliced)."""
+    ds = read_parquet_sliced(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
     ds = ds.map_batches(decorate_batch, batch_format="pyarrow")
     if columns:
         ds = ds.select_columns(columns)

@@ -1,7 +1,9 @@
 """Relational pipelines over the TPC-H-ish test tables, Ray-Data-first.
 
 Patterns demonstrated (SURVEY.md §2.6 mapping):
-  - column-pruned reads (``read_parquet(columns=...)``),
+  - column-pruned reads (``read_parquet_sliced(columns=...)`` — streaming
+    ``read_parquet`` plus block shaping for the one-file test inputs,
+    see deduce_ray.corpus.read_parquet_sliced),
   - vectorized per-batch filters/projections (pyarrow.compute),
   - partial aggregation before the shuffle (ops.agg.grouped_agg),
   - broadcast hash joins for small dimension tables (ray.put once, probe
@@ -19,6 +21,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from deduce_ray.corpus import read_parquet_sliced
 from deduce_ray.ops.agg import grouped_agg
 
 
@@ -51,7 +54,7 @@ def pricing_summary(sf_dir: str):
 
     cutoff = pd.Timestamp("1998-09-02")
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sliced(
         f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag",
@@ -139,7 +142,7 @@ def top_customers(sf_dir: str, k: int = 10):
     import ray
     import ray.data
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_sliced(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
@@ -231,7 +234,7 @@ def events_by_type(sf_dir: str):
     """Events rollup: count, distinct users, exact value sum and average."""
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sliced(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
     )
 
@@ -308,7 +311,7 @@ def events_hourly(sf_dir: str):
     value sums — the batch shape of a streaming tumbling window."""
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sliced(
         f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
     )
 
@@ -371,7 +374,7 @@ def brand_volume(sf_dir: str):
         )
     )
 
-    lineitem = ray.data.read_parquet(
+    lineitem = read_parquet_sliced(
         f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"]
     )
 
@@ -429,10 +432,10 @@ def bucketed_join_revenue(sf_dir: str, n_buckets: int = 32):
     if n_buckets <= 0 or n_buckets & (n_buckets - 1):
         raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
 
-    orders = ray.data.read_parquet(
+    orders = read_parquet_sliced(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
-    lineitem = ray.data.read_parquet(
+    lineitem = read_parquet_sliced(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
@@ -526,7 +529,7 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30):
     """
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sliced(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
     )
 
@@ -619,7 +622,7 @@ def events_props_stats(sf_dir: str):
 
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sliced(
         f"{sf_dir}/events.parquet", columns=["props", "value"]
     )
 
@@ -712,7 +715,7 @@ def region_customers(sf_dir: str):
     )
     lookup_ref = ray.put((nat_keys, nat_region))
 
-    customers = ray.data.read_parquet(
+    customers = read_parquet_sliced(
         f"{sf_dir}/customer.parquet", columns=["c_nationkey"]
     )
 
@@ -762,7 +765,7 @@ def click_attribution(sf_dir: str, n_shards: int = 256):
     """
     import ray.data
 
-    events = ray.data.read_parquet(
+    events = read_parquet_sliced(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "ts", "user_id", "event_type"],
     )
@@ -850,7 +853,7 @@ def events_value_quantiles(sf_dir: str, qs=(0.5, 0.95)):
 
     import ray.data
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sliced(
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
     )
 
@@ -945,7 +948,7 @@ def campaign_attribution(sf_dir: str, n_campaigns: int = 40):
     )
     windows_ref = ray.put((starts, ends))
 
-    events = ray.data.read_parquet(
+    events = read_parquet_sliced(
         f"{sf_dir}/events.parquet", columns=["ts", "value"]
     )
 
@@ -1015,7 +1018,7 @@ def events_sliding(sf_dir: str, window_hours: int = 3, slide_hours: int = 1):
     n_covering = window_hours // slide_hours
     slide_s = slide_hours * 3600
 
-    ds = ray.data.read_parquet(
+    ds = read_parquet_sliced(
         f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
     )
 
