@@ -90,6 +90,31 @@ def decorate_batch(batch):
 # read_parquet_sliced); anything larger, multi-row-group, or a directory
 # streams through ray.data.read_parquet unchanged
 _DRIVER_SLICE_MAX_BYTES = 64 << 20
+# second bound on the DECODED size, from parquet metadata: a highly
+# compressed single-row-group file (dictionary/zstd text compresses
+# 10-100x) must not materialize gigabytes on the driver just because its
+# footprint on disk is small
+_DRIVER_SLICE_MAX_UNCOMPRESSED = 256 << 20
+
+
+def slice_table_to_blocks(tbl, blocks_per_cpu: int = 4):
+    """In-memory Arrow table -> Dataset of ~``blocks_per_cpu`` blocks per
+    CPU (zero-copy slices, no repartition exchange).  Shared block-shaping
+    policy for every driver-side small-input read (parquet / JSONL / CSV)."""
+    import ray
+    import ray.data
+
+    n = tbl.num_rows
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 32))
+        if ray.is_initialized()
+        else 32
+    )
+    # ~blocks_per_cpu blocks per CPU for parallelism, but never blocks so
+    # tiny that downstream shuffle metadata explodes (min 64 rows)
+    block_rows = max(64, -(-n // max(1, cpus * blocks_per_cpu)))
+    blocks = [tbl.slice(i, block_rows) for i in range(0, n, block_rows)]
+    return ray.data.from_arrow(blocks if blocks else [tbl])
 
 
 def read_parquet_sliced(path, columns: list[str] | None = None,
@@ -110,26 +135,24 @@ def read_parquet_sliced(path, columns: list[str] | None = None,
     stream.
     """
     import pyarrow.parquet as pq
-    import ray
     import ray.data
     from pathlib import Path
 
     p = Path(path)
     if p.is_file() and p.stat().st_size <= _DRIVER_SLICE_MAX_BYTES:
-        meta = pq.ParquetFile(p).metadata
-        if meta.num_row_groups == 1:
-            tbl = pq.read_table(p, columns=columns)
-            n = tbl.num_rows
-            cpus = (
-                int(ray.cluster_resources().get("CPU", 32))
-                if ray.is_initialized()
-                else 32
-            )
-            # ~4 blocks per CPU for parallelism, but never blocks so tiny
-            # that downstream shuffle metadata explodes (min 64 rows)
-            block_rows = max(64, -(-n // max(1, cpus * blocks_per_cpu)))
-            blocks = [tbl.slice(i, block_rows) for i in range(0, n, block_rows)]
-            return ray.data.from_arrow(blocks if blocks else [tbl])
+        # one handle for metadata AND data (no second open / footer parse;
+        # closed deterministically rather than leaking the fd until GC)
+        with pq.ParquetFile(p) as pf:
+            meta = pf.metadata
+            if meta.num_row_groups == 1:
+                uncompressed = sum(
+                    meta.row_group(0).column(i).total_uncompressed_size
+                    for i in range(meta.num_columns)
+                )
+                if uncompressed <= _DRIVER_SLICE_MAX_UNCOMPRESSED:
+                    return slice_table_to_blocks(
+                        pf.read(columns=columns), blocks_per_cpu
+                    )
     return ray.data.read_parquet(str(path), columns=columns)
 
 

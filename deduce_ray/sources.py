@@ -77,6 +77,19 @@ def _to_repo_batch(batch: pa.Table, column_map: dict[str, str]) -> pa.Table:
                 col.type
             ):
                 col = pc.cast(col, pa.string())
+            if col.null_count:
+                if out_name == "content":
+                    # a null-content row would be silently skipped by the
+                    # annotate stage, corrupting downstream dedup counts —
+                    # malformed corpus rows are the caller's problem
+                    raise ValueError(
+                        f"{col.null_count} row(s) have null content "
+                        f"(source column {content_src!r})"
+                    )
+                # row-level nulls in metadata columns (a JSONL line
+                # missing one key) get the same "" the fully-absent
+                # column case uses — the repo schema is non-null strings
+                col = pc.fill_null(col, "")
             cols[out_name] = col
         else:
             cols[out_name] = pa.nulls(n, type=pa.string()).fill_null("")
@@ -90,21 +103,11 @@ def _presplit_single_small_file(path: str | Path, reader, ds_factory):
     ``reader()`` must return a pyarrow Table for the single-file case;
     ``ds_factory()`` the streaming Dataset otherwise.
     """
-    import ray
-    import ray.data
+    from deduce_ray.corpus import slice_table_to_blocks
 
     p = Path(path)
     if p.is_file() and p.stat().st_size <= _SMALL_FILE_MAX_BYTES:
-        tbl = reader()
-        n = tbl.num_rows
-        cpus = (
-            int(ray.cluster_resources().get("CPU", 32))
-            if ray.is_initialized()
-            else 32
-        )
-        block_rows = max(64, -(-n // max(1, cpus * 4)))
-        blocks = [tbl.slice(i, block_rows) for i in range(0, n, block_rows)]
-        return ray.data.from_arrow(blocks if blocks else [tbl])
+        return slice_table_to_blocks(reader())
     return ds_factory()
 
 
@@ -159,9 +162,14 @@ def read_text_tree_corpus(root: str | Path, lang: str = "", encoding: str = "utf
     batch inside ``map_batches``; undecodable files raise — silently
     dropping corpus documents would corrupt downstream dedup counts.
     """
+    import os
+
     import ray.data
 
-    root = Path(root)
+    # Ray hands back normalized absolute paths — resolve the root the same
+    # way, or a relative/symlinked root fails the prefix match and every
+    # row silently gets repo="" with an absolute path
+    root = Path(root).resolve()
     root_str = str(root)
 
     def decode(batch: dict) -> pa.Table:
@@ -169,7 +177,7 @@ def read_text_tree_corpus(root: str | Path, lang: str = "", encoding: str = "utf
         texts = [b.decode(encoding) for b in batch["bytes"]]
         repos, rels = [], []
         for p in paths:
-            rel = str(Path(p).relative_to(root_str)) if str(p).startswith(root_str) else str(p)
+            rel = os.path.relpath(str(Path(p).resolve()), root_str)
             parts = rel.split("/", 1)
             repos.append(parts[0] if len(parts) == 2 else "")
             rels.append(parts[1] if len(parts) == 2 else rel)

@@ -91,7 +91,7 @@ class TestJsonl:
         ds = read_jsonl_corpus(
             f, column_map={"project": "repo", "text": "content"}
         )
-        rows = _rows(ds) if "path" in ds.schema().names else ds.take_all()
+        rows = ds.take_all()
         assert sorted(r["repo"] for r in rows) == sorted(d["repo"] for d in DOCS)
         assert sorted(r["content"] for r in rows) == sorted(
             d["content"] for d in DOCS
@@ -101,6 +101,27 @@ class TestJsonl:
         f = tmp_path / "nocontent.jsonl"
         f.write_text(json.dumps({"repo": "org/x"}) + "\n")
         with pytest.raises(Exception, match="content"):
+            read_jsonl_corpus(f).materialize()
+
+    def test_row_level_null_metadata_filled(self, ray_session, tmp_path):
+        # a line missing one key yields a ROW-level null in a present
+        # column — must become "" like the fully-absent-column case
+        f = tmp_path / "mixed.jsonl"
+        f.write_text(
+            json.dumps({"content": "a", "repo": "org/x"})
+            + "\n"
+            + json.dumps({"content": "b"})
+            + "\n"
+        )
+        rows = sorted(read_jsonl_corpus(f).take_all(), key=lambda r: r["content"])
+        assert rows[0]["repo"] == "org/x" and rows[1]["repo"] == ""
+
+    def test_null_content_raises(self, ray_session, tmp_path):
+        f = tmp_path / "nullcontent.jsonl"
+        f.write_text(
+            json.dumps({"content": "ok"}) + "\n" + json.dumps({"content": None}) + "\n"
+        )
+        with pytest.raises(Exception, match="null content"):
             read_jsonl_corpus(f).materialize()
 
     def test_feeds_annotate(self, ray_session, tmp_path):
@@ -150,6 +171,69 @@ class TestTextTree:
         assert all(r["commit"] == "" and r["lang"] == "nl" for r in rows)
         # path is relative to the repo directory
         assert {r["path"] for r in rows} == {d["path"] for d in DOCS}
+
+    def test_relative_and_symlinked_root(self, ray_session, tmp_path, monkeypatch):
+        # Ray returns normalized absolute paths; a relative or symlinked
+        # root must still attribute repo/path correctly
+        root = tmp_path / "corpus"
+        p = root / "org__alpha" / "notes" / "a.txt"
+        p.parent.mkdir(parents=True)
+        p.write_text("x")
+        link = tmp_path / "link-to-corpus"
+        link.symlink_to(root)
+        for entry in (link, root):
+            rows = read_text_tree_corpus(entry).take_all()
+            assert len(rows) == 1
+            assert rows[0]["repo"] == "org__alpha"
+            assert rows[0]["path"] == "notes/a.txt"
+        monkeypatch.chdir(tmp_path)
+        rows = read_text_tree_corpus("corpus").take_all()
+        assert rows[0]["repo"] == "org__alpha" and rows[0]["path"] == "notes/a.txt"
+
+
+class TestParquetSliced:
+    def _write(self, path, n_rows=2000, row_group_size=None, text="t"):
+        import pyarrow.parquet as pq
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(n_rows), type=pa.int64()),
+                "text": pa.array([f"{text}{i}" for i in range(n_rows)]),
+            }
+        )
+        pq.write_table(tbl, path, row_group_size=row_group_size or n_rows)
+        return tbl
+
+    def test_single_file_is_pre_sliced(self, ray_session, tmp_path):
+        from deduce_ray.corpus import read_parquet_sliced
+
+        f = tmp_path / "one.parquet"
+        tbl = self._write(f)
+        ds = read_parquet_sliced(f, columns=["doc_id"])
+        # more than one block despite a single input file, column pruned
+        assert ds.num_blocks() > 1
+        assert ds.schema().names == ["doc_id"]
+        assert ds.count() == tbl.num_rows
+
+    def test_multi_row_group_streams(self, ray_session, tmp_path):
+        from deduce_ray.corpus import read_parquet_sliced
+
+        f = tmp_path / "multi.parquet"
+        tbl = self._write(f, row_group_size=500)
+        ds = read_parquet_sliced(f)
+        assert ds.count() == tbl.num_rows  # falls back, still correct
+
+    def test_uncompressed_cap_falls_back_to_streaming(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        # a file tiny on disk but huge decoded must NOT be driver-read
+        from deduce_ray import corpus
+
+        f = tmp_path / "dense.parquet"
+        tbl = self._write(f, text="x" * 200)  # repetitive -> compresses well
+        monkeypatch.setattr(corpus, "_DRIVER_SLICE_MAX_UNCOMPRESSED", 1024)
+        ds = corpus.read_parquet_sliced(f)
+        assert ds.count() == tbl.num_rows  # streaming path, still correct
 
 
 class TestJsonlSink:
