@@ -1,12 +1,17 @@
 """Command-line entry points.
 
     python -m deduce_ray extract --input docs.parquet --output /tmp/graph
+    python -m deduce_ray extract --input corpus.jsonl --text-key text
+    python -m deduce_ray extract --input /data/repos --format text-tree
     python -m deduce_ray deidentify --text "Jan Jansen, bsn 111222333"
     python -m deduce_ray compile-lexicon
 
-``extract`` accepts either the repo schema (repo,path,commit,lang,content)
-or the documents schema (doc_id,text,lang) — the latter is decorated into
-the repo shape deterministically (corpus.py).
+``extract`` reads parquet, JSONL, CSV, or a text-file tree (format
+inferred from the path, ``--format`` overrides).  Parquet accepts either
+the repo schema (repo,path,commit,lang,content) or the documents schema
+(doc_id,text,lang) — the latter is decorated into the repo shape
+deterministically (corpus.py); other formats map through
+deduce_ray.sources.
 """
 
 from __future__ import annotations
@@ -47,19 +52,55 @@ def _expand_enabled(engine, enabled: set[str] | None) -> set[str] | None:
     return out
 
 
-def cmd_extract(args) -> int:
-    import ray
+def _infer_format(path: str) -> str:
+    from pathlib import Path
+
+    p = Path(path)
+    suffix = p.suffix.lower()
+    if suffix in (".jsonl", ".ndjson", ".json"):
+        return "jsonl"
+    if suffix == ".csv":
+        return "csv"
+    if suffix == ".parquet" or not p.is_dir():
+        return "parquet"
+    # a directory: parquet if it contains parquet files, else a text tree
+    if any(p.rglob("*.parquet")):
+        return "parquet"
+    return "text-tree"
+
+
+def _read_corpus(args):
     import ray.data
 
-    from deduce_ray.corpus import decorate_batch
+    from deduce_ray.corpus import decorate_batch, read_parquet_sliced
+    from deduce_ray.sources import (
+        read_csv_corpus,
+        read_jsonl_corpus,
+        read_text_tree_corpus,
+    )
+
+    fmt = args.format or _infer_format(args.input)
+    if fmt == "jsonl":
+        return read_jsonl_corpus(args.input, text_key=args.text_key)
+    if fmt == "csv":
+        return read_csv_corpus(args.input, text_key=args.text_key)
+    if fmt == "text-tree":
+        return read_text_tree_corpus(args.input)
+    ds = read_parquet_sliced(args.input)
+    names = set(ds.schema().names)
+    if "content" not in names and "text" in names:
+        ds = ds.map_batches(decorate_batch, batch_format="pyarrow")
+    return ds
+
+
+def cmd_extract(args) -> int:
+    import ray
+
     from deduce_ray.rayops.annotate import broadcast_lexicon, extract_triples
     from deduce_ray.rayops.kg import dedup_triples, materialize_graph
 
     _init_ray(args.num_cpus)
-    ds = ray.data.read_parquet(args.input)
-    names = set(ds.schema().names)
-    if "content" not in names and "text" in names:
-        ds = ds.map_batches(decorate_batch, batch_format="pyarrow")
+    ds = _read_corpus(args)
 
     lexicon_ref = broadcast_lexicon(lookup_data_path=args.lookup_data_path)
     enabled = set(args.enabled.split(",")) if args.enabled else None
@@ -164,8 +205,20 @@ def main() -> int:
     parser = argparse.ArgumentParser(prog="deduce_ray")
     sub = parser.add_subparsers(dest="command", required=True)
 
-    p = sub.add_parser("extract", help="parquet in -> triple graph out")
+    p = sub.add_parser(
+        "extract", help="corpus (parquet/jsonl/csv/text tree) -> triple graph"
+    )
     p.add_argument("--input", required=True)
+    p.add_argument(
+        "--format",
+        choices=["parquet", "jsonl", "csv", "text-tree"],
+        help="input format (default: inferred from the path)",
+    )
+    p.add_argument(
+        "--text-key",
+        default="content",
+        help="jsonl/csv column holding the document text",
+    )
     p.add_argument("--output", help="graph directory (omit: just count triples)")
     p.add_argument(
         "--enabled",
