@@ -365,6 +365,12 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_ann_topk_lsh(sf_dir: str):
+    """Hyperplane-LSH top-k with EVERY bucket probed: the bucketing
+    machinery (plane projection, label grouping, per-query merge) runs in
+    full but the result provably equals brute force, so it shares
+    ann_topk's DuckDB oracle — the same mode-equivalence trick as
+    ann_topk_ivf.  The production Hamming-1 probe configuration is
+    recall/equivalence-tested in tests/test_ray_pipeline.py."""
     import ray.data
 
     from deduce_ray.ops.similarity import lsh_bucketed_topk
@@ -373,6 +379,7 @@ def _q_ann_topk_lsh(sf_dir: str):
         read_parquet_sliced(f"{sf_dir}/embeddings.parquet"),
         queries=_load_query_vectors(sf_dir),
         k=10,
+        exhaustive=True,
     )
 
 
@@ -539,10 +546,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
         # --- similarity search (value-checked; ann_topk_ivf runs the
-        # partitioned index exhaustively so build+search equals brute
-        # force — see its docstring) ---
+        # partitioned index exhaustively and ann_topk_lsh probes every
+        # bucket, so both provably equal brute force and share its oracle
+        # — the production pruned/Hamming-1 configurations are
+        # recall/equivalence-tested in tests/test_ray_pipeline.py) ---
         "ann_topk": _q_ann_topk,
         "ann_topk_ivf": _q_ann_topk_ivf,
+        "ann_topk_lsh": _q_ann_topk_lsh,
         # --- relational ops over the TPC-H-ish tables (value-checked) ---
         "pricing_summary": rel.pricing_summary,
         "top_customers": rel.top_customers,
@@ -568,7 +578,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- scale-mode / approximate variants of value-checked ops ---
         "minhash_pairs": _q_minhash_pairs,
         "events_user_sketch": _q_events_user_sketch,
-        "ann_topk_lsh": _q_ann_topk_lsh,
         # --- multimodal plumbing ---
         "media_features": _q_media_features,
         "media_resized": _q_media_resized,
@@ -749,7 +758,8 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quantiles": rel.events_value_quantiles_sql(),
         "campaign_attribution": rel.campaign_attribution_sql(),
     }
-    # exhaustive probing scans every list, so the partitioned-IVF query
-    # shares the brute-force top-k oracle verbatim
+    # exhaustive probing scans every list/bucket, so the partitioned-IVF
+    # and all-bucket-LSH queries share the brute-force top-k oracle
     oracles_by_query["ann_topk_ivf"] = oracles_by_query["ann_topk"]
+    oracles_by_query["ann_topk_lsh"] = oracles_by_query["ann_topk"]
     return oracles_by_query

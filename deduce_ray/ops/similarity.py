@@ -258,9 +258,16 @@ def lsh_bucketed_topk(
     n_planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exhaustive: bool = False,
 ):
     """Approximate top-k: vectors bucketed by hyperplane signs; each query
-    scans only its bucket and all Hamming-1 neighbor buckets."""
+    scans only its bucket and all Hamming-1 neighbor buckets.
+
+    ``exhaustive=True`` probes EVERY bucket: the full bucketing machinery
+    (plane projection, label assignment, per-bucket grouping, per-query
+    merge) still runs, but the result provably equals brute force — the
+    same mode-equivalence trick ``ivf_search(n_probe=n_lists)`` uses to
+    value-check the approximate path against the exact DuckDB oracle."""
     queries = np.asarray(queries, dtype=np.float64)
     unit_queries = _unit_rows(queries)
 
@@ -269,13 +276,17 @@ def lsh_bucketed_topk(
         return bits @ (1 << np.arange(n_planes))
 
     qb = bucket_of(unit_queries, _hyperplanes(queries.shape[1], n_planes, 54321))
-    probe_rows = [
-        np.array(
-            sorted({int(b)} | {int(b) ^ (1 << p) for p in range(n_planes)}),
-            dtype=np.int64,
-        )
-        for b in qb
-    ]
+    if exhaustive:
+        all_buckets = np.arange(1 << n_planes, dtype=np.int64)
+        probe_rows = [all_buckets] * len(qb)
+    else:
+        probe_rows = [
+            np.array(
+                sorted({int(b)} | {int(b) ^ (1 << p) for p in range(n_planes)}),
+                dtype=np.int64,
+            )
+            for b in qb
+        ]
 
     def assign_buckets(batch: pa.Table, mat: np.ndarray) -> np.ndarray:
         return bucket_of(mat, _hyperplanes(mat.shape[1], n_planes, 54321))

@@ -696,6 +696,13 @@ class TestSimilarity:
         exact_rows = {key(r): (r["vec_id"], r["score"]) for r in exact}
         full_rows = {key(r): (r["vec_id"], r["score"]) for r in full}
         assert full_rows == exact_rows
+        # exhaustive=True probes all 2^8 buckets at the production plane
+        # count — the stronger equivalence the driver oracle relies on
+        # (__ray_entry__._q_ann_topk_lsh)
+        allb = lsh_bucketed_topk(
+            ray.data.from_items(items), queries=mat[:4], k=10, exhaustive=True
+        ).take_all()
+        assert {key(r): (r["vec_id"], r["score"]) for r in allb} == exact_rows
 
     def test_ivf_partitioned_index(self, ray_session, tmp_path):
         """The disk-partitioned IVF path: build writes one hive directory
