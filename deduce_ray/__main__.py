@@ -57,21 +57,31 @@ def _infer_format(path: str) -> str:
 
     p = Path(path)
     suffix = p.suffix.lower()
-    if suffix in (".jsonl", ".ndjson", ".json"):
+    if suffix in (".jsonl", ".ndjson"):
         return "jsonl"
+    if suffix == ".json":
+        # a bare .json is usually a top-level array, which the NDJSON
+        # reader rejects with an opaque parse error — fail intelligibly
+        raise SystemExit(
+            "cannot infer the format of a .json file: if it is "
+            "newline-delimited pass --format jsonl, otherwise convert "
+            "the array to NDJSON first"
+        )
     if suffix == ".csv":
         return "csv"
     if suffix == ".parquet" or not p.is_dir():
         return "parquet"
-    # a directory: parquet if it contains parquet files, else a text tree
-    if any(p.rglob("*.parquet")):
+    # a directory: parquet if its TOP level holds parquet files, else a
+    # text tree.  Deliberately not recursive — a full tree walk on a
+    # repository checkout blocks startup for minutes, and one stray
+    # vendored .parquet deep inside a repo must not reclassify the whole
+    # tree (--format overrides either way)
+    if any(p.glob("*.parquet")):
         return "parquet"
     return "text-tree"
 
 
 def _read_corpus(args):
-    import ray.data
-
     from deduce_ray.corpus import decorate_batch, read_parquet_sliced
     from deduce_ray.sources import (
         read_csv_corpus,

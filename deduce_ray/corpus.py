@@ -91,10 +91,14 @@ def decorate_batch(batch):
 # streams through ray.data.read_parquet unchanged
 _DRIVER_SLICE_MAX_BYTES = 64 << 20
 # second bound on the DECODED size, from parquet metadata: a highly
-# compressed single-row-group file (dictionary/zstd text compresses
-# 10-100x) must not materialize gigabytes on the driver just because its
-# footprint on disk is small
+# compressed single-row-group file (zstd text compresses 10-100x) must
+# not materialize gigabytes on the driver just because its footprint on
+# disk is small.  total_uncompressed_size is post-ENCODING (dictionary
+# pages count once, not per reference), so a row-count cap backs it up —
+# metadata cannot price the decoded blow-up of a dictionary column
+# referenced by millions of rows
 _DRIVER_SLICE_MAX_UNCOMPRESSED = 256 << 20
+_DRIVER_SLICE_MAX_ROWS = 2_000_000
 
 
 def slice_table_to_blocks(tbl, blocks_per_cpu: int = 4):
@@ -144,10 +148,20 @@ def read_parquet_sliced(path, columns: list[str] | None = None,
         # closed deterministically rather than leaking the fd until GC)
         with pq.ParquetFile(p) as pf:
             meta = pf.metadata
-            if meta.num_row_groups == 1:
+            if (
+                meta.num_row_groups == 1
+                and meta.num_rows <= _DRIVER_SLICE_MAX_ROWS
+            ):
+                # size only the columns the read will materialize —
+                # summing all columns would demote a pruned read of a
+                # wide file back to the one-block streaming path
+                wanted = set(columns) if columns is not None else None
+                rg = meta.row_group(0)
                 uncompressed = sum(
-                    meta.row_group(0).column(i).total_uncompressed_size
+                    rg.column(i).total_uncompressed_size
                     for i in range(meta.num_columns)
+                    if wanted is None
+                    or rg.column(i).path_in_schema.split(".", 1)[0] in wanted
                 )
                 if uncompressed <= _DRIVER_SLICE_MAX_UNCOMPRESSED:
                     return slice_table_to_blocks(

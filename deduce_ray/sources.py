@@ -177,7 +177,17 @@ def read_text_tree_corpus(root: str | Path, lang: str = "", encoding: str = "utf
         texts = [b.decode(encoding) for b in batch["bytes"]]
         repos, rels = [], []
         for p in paths:
-            rel = os.path.relpath(str(Path(p).resolve()), root_str)
+            # use the path exactly as Ray reports it (child names joined
+            # onto the resolved root) — resolving it again would rewrite
+            # symlinked entries INSIDE the tree to their targets outside
+            # the root and corrupt repo attribution
+            rel = os.path.relpath(str(p), root_str)
+            if rel.startswith(".."):
+                # not under the resolved root (defensive; should not
+                # happen given read_binary_files is handed root_str)
+                repos.append("")
+                rels.append(str(p))
+                continue
             parts = rel.split("/", 1)
             repos.append(parts[0] if len(parts) == 2 else "")
             rels.append(parts[1] if len(parts) == 2 else rel)

@@ -190,6 +190,25 @@ class TestTextTree:
         rows = read_text_tree_corpus("corpus").take_all()
         assert rows[0]["repo"] == "org__alpha" and rows[0]["path"] == "notes/a.txt"
 
+    def test_symlinked_file_inside_tree_keeps_attribution(
+        self, ray_session, tmp_path
+    ):
+        # a symlinked ENTRY inside the tree must keep its in-tree repo and
+        # path — resolving reported paths would rewrite it to the target
+        # outside the root
+        outside = tmp_path / "shared" / "real.txt"
+        outside.parent.mkdir(parents=True)
+        outside.write_text("shared doc")
+        root = tmp_path / "corpus2"
+        d = root / "org__beta" / "notes"
+        d.mkdir(parents=True)
+        (d / "linked.txt").symlink_to(outside)
+        rows = read_text_tree_corpus(root).take_all()
+        assert len(rows) == 1
+        assert rows[0]["repo"] == "org__beta"
+        assert rows[0]["path"] == "notes/linked.txt"
+        assert rows[0]["content"] == "shared doc"
+
 
 class TestParquetSliced:
     def _write(self, path, n_rows=2000, row_group_size=None, text="t"):
@@ -234,6 +253,45 @@ class TestParquetSliced:
         monkeypatch.setattr(corpus, "_DRIVER_SLICE_MAX_UNCOMPRESSED", 1024)
         ds = corpus.read_parquet_sliced(f)
         assert ds.count() == tbl.num_rows  # streaming path, still correct
+
+    def test_row_cap_falls_back_to_streaming(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        # dictionary decode blow-up is invisible to byte metadata; the row
+        # cap is the backstop
+        from deduce_ray import corpus
+
+        f = tmp_path / "many.parquet"
+        tbl = self._write(f, n_rows=1000)
+        monkeypatch.setattr(corpus, "_DRIVER_SLICE_MAX_ROWS", 100)
+        assert corpus.read_parquet_sliced(f).count() == tbl.num_rows
+
+    def test_uncompressed_cap_counts_only_requested_columns(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        # a pruned read of a wide file must be sized on the pruned
+        # columns, not the whole file — otherwise it silently demotes to
+        # the one-block streaming path this function exists to fix
+        import pyarrow.parquet as pq
+
+        from deduce_ray import corpus
+
+        n = 2000
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(n), type=pa.int64()),
+                "fat": pa.array(["y" * 500 for _ in range(n)]),
+            }
+        )
+        f = tmp_path / "wide.parquet"
+        pq.write_table(tbl, f, row_group_size=n)
+        # cap sits between the slim column (~16KB) and the fat one (~1MB)
+        monkeypatch.setattr(corpus, "_DRIVER_SLICE_MAX_UNCOMPRESSED", 200_000)
+        pruned = corpus.read_parquet_sliced(f, columns=["doc_id"])
+        assert pruned.num_blocks() > 1  # pre-sliced fast path
+        assert pruned.count() == n
+        full = corpus.read_parquet_sliced(f)
+        assert full.count() == n  # over cap -> streaming, still correct
 
 
 class TestJsonlSink:
