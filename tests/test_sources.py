@@ -210,6 +210,52 @@ class TestTextTree:
         assert rows[0]["content"] == "shared doc"
 
 
+class TestRepoBatchProperties:
+    """Property tests over the pure column mapper (no Ray needed)."""
+
+    def test_arbitrary_content_preserved(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from deduce_ray.sources import _default_column_map, _to_repo_batch
+
+        cmap = _default_column_map("content")
+
+        @settings(max_examples=150, deadline=None)
+        @given(
+            st.lists(
+                st.text(min_size=1).filter(lambda s: "\x00" not in s),
+                min_size=1,
+                max_size=8,
+            )
+        )
+        def check(contents):
+            batch = pa.table({"content": pa.array(contents, type=pa.string())})
+            out = _to_repo_batch(batch, cmap)
+            assert out.schema.names == REPO_SCHEMA_NAMES
+            assert out.column("content").to_pylist() == contents
+            for c in ("repo", "path", "commit", "lang"):
+                assert out.column(c).to_pylist() == [""] * len(contents)
+
+        check()
+
+    def test_tricky_content_roundtrips_through_jsonl(self, ray_session, tmp_path):
+        # newlines, quotes, unicode, backslashes — everything json.dumps
+        # escapes must come back byte-identical through the real reader
+        tricky = [
+            'line1\nline2\t"quoted" \\backslash\\',
+            "unicode: Ĳsselmeer 患者 émile ß €",
+            " leading and trailing  ",
+            "{}[],:",
+        ]
+        f = tmp_path / "tricky.jsonl"
+        f.write_text(
+            "\n".join(json.dumps({"content": c}) for c in tricky) + "\n"
+        )
+        rows = read_jsonl_corpus(f).take_all()
+        assert sorted(r["content"] for r in rows) == sorted(tricky)
+
+
 class TestParquetSliced:
     def _write(self, path, n_rows=2000, row_group_size=None, text="t"):
         import pyarrow.parquet as pq
