@@ -56,6 +56,8 @@ def _infer_format(path: str) -> str:
     from pathlib import Path
 
     p = Path(path)
+    if not p.exists():
+        raise SystemExit(f"--input path does not exist: {path}")
     suffix = p.suffix.lower()
     if suffix in (".jsonl", ".ndjson"):
         return "jsonl"
@@ -69,15 +71,23 @@ def _infer_format(path: str) -> str:
         )
     if suffix == ".csv":
         return "csv"
-    if suffix == ".parquet" or not p.is_dir():
-        return "parquet"
-    # a directory: parquet if its TOP level holds parquet files, else a
-    # text tree.  Deliberately not recursive — a full tree walk on a
-    # repository checkout blocks startup for minutes, and one stray
-    # vendored .parquet deep inside a repo must not reclassify the whole
-    # tree (--format overrides either way)
+    if p.is_file():
+        if suffix == ".parquet":
+            return "parquet"
+        raise SystemExit(
+            f"cannot infer the format of {path!r} from its suffix — "
+            "pass --format parquet|jsonl|csv"
+        )
+    # a directory: classify by what its TOP level holds (sharded-corpus
+    # layouts put part files directly under the directory).  Deliberately
+    # not recursive — a full tree walk on a repository checkout blocks
+    # startup for minutes, and one stray vendored file deep inside a repo
+    # must not reclassify the whole tree (--format overrides either way)
     if any(p.glob("*.parquet")):
         return "parquet"
+    for pat, fmt in (("*.jsonl", "jsonl"), ("*.ndjson", "jsonl"), ("*.csv", "csv")):
+        if any(p.glob(pat)):
+            return fmt
     return "text-tree"
 
 

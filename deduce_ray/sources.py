@@ -34,11 +34,9 @@ from pathlib import Path
 import pyarrow as pa
 import pyarrow.compute as pc
 
-REPO_SCHEMA_NAMES = ["repo", "path", "commit", "lang", "content"]
+from deduce_ray.corpus import _DRIVER_SLICE_MAX_BYTES as _SMALL_FILE_MAX_BYTES
 
-# same bound as corpus.read_parquet_sliced: a single input file at or
-# below this size is split driver-side into CPU-sized blocks
-_SMALL_FILE_MAX_BYTES = 64 << 20
+REPO_SCHEMA_NAMES = ["repo", "path", "commit", "lang", "content"]
 
 
 def _default_column_map(text_key: str) -> dict[str, str]:
@@ -119,15 +117,24 @@ def read_jsonl_corpus(
     ``column_map`` maps SOURCE keys to repo columns (default: identity
     plus ``text_key`` -> content).  Extra JSON keys are dropped; missing
     repo columns become "".
+
+    Mapped columns are read with an EXPLICIT string schema: pyarrow's
+    type inference would otherwise rewrite bytes — ISO-date strings
+    ("2021-03-14") come back as timestamps rendering "2021-03-14
+    00:00:00" — silently breaking the sha256(content) doc_id invariant.
     """
     import pyarrow.json as pj
     import ray.data
 
     cmap = column_map or _default_column_map(text_key)
+    parse = pj.ParseOptions(
+        explicit_schema=pa.schema([(src, pa.string()) for src in cmap]),
+        unexpected_field_behavior="ignore",
+    )
     ds = _presplit_single_small_file(
         path,
-        reader=lambda: pj.read_json(str(path)),
-        ds_factory=lambda: ray.data.read_json(str(path)),
+        reader=lambda: pj.read_json(str(path), parse_options=parse),
+        ds_factory=lambda: ray.data.read_json(str(path), parse_options=parse),
     )
     return ds.map_batches(
         lambda b: _to_repo_batch(b, cmap), batch_format="pyarrow"
@@ -137,34 +144,62 @@ def read_jsonl_corpus(
 def read_csv_corpus(
     path: str | Path, text_key: str = "content", column_map: dict[str, str] | None = None
 ):
-    """CSV file(s) with a header row -> repo-shaped Dataset."""
+    """CSV file(s) with a header row -> repo-shaped Dataset.
+
+    Mapped columns are forced to string at parse time — inference would
+    turn an all-numeric content column ("1.50") into a double rendered
+    back as "1.5", or strip the leading zero off a commit "0123456",
+    silently breaking the sha256(content) invariant.
+    """
     import pyarrow.csv as pcsv
     import ray.data
 
     cmap = column_map or _default_column_map(text_key)
+    convert = pcsv.ConvertOptions(
+        column_types={src: pa.string() for src in cmap}
+    )
     ds = _presplit_single_small_file(
         path,
-        reader=lambda: pcsv.read_csv(str(path)),
-        ds_factory=lambda: ray.data.read_csv(str(path)),
+        reader=lambda: pcsv.read_csv(str(path), convert_options=convert),
+        ds_factory=lambda: ray.data.read_csv(str(path), convert_options=convert),
     )
     return ds.map_batches(
         lambda b: _to_repo_batch(b, cmap), batch_format="pyarrow"
     )
 
 
-def read_text_tree_corpus(root: str | Path, lang: str = "", encoding: str = "utf-8"):
+def read_text_tree_corpus(
+    root: str | Path,
+    lang: str = "",
+    encoding: str = "utf-8",
+    extensions: list[str] | None = None,
+    skip_hidden: bool = True,
+    on_decode_error: str = "raise",
+):
     """Directory tree of text files -> repo-shaped Dataset, one document
     per file.
 
     ``repo`` is the first path segment under ``root`` (a tree of checked-
-    out repositories is the natural 100-TB layout), ``path`` the remainder,
-    ``commit`` is "" (no VCS metadata in a bare tree).  Decoding runs per
-    batch inside ``map_batches``; undecodable files raise — silently
-    dropping corpus documents would corrupt downstream dedup counts.
+    out repositories is the natural 100-TB layout), ``path`` the
+    remainder, ``commit`` is "" (no VCS metadata in a bare tree).
+
+    Real checkouts contain things that are not corpus documents:
+      - ``extensions`` restricts the read to matching suffixes (e.g.
+        ``["txt", "md", "py"]``) at file-discovery time, before any byte
+        leaves storage;
+      - ``skip_hidden`` (default) drops entries with a dot-prefixed path
+        component — ``.git/objects/*`` above all, whose zlib blobs would
+        otherwise abort the decode;
+      - ``on_decode_error="skip"`` drops undecodable files instead of
+        raising, COUNTING them (logged per batch) — a silent drop would
+        corrupt downstream dedup counts, so the default stays "raise".
     """
     import os
 
     import ray.data
+
+    if on_decode_error not in ("raise", "skip"):
+        raise ValueError(f"on_decode_error must be raise|skip, got {on_decode_error!r}")
 
     # Ray hands back normalized absolute paths — resolve the root the same
     # way, or a relative/symlinked root fails the prefix match and every
@@ -173,10 +208,9 @@ def read_text_tree_corpus(root: str | Path, lang: str = "", encoding: str = "utf
     root_str = str(root)
 
     def decode(batch: dict) -> pa.Table:
-        paths = batch["path"]
-        texts = [b.decode(encoding) for b in batch["bytes"]]
-        repos, rels = [], []
-        for p in paths:
+        repos, rels, texts = [], [], []
+        skipped = 0
+        for p, raw in zip(batch["path"], batch["bytes"]):
             # use the path exactly as Ray reports it (child names joined
             # onto the resolved root) — resolving it again would rewrite
             # symlinked entries INSIDE the tree to their targets outside
@@ -185,12 +219,30 @@ def read_text_tree_corpus(root: str | Path, lang: str = "", encoding: str = "utf
             if rel.startswith(".."):
                 # not under the resolved root (defensive; should not
                 # happen given read_binary_files is handed root_str)
-                repos.append("")
-                rels.append(str(p))
+                repo, rel_path = "", str(p)
+            else:
+                parts = rel.split("/", 1)
+                repo = parts[0] if len(parts) == 2 else ""
+                rel_path = parts[1] if len(parts) == 2 else rel
+            if skip_hidden and any(
+                seg.startswith(".") for seg in rel.split("/")
+            ):
                 continue
-            parts = rel.split("/", 1)
-            repos.append(parts[0] if len(parts) == 2 else "")
-            rels.append(parts[1] if len(parts) == 2 else rel)
+            try:
+                text = bytes(raw).decode(encoding)
+            except UnicodeDecodeError:
+                if on_decode_error == "raise":
+                    raise
+                skipped += 1
+                continue
+            repos.append(repo)
+            rels.append(rel_path)
+            texts.append(text)
+        if skipped:
+            print(
+                f"read_text_tree_corpus: skipped {skipped} undecodable "
+                f"file(s) in batch (on_decode_error=skip)"
+            )
         n = len(texts)
         return pa.table(
             {
@@ -202,7 +254,12 @@ def read_text_tree_corpus(root: str | Path, lang: str = "", encoding: str = "utf
             }
         )
 
-    ds = ray.data.read_binary_files(str(root), include_paths=True)
+    read_kwargs = {}
+    if extensions is not None:
+        read_kwargs["file_extensions"] = list(extensions)
+    ds = ray.data.read_binary_files(
+        str(root), include_paths=True, **read_kwargs
+    )
     return ds.map_batches(decode, batch_format="numpy")
 
 

@@ -152,6 +152,47 @@ class TestCsv:
         rows = _rows(ds)
         assert rows == sorted(DOCS, key=lambda d: d["path"])
 
+    def test_numeric_looking_values_not_rewritten(self, ray_session, tmp_path):
+        # type inference would parse "1.50" as double (rendered "1.5") and
+        # "0123456" as int (leading zero lost) — both must survive
+        # byte-for-byte or sha256(content) doc_ids silently change
+        f = tmp_path / "nums.csv"
+        f.write_text(
+            "content,commit,path\n"
+            '"1.50",0123456,a\n'
+            '"2021-03-14",00ff,b\n'
+        )
+        rows = sorted(read_csv_corpus(f).take_all(), key=lambda r: r["path"])
+        assert rows[0]["content"] == "1.50"
+        assert rows[0]["commit"] == "0123456"
+        assert rows[1]["content"] == "2021-03-14"
+
+
+class TestJsonlTypes:
+    def test_datelike_content_not_rewritten(self, ray_session, tmp_path):
+        # pyarrow json inference turns ISO-date strings into timestamps
+        # ("2021-03-14" -> "2021-03-14 00:00:00") — explicit string schema
+        # must preserve the source bytes
+        f = tmp_path / "dates.jsonl"
+        f.write_text(
+            json.dumps({"content": "2021-03-14", "path": "a"})
+            + "\n"
+            + json.dumps({"content": "123", "path": "b"})
+            + "\n"
+        )
+        rows = sorted(read_jsonl_corpus(f).take_all(), key=lambda r: r["path"])
+        assert rows[0]["content"] == "2021-03-14"
+        assert rows[1]["content"] == "123"
+
+    def test_directory_of_shards(self, ray_session, tmp_path):
+        # the natural sharded-corpus layout: part-*.jsonl under one dir
+        d = tmp_path / "shards"
+        d.mkdir()
+        for i, doc in enumerate(DOCS):
+            (d / f"part-{i:04d}.jsonl").write_text(json.dumps(doc) + "\n")
+        rows = _rows(read_jsonl_corpus(d))
+        assert rows == sorted(DOCS, key=lambda x: x["path"])
+
 
 class TestTextTree:
     def test_tree_layout(self, ray_session, tmp_path):
@@ -189,6 +230,24 @@ class TestTextTree:
         monkeypatch.chdir(tmp_path)
         rows = read_text_tree_corpus("corpus").take_all()
         assert rows[0]["repo"] == "org__alpha" and rows[0]["path"] == "notes/a.txt"
+
+    def test_hidden_and_binary_handling(self, ray_session, tmp_path):
+        root = tmp_path / "checkout"
+        (root / "org__x" / ".git").mkdir(parents=True)
+        (root / "org__x" / ".git" / "blob").write_bytes(b"\xff\xfe\x00\x80")
+        (root / "org__x" / "readme.txt").write_text("hello")
+        (root / "org__x" / "data.bin").write_bytes(b"\x80\x81\x82\xff")
+        # default skip_hidden drops .git; the non-hidden binary raises...
+        with pytest.raises(Exception):
+            read_text_tree_corpus(root).materialize()
+        # ...unless on_decode_error="skip" counts-and-drops it
+        rows = read_text_tree_corpus(root, on_decode_error="skip").take_all()
+        assert [(r["repo"], r["path"], r["content"]) for r in rows] == [
+            ("org__x", "readme.txt", "hello")
+        ]
+        # extension filter prunes at discovery time (binary never read)
+        rows = read_text_tree_corpus(root, extensions=["txt"]).take_all()
+        assert [r["path"] for r in rows] == ["readme.txt"]
 
     def test_symlinked_file_inside_tree_keeps_attribution(
         self, ray_session, tmp_path
