@@ -105,7 +105,11 @@ def _read_corpus(args):
     if fmt == "csv":
         return read_csv_corpus(args.input, text_key=args.text_key)
     if fmt == "text-tree":
-        return read_text_tree_corpus(args.input)
+        return read_text_tree_corpus(
+            args.input,
+            extensions=args.extensions.split(",") if args.extensions else None,
+            on_decode_error=args.on_decode_error,
+        )
     ds = read_parquet_sliced(args.input)
     names = set(ds.schema().names)
     if "content" not in names and "text" in names:
@@ -238,6 +242,17 @@ def main() -> int:
         "--text-key",
         default="content",
         help="jsonl/csv column holding the document text",
+    )
+    p.add_argument(
+        "--extensions",
+        help="text-tree only: comma-separated file suffixes to read "
+        "(e.g. txt,md,py); other files are never opened",
+    )
+    p.add_argument(
+        "--on-decode-error",
+        choices=["raise", "skip"],
+        default="raise",
+        help="text-tree only: skip counts-and-drops undecodable files",
     )
     p.add_argument("--output", help="graph directory (omit: just count triples)")
     p.add_argument(
