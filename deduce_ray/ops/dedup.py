@@ -42,7 +42,9 @@ def exact_dedup_groups(ds, text_col: str = "text", id_col: str = "doc_id"):
             }
         )
 
-    n_shards = 256
+    from deduce_ray.ops.agg import merge_shards
+
+    n_shards = merge_shards()
 
     def pick_first(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby("content_hash", as_index=False).agg(
@@ -217,7 +219,7 @@ def jaccard(s1: set[int], s2: set[int]) -> float:
 def _dedup_pairs(
     pairs_ds,
     value_col: str,
-    n_shards: int = 256,
+    n_shards: int | None = None,
     driver_max: int = 2_000_000,
     value_dtype: str = "float64",
 ):
@@ -233,6 +235,10 @@ def _dedup_pairs(
     of the pair, drop duplicates vectorized inside each shard task."""
     import ray.data
 
+    from deduce_ray.ops.agg import merge_shards
+
+    if n_shards is None:
+        n_shards = merge_shards()
     pairs_ds = pairs_ds.materialize()
     if driver_max and pairs_ds.count() <= driver_max:
         df = pairs_ds.to_pandas()
@@ -316,10 +322,12 @@ def minhash_lsh_pairs(
         )
     rows_per_band = n_perm // bands
     a, b = _minhash_params(n_perm)
-    n_shards = 256  # shuffle key granularity: most band-buckets are global
-    # singletons, so grouping directly by bucket would launch one task per
-    # bucket; sharding keeps it to <= n_shards group tasks, with the
-    # per-bucket work vectorized in pandas inside each shard.
+    from deduce_ray.ops.agg import merge_shards
+
+    n_shards = merge_shards()  # shuffle key granularity: most band-buckets
+    # are global singletons, so grouping directly by bucket would launch
+    # one task per bucket; sharding keeps it to <= n_shards group tasks,
+    # with the per-bucket work vectorized in pandas inside each shard.
     exact = verify == "exact"
 
     _BP1 = np.uint64(0x9E3779B97F4A7C15)
@@ -537,7 +545,9 @@ def neardup_clusters(
         ).astype({"doc_id": "int64", "cluster_id": "int64"})
         return ray.data.from_pandas(out)
 
-    n_shards = 256
+    from deduce_ray.ops.agg import merge_shards
+
+    n_shards = merge_shards()
     # witness terms: per-edge 28-bit hashes keep each global int64 sum
     # exact up to ~2^35 edges; count is folded in with a small prime.  TWO
     # independent hash families ride each marker row (w and v columns) and
@@ -745,8 +755,9 @@ def simhash_pairs(
 ):
     """SimHash near-dup pairs: 4x16-bit band bucketing guarantees recall for
     Hamming distance <= 3; in-bucket exact Hamming verification."""
+    from deduce_ray.ops.agg import merge_shards
 
-    n_shards = 256
+    n_shards = merge_shards()
 
     def signatures(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -940,7 +951,9 @@ def embedding_neardup_pairs(
         n_planes,
         n_tables,
     )
-    n_shards = 256
+    from deduce_ray.ops.agg import merge_shards
+
+    n_shards = merge_shards()
 
     def signatures(batch: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -1210,7 +1223,9 @@ def dedup_survivors(ds, text_col: str = "text", id_col: str = "doc_id"):
     drop_duplicates over the sorted shard.  The survivors stream onward —
     the standard first stage of a training-data pipeline.
     """
-    n_shards = 256
+    from deduce_ray.ops.agg import merge_shards
+
+    n_shards = merge_shards()
 
     def add_hash(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()

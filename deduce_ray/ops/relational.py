@@ -533,8 +533,10 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30):
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
     )
 
+    from deduce_ray.ops.agg import merge_shards_pow2
+
     gap = pd.Timedelta(minutes=gap_minutes)
-    n_shards = 256
+    n_shards = merge_shards_pow2()
 
     def add_shard(batch: pa.Table) -> pa.Table:
         # fill_null: SQL's GROUP BY keeps one NULL-user group, so null
@@ -751,7 +753,7 @@ def region_customers_sql() -> str:
     """
 
 
-def click_attribution(sf_dir: str, n_shards: int = 256):
+def click_attribution(sf_dir: str, n_shards: int | None = None):
     """As-of join: each 'click' event matched to the same user's most
     recent 'view' at or before the click time (inner semantics).
 
@@ -764,6 +766,11 @@ def click_attribution(sf_dir: str, n_shards: int = 256):
     task — holds for any realistic per-user volume.
     """
     import ray.data
+
+    from deduce_ray.ops.agg import merge_shards_pow2
+
+    if n_shards is None:
+        n_shards = merge_shards_pow2()
 
     events = read_parquet_sliced(
         f"{sf_dir}/events.parquet",

@@ -84,7 +84,7 @@ def _merge_graph_rows(df):
     )
 
 
-def dedup_triples(triples_ds, by_doc_first: bool = False):
+def dedup_triples(triples_ds, by_doc_first: bool = False, n_buckets: int | None = None):
     """Flat mention rows -> deduplicated graph rows.
 
     Per-batch combiner (no shuffle) then ONE merge shuffle keyed on a
@@ -99,6 +99,14 @@ def dedup_triples(triples_ds, by_doc_first: bool = False):
     merge is now always the single dedup exchange, so both modes share it.
     """
     del by_doc_first
+    if n_buckets is None:
+        # cpus-aware bucket count (see ops.agg.merge_shards): 256 fixed
+        # buckets cost ~3.4 s of a 4.1 s flagship run at sf0.1 in
+        # per-group pandas dispatch; 4 x CPUs costs <1 s.  The hash is
+        # uniform, so fewer buckets cannot create skew.
+        from deduce_ray.ops.agg import merge_shards
+
+        n_buckets = merge_shards()
     combined = triples_ds.map_batches(_dedup_batch, batch_format="pyarrow")
 
     def merge_and_bucket(df):
@@ -106,13 +114,13 @@ def dedup_triples(triples_ds, by_doc_first: bool = False):
         # _doc_bucket, not a bare int(d[:4], 16): pandas groupby(dropna=
         # False) re-materializes null keys as truthy float NaN, and ids
         # are not guaranteed hex for external callers
-        out["doc_bucket"] = [_doc_bucket(d, 256) for d in out["doc_id"]]
+        out["doc_bucket"] = [_doc_bucket(d, n_buckets) for d in out["doc_id"]]
         return out
 
     # batch_size coalesces the many small combiner outputs into few blocks
-    # before the sort-based exchange (thousands of blocks x 256 partitions
-    # of shuffle metadata is pathological) and gives the bucket-combiner a
-    # second chance to collapse replicas that lived in different blocks.
+    # before the exchange (thousands of blocks x 256 partitions of shuffle
+    # metadata is pathological) and gives the bucket-combiner a second
+    # chance to collapse replicas that lived in different blocks.
     # num_cpus=0.9 deliberately differs from the default so Ray does NOT
     # fuse this coalescing pass with the upstream annotate chain — fused,
     # the large batch_size would gate upstream task granularity at 131072
@@ -173,13 +181,17 @@ def canonical_entities(triples_ds):
     # merge shuffle keyed on hash(pred, obj_norm), not bare pred: the
     # dedup key is (pred, obj_norm), so sharding on its hash is exact and
     # the hottest predicate cannot serialize behind one group task
+    from deduce_ray.ops.agg import merge_shards
+
+    n_shards = merge_shards()
+
     def add_shard(df):
         import pandas as pd
 
         df = df.copy()
         df["__shard"] = (
             pd.util.hash_pandas_object(df[["pred", "obj_norm"]], index=False)
-            % 256
+            % n_shards
         ).astype("int64")
         return df
 
@@ -380,7 +392,11 @@ def canonicalize_entities(triples_ds, cluster_rounds: int = 8):
 
     # attach cluster ids to forms (forms without an edge keep their own
     # node id), then pick canonicals inside a sharded cluster groupby
-    n_shards = 1024
+    # (cpus-aware pow2 count — map_groups dispatches one pandas call per
+    # shard, a fixed cost that dominated at the old fixed 1024)
+    from deduce_ray.ops.agg import merge_shards_pow2
+
+    n_shards = merge_shards_pow2()
 
     def tag_forms(batch: pa.Table) -> pa.Table:
         preds = batch.column("pred").to_pylist()
