@@ -148,7 +148,7 @@ def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
-def top_terms(ds, k: int = 100, n_shards: int = 256, text_col: str = "text"):
+def top_terms(ds, k: int = 100, n_shards: int | None = None, text_col: str = "text"):
     """Corpus-wide term-frequency top-k — the classic vocabulary build.
 
     Scale shape: per-batch counting collapses each block to its distinct
@@ -160,6 +160,11 @@ def top_terms(ds, k: int = 100, n_shards: int = 256, text_col: str = "text"):
     """
     import pandas as pd
     import pyarrow as pa
+
+    from deduce_ray.ops.agg import merge_shards
+
+    if n_shards is None:
+        n_shards = merge_shards()
 
     def count_batch(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
