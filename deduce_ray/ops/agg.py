@@ -23,7 +23,9 @@ def merge_shards(minimum: int = 32, per_cpu: int = 4) -> int:
     dominated small-corpus merge stages (measured: the flagship dedup
     merge dropped 3.4 s -> <1 s at 4 x CPUs).  The shard keys are uniform
     hashes, so fewer shards cannot create skew; at cluster scale the
-    count grows with the CPU count automatically."""
+    count grows with the CPU count automatically.  Resolved at pipeline
+    BUILD time; if Ray is not initialized yet the 32-CPU fallback applies
+    (128 shards) — call after ray.init() for an exact fit."""
     import ray
 
     cpus = (
