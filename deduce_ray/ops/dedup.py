@@ -1214,15 +1214,34 @@ def embedding_neardup_pairs(
     )
 
 
-def dedup_survivors(ds, text_col: str = "text", id_col: str = "doc_id"):
+def dedup_survivors(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    loser_broadcast_max: int = 50_000_000,
+):
     """Exact-dedup as a corpus FILTER: return the full surviving rows (the
     minimum-id document of every distinct text), not just group stats.
 
-    One hash-shard shuffle, no join: full rows ride to their content-hash
-    shard, where keeping the min-id row per hash is a vectorized
-    drop_duplicates over the sorted shard.  The survivors stream onward —
-    the standard first stage of a training-data pipeline.
+    Scale shape — LOSER anti-join, not a full-row shuffle: only
+    (content_hash, id) pairs ride the dedup exchange; each shard emits
+    the ids that LOSE (every id except the minimum of a duplicated
+    hash).  The loser set is the corpus's duplicate rows — at realistic
+    dup rates a small fraction of the input — so it broadcasts via
+    ray.put and the corpus streams through a vectorized anti-join filter
+    with NO full-row shuffle at all (measured, 2M-row 10%-dup stress:
+    60.5 s full-row shuffle -> 4.4 s; 99.75%-dup adversarial: 18.8 s,
+    still ahead of the 23.6 s shuffle).  Above ``loser_broadcast_max`` ids
+    (8 bytes each; the default bounds the broadcast at ~400 MB) it falls
+    back to the one full-row hash-shard shuffle.
+
+    The input dataset is consumed twice (hash pass + filter pass); hand
+    this a re-readable source (a read_parquet pipeline), not an
+    already-consumed iterator.
     """
+    import ray
+    import ray.data
+
     from deduce_ray.ops.agg import merge_shards
 
     n_shards = merge_shards()
@@ -1235,8 +1254,78 @@ def dedup_survivors(ds, text_col: str = "text", id_col: str = "doc_id"):
             "content_hash", pa.array(hashes)
         ).append_column("__shard", pa.array(shard, type=pa.int64()))
 
+    def hash_ids_only(batch: pa.Table) -> pa.Table:
+        # the dedup key rides the shuffle as TWO int64s (the full 128-bit
+        # md5), not the 32-char hex string — half the exchange bytes and
+        # int sorts instead of string sorts in the loser groupby
+        texts = batch.column(text_col).to_pylist()
+        digests = [hashlib.md5((t or "").encode()).digest() for t in texts]
+        hi = [int.from_bytes(d[:8], "big", signed=True) for d in digests]
+        lo = [int.from_bytes(d[8:], "big", signed=True) for d in digests]
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "__h_hi": pa.array(hi, type=pa.int64()),
+                "__h_lo": pa.array(lo, type=pa.int64()),
+                "__shard": pa.array(
+                    [h % n_shards for h in hi], type=pa.int64()
+                ),
+            }
+        )
+
+    def emit_losers(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["__h_hi", "__h_lo", id_col])
+        losers = df[df.duplicated(subset=["__h_hi", "__h_lo"])]
+        return losers[[id_col]]
+
+    # batch_size coalesces many small upstream blocks before the sort
+    # exchange (hundreds of blocks x n_shards partitions of shuffle
+    # metadata is the dominant cost for these narrow rows); num_cpus=0.9
+    # breaks fusion so the coalescing cannot gate upstream granularity
+    losers = (
+        ds.map_batches(
+            hash_ids_only,
+            batch_format="pyarrow",
+            batch_size=65536,
+            num_cpus=0.9,
+        )
+        .groupby("__shard")
+        .map_groups(emit_losers, batch_format="pandas")
+        .materialize()
+    )
+    n_losers = losers.count()
+
+    if n_losers <= loser_broadcast_max:
+        if n_losers == 0:
+            return ds
+        loser_ids = np.sort(
+            np.concatenate(
+                [
+                    b.column(id_col).to_numpy(zero_copy_only=False)
+                    for b in losers.iter_batches(batch_format="pyarrow")
+                    if b.num_rows
+                ]
+            )
+        )
+        losers_ref = ray.put(loser_ids)
+
+        def drop_losers(batch: pa.Table) -> pa.Table:
+            # sorted-array membership via searchsorted: pc.is_in would
+            # rebuild its value-set hash index once PER BATCH — O(losers)
+            # each call, which dominated at a 2M-id loser set
+            blocked = ray.get(losers_ref)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            pos = np.minimum(
+                np.searchsorted(blocked, ids), len(blocked) - 1
+            )
+            keep = blocked[pos] != ids
+            return batch.filter(pa.array(keep))
+
+        return ds.map_batches(drop_losers, batch_format="pyarrow")
+
+    # loser set too large to broadcast: one full-row hash-shard shuffle
     def keep_min(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([ "content_hash", id_col])
+        df = df.sort_values(["content_hash", id_col])
         return df.drop_duplicates(subset=["content_hash"]).drop(
             columns=["content_hash", "__shard"]
         )
