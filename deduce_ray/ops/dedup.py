@@ -1224,35 +1224,31 @@ def dedup_survivors(
     minimum-id document of every distinct text), not just group stats.
 
     Scale shape — LOSER anti-join, not a full-row shuffle: only
-    (content_hash, id) pairs ride the dedup exchange; each shard emits
-    the ids that LOSE (every id except the minimum of a duplicated
+    (hash_hi, hash_lo, id) int rows ride the dedup exchange; each shard
+    emits the ids that LOSE (every id except the minimum of a duplicated
     hash).  The loser set is the corpus's duplicate rows — at realistic
-    dup rates a small fraction of the input — so it broadcasts via
-    ray.put and the corpus streams through a vectorized anti-join filter
+    dup rates a small fraction of the input — so it ships in sorted
+    chunks of at most ``loser_broadcast_max`` ids via ray.put (zero-copy
+    numpy reads on the workers; the driver holds one chunk at a time)
+    and the corpus streams through a vectorized searchsorted anti-join
     with NO full-row shuffle at all (measured, 2M-row 10%-dup stress:
     60.5 s full-row shuffle -> 4.4 s; 99.75%-dup adversarial: 18.8 s,
-    still ahead of the 23.6 s shuffle).  Above ``loser_broadcast_max`` ids
-    (8 bytes each; the default bounds the broadcast at ~400 MB) it falls
-    back to the one full-row hash-shard shuffle.
+    ahead of the 23.6 s shuffle).  The loser pipeline itself runs
+    entirely in Arrow — pandas would widen int64 ids to float64 in any
+    group containing a null, rounding ids above 2^53.
 
-    The input dataset is consumed twice (hash pass + filter pass); hand
-    this a re-readable source (a read_parquet pipeline), not an
-    already-consumed iterator.
+    Preconditions: ``id_col`` values are UNIQUE and non-null (the
+    module-wide doc-id contract) — with duplicate ids, "the minimum-id
+    row" is ill-defined and an id that wins one text group while losing
+    another would be dropped entirely.  The input dataset is consumed
+    twice (hash pass + filter pass); hand this a re-readable source (a
+    read_parquet pipeline), not an already-consumed iterator.
     """
     import ray
-    import ray.data
 
     from deduce_ray.ops.agg import merge_shards
 
     n_shards = merge_shards()
-
-    def add_hash(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        hashes = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
-        shard = [int(h[:4], 16) % n_shards for h in hashes]
-        return batch.append_column(
-            "content_hash", pa.array(hashes)
-        ).append_column("__shard", pa.array(shard, type=pa.int64()))
 
     def hash_ids_only(batch: pa.Table) -> pa.Table:
         # the dedup key rides the shuffle as TWO int64s (the full 128-bit
@@ -1273,10 +1269,29 @@ def dedup_survivors(
             }
         )
 
-    def emit_losers(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["__h_hi", "__h_lo", id_col])
-        losers = df[df.duplicated(subset=["__h_hi", "__h_lo"])]
-        return losers[[id_col]]
+    def emit_losers(tbl: pa.Table) -> pa.Table:
+        # Arrow-native all-but-first per (h_hi, h_lo): sort, then a row is
+        # a loser iff it shares both hash words with its predecessor
+        n = tbl.num_rows
+        if n <= 1:
+            return tbl.select([id_col]).slice(0, 0)
+        tbl = tbl.sort_by(
+            [
+                ("__h_hi", "ascending"),
+                ("__h_lo", "ascending"),
+                (id_col, "ascending"),
+            ]
+        )
+        hi = tbl.column("__h_hi").combine_chunks()
+        lo = tbl.column("__h_lo").combine_chunks()
+        same = pc.and_(
+            pc.equal(hi.slice(1), hi.slice(0, n - 1)),
+            pc.equal(lo.slice(1), lo.slice(0, n - 1)),
+        )
+        if isinstance(same, pa.ChunkedArray):
+            same = same.combine_chunks()
+        mask = pa.concat_arrays([pa.array([False]), same])
+        return tbl.select([id_col]).filter(mask)
 
     # batch_size coalesces many small upstream blocks before the sort
     # exchange (hundreds of blocks x n_shards partitions of shuffle
@@ -1290,66 +1305,61 @@ def dedup_survivors(
             num_cpus=0.9,
         )
         .groupby("__shard")
-        .map_groups(emit_losers, batch_format="pandas")
+        .map_groups(emit_losers, batch_format="pyarrow")
         .materialize()
     )
-    n_losers = losers.count()
 
-    if n_losers <= loser_broadcast_max:
-        if n_losers == 0:
-            return ds
-        loser_ids = np.sort(
-            np.concatenate(
-                [
-                    b.column(id_col).to_numpy(zero_copy_only=False)
-                    for b in losers.iter_batches(batch_format="pyarrow")
-                    if b.num_rows
-                ]
-            )
-        )
-        losers_ref = ray.put(loser_ids)
+    # pull loser ids in bounded chunks (driver peak = one chunk), sort
+    # each, ray.put each — the worker-side filter checks every chunk
+    chunk_rows = max(int(loser_broadcast_max), 1_000_000)
+    refs, buf, buffered = [], [], 0
+    for b in losers.iter_batches(batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        buf.append(b.column(id_col).to_numpy(zero_copy_only=False))
+        buffered += b.num_rows
+        if buffered >= chunk_rows:
+            refs.append(ray.put(np.sort(np.concatenate(buf))))
+            buf, buffered = [], 0
+    if buf:
+        refs.append(ray.put(np.sort(np.concatenate(buf))))
+    if not refs:
+        return ds
 
-        def drop_losers(batch: pa.Table) -> pa.Table:
-            # sorted-array membership via searchsorted: pc.is_in would
-            # rebuild its value-set hash index once PER BATCH — O(losers)
-            # each call, which dominated at a 2M-id loser set
-            blocked = ray.get(losers_ref)
-            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            pos = np.minimum(
-                np.searchsorted(blocked, ids), len(blocked) - 1
-            )
-            keep = blocked[pos] != ids
-            return batch.filter(pa.array(keep))
+    return _drop_ids(ds, refs, id_col)
 
-        return ds.map_batches(drop_losers, batch_format="pyarrow")
 
-    # loser set too large to broadcast: one full-row hash-shard shuffle
-    def keep_min(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["content_hash", id_col])
-        return df.drop_duplicates(subset=["content_hash"]).drop(
-            columns=["content_hash", "__shard"]
-        )
+def _drop_ids(ds, sorted_id_refs, id_col: str):
+    """Streaming anti-join: drop rows whose id is in any of the ray.put
+    SORTED numpy id arrays.  Membership is searchsorted per chunk —
+    ``pc.is_in`` would rebuild its value-set hash index once PER BATCH,
+    an O(ids) cost each call that dominated at multi-million-id sets;
+    the sorted arrays are zero-copy plasma reads on the workers."""
+    import ray
 
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("__shard")
-        .map_groups(keep_min, batch_format="pandas")
-    )
+    def drop_blocked(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        keep = np.ones(len(ids), dtype=bool)
+        for ref in sorted_id_refs:
+            blocked = ray.get(ref)
+            if not len(blocked):
+                continue
+            pos = np.minimum(np.searchsorted(blocked, ids), len(blocked) - 1)
+            keep &= blocked[pos] != ids
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(drop_blocked, batch_format="pyarrow")
 
 
 def anti_join_blocklist(ds, blocked_ids, id_col: str = "doc_id"):
     """Broadcast ANTI join: drop rows whose id is in the (small) blocklist
     — suppression/opt-out filtering.  The blocklist ships once via ray.put
-    and each batch filters vectorized with is_in; a blocklist too large to
-    broadcast would instead hash-shard both sides and anti-join per shard.
-    """
+    as a sorted numpy array; each batch filters via the shared
+    searchsorted anti-join (:func:`_drop_ids`), which avoids pc.is_in's
+    per-batch value-set rebuild for large lists."""
     import ray
 
-    blocked_ref = ray.put(pa.array(sorted(set(blocked_ids)), type=pa.int64()))
-
-    def drop_blocked(batch: pa.Table) -> pa.Table:
-        blocked = ray.get(blocked_ref)
-        mask = pc.invert(pc.is_in(batch.column(id_col), value_set=blocked))
-        return batch.filter(mask)
-
-    return ds.map_batches(drop_blocked, batch_format="pyarrow")
+    blocked_ref = ray.put(
+        np.asarray(sorted(set(blocked_ids)), dtype=np.int64)
+    )
+    return _drop_ids(ds, [blocked_ref], id_col)
