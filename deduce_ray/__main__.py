@@ -71,12 +71,14 @@ def _infer_format(path: str) -> str:
         )
     if suffix == ".csv":
         return "csv"
+    if suffix == ".orc":
+        return "orc"
     if p.is_file():
         if suffix == ".parquet":
             return "parquet"
         raise SystemExit(
             f"cannot infer the format of {path!r} from its suffix — "
-            "pass --format parquet|jsonl|csv"
+            "pass --format parquet|jsonl|csv|orc"
         )
     # a directory: classify by what its TOP level holds (sharded-corpus
     # layouts put part files directly under the directory).  Deliberately
@@ -85,7 +87,12 @@ def _infer_format(path: str) -> str:
     # must not reclassify the whole tree (--format overrides either way)
     if any(p.glob("*.parquet")):
         return "parquet"
-    for pat, fmt in (("*.jsonl", "jsonl"), ("*.ndjson", "jsonl"), ("*.csv", "csv")):
+    for pat, fmt in (
+        ("*.jsonl", "jsonl"),
+        ("*.ndjson", "jsonl"),
+        ("*.csv", "csv"),
+        ("*.orc", "orc"),
+    ):
         if any(p.glob(pat)):
             return fmt
     return "text-tree"
@@ -104,6 +111,10 @@ def _read_corpus(args):
         return read_jsonl_corpus(args.input, text_key=args.text_key)
     if fmt == "csv":
         return read_csv_corpus(args.input, text_key=args.text_key)
+    if fmt == "orc":
+        from deduce_ray.sources import read_orc_corpus
+
+        return read_orc_corpus(args.input, text_key=args.text_key)
     if fmt == "text-tree":
         return read_text_tree_corpus(
             args.input,
@@ -235,7 +246,7 @@ def main() -> int:
     p.add_argument("--input", required=True)
     p.add_argument(
         "--format",
-        choices=["parquet", "jsonl", "csv", "text-tree"],
+        choices=["parquet", "jsonl", "csv", "orc", "text-tree"],
         help="input format (default: inferred from the path)",
     )
     p.add_argument(

@@ -168,6 +168,61 @@ def read_csv_corpus(
     )
 
 
+def read_orc_corpus(
+    path: str | Path, text_key: str = "content", column_map: dict[str, str] | None = None
+):
+    """ORC file(s) -> repo-shaped Dataset.
+
+    Ray Data has no native ORC reader; a single small file is read
+    driver-side (column-pruned via ``ORCFile.read(columns=...)``) and
+    pre-sliced, while a directory (or large file) streams through
+    ``read_binary_files`` with per-file ORC decode inside ``map_batches``
+    — one task per file, never driver-side.  ORC is a TYPED format, so
+    there are no source bytes to preserve: non-string mapped columns are
+    cast to string by the repo-batch mapper.
+    """
+    import pyarrow.orc as orc
+    import ray.data
+
+    from deduce_ray.corpus import slice_table_to_blocks
+
+    cmap = column_map or _default_column_map(text_key)
+    p = Path(path)
+
+    def wanted_columns(schema_names) -> list[str]:
+        return [c for c in cmap if c in schema_names]
+
+    if p.is_file() and p.stat().st_size <= _SMALL_FILE_MAX_BYTES:
+        f = orc.ORCFile(str(p))
+        tbl = f.read(columns=wanted_columns(f.schema.names))
+        ds = slice_table_to_blocks(tbl)
+        return ds.map_batches(
+            lambda b: _to_repo_batch(b, cmap), batch_format="pyarrow"
+        )
+
+    content_src = {v: k for k, v in cmap.items()}["content"]
+
+    def decode(batch: dict) -> pa.Table:
+        outs = []
+        for raw in batch["bytes"]:
+            f = orc.ORCFile(pa.BufferReader(bytes(raw)))
+            tbl = f.read(columns=wanted_columns(f.schema.names))
+            outs.append(_to_repo_batch(tbl, cmap))
+        if not outs:
+            outs = [
+                _to_repo_batch(
+                    pa.table({content_src: pa.array([], type=pa.string())}),
+                    cmap,
+                )
+            ]
+        return pa.concat_tables(outs)
+
+    ds = ray.data.read_binary_files(
+        str(p), include_paths=False, file_extensions=["orc"]
+    )
+    return ds.map_batches(decode, batch_format="numpy")
+
+
 def read_text_tree_corpus(
     root: str | Path,
     lang: str = "",

@@ -194,6 +194,54 @@ class TestJsonlTypes:
         assert rows == sorted(DOCS, key=lambda x: x["path"])
 
 
+class TestOrc:
+    def test_single_file_roundtrip(self, ray_session, tmp_path):
+        import pyarrow.orc as orc
+
+        from deduce_ray.sources import read_orc_corpus
+
+        f = tmp_path / "docs.orc"
+        orc.write_table(
+            pa.table({k: pa.array([d[k] for d in DOCS]) for k in DOCS[0]}), f
+        )
+        ds = read_orc_corpus(f)
+        _assert_repo_shape(ds)
+        assert _rows(ds) == sorted(DOCS, key=lambda d: d["path"])
+
+    def test_directory_of_orc_files(self, ray_session, tmp_path):
+        import pyarrow.orc as orc
+
+        from deduce_ray.sources import read_orc_corpus
+
+        d = tmp_path / "orcdir"
+        d.mkdir()
+        for i, doc in enumerate(DOCS):
+            orc.write_table(
+                pa.table({k: pa.array([doc[k]]) for k in doc}),
+                d / f"part-{i:04d}.orc",
+            )
+        rows = _rows(read_orc_corpus(d))
+        assert rows == sorted(DOCS, key=lambda x: x["path"])
+
+    def test_typed_columns_cast_to_string(self, ray_session, tmp_path):
+        import pyarrow.orc as orc
+
+        from deduce_ray.sources import read_orc_corpus
+
+        f = tmp_path / "typed.orc"
+        orc.write_table(
+            pa.table(
+                {
+                    "content": pa.array(["a", "b"]),
+                    "commit": pa.array([1, 2], type=pa.int64()),
+                }
+            ),
+            f,
+        )
+        rows = sorted(read_orc_corpus(f).take_all(), key=lambda r: r["content"])
+        assert [r["commit"] for r in rows] == ["1", "2"]
+
+
 class TestTextTree:
     def test_tree_layout(self, ray_session, tmp_path):
         root = tmp_path / "corpus"
