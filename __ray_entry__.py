@@ -339,14 +339,17 @@ def _q_embedding_neardup(sf_dir: str):
 
 
 def _load_query_vectors(sf_dir: str, n: int = 5):
+    """Load the n query vectors with row-group + column pushdown — the
+    driver reads only the row groups that can contain vec_id < n and only
+    the two needed columns, never the whole embeddings table."""
+    import numpy as np
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
-    import numpy as np
-    import pyarrow.compute as pc
-
-    mask = pc.less(tbl.column("vec_id"), n)
-    sub = tbl.filter(mask)
+    sub = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n)],
+    )
     order = np.argsort(np.asarray(sub.column("vec_id").to_pylist()))
     vecs = np.asarray(sub.column("embedding").to_pylist(), dtype=np.float64)
     return vecs[order]
@@ -392,18 +395,29 @@ def _q_ann_topk_ivf(sf_dir: str):
     against the DuckDB oracle; the production configuration
     (n_probe < n_lists) and the in-batch ivf_topk variant are
     recall/equivalence-tested in tests/test_ray_pipeline.py."""
+    import glob
     import hashlib
+    import os
     import shutil
 
     import ray.data
 
     from deduce_ray.ops.similarity import ivf_build, ivf_search
 
-    # fixed per-sf scratch path, rebuilt each call: a mkdtemp per run
-    # would leak one corpus-sized copy into /tmp per benchmark invocation
+    # pid-scoped scratch path so two concurrent processes querying the
+    # same sf_dir (bench + check_oracles) never race on one index dir; a
+    # plain mkdtemp per run would leak one corpus-sized copy per
+    # invocation, so instead reap dirs whose owning process is gone
+    # (the returned Dataset reads index_dir lazily — same-pid dirs may
+    # still be in use and are rebuilt in place on the next call)
+    for stale in glob.glob("/tmp/deduce_ray_ivf_*_pid*"):
+        pid = stale.rsplit("_pid", 1)[-1]
+        if pid.isdigit() and not os.path.exists(f"/proc/{pid}"):
+            shutil.rmtree(stale, ignore_errors=True)
     index_dir = (
         "/tmp/deduce_ray_ivf_"
         + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        + f"_pid{os.getpid()}"
     )
     shutil.rmtree(index_dir, ignore_errors=True)
     ivf_build(

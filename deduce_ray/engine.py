@@ -236,13 +236,17 @@ class DeduceEngine:
         time_budget_s: float | None = None,
     ) -> Document:
         """``time_budget_s``: optional per-document wall-clock budget — a
-        straggler guard for adversarial inputs at scale.  On breach the
-        remaining ANNOTATORS are skipped (the found annotations stay
-        valid), the annotation PROCESSORS still run so the output is
-        well-formed, and ``doc.budget_exhausted`` is set for the caller
-        to flag.  Deadline-aware annotators (the context fixpoint) also
-        stop mid-iteration.  Off (None) by default: budgeted output
-        depends on wall-clock, so conformance paths must not use it."""
+        straggler guard for adversarial inputs at scale.  The guard is
+        BEST-EFFORT with between-annotator granularity: the deadline is
+        checked before each remaining ANNOTATOR starts (the found
+        annotations stay valid), the annotation PROCESSORS still run so
+        the output is well-formed, and ``doc.budget_exhausted`` is set
+        for the caller to flag.  Only the context fixpoint also checks
+        the deadline mid-iteration; a single non-deadline-aware annotator
+        (trie scan / token-pattern walk on a pathological document) can
+        overshoot the budget by its own runtime before the skip takes
+        effect.  Off (None) by default: budgeted output depends on
+        wall-clock, so conformance paths must not use it."""
         if enabled is not None and disabled is not None:
             raise ValueError("pass either enabled or disabled, not both")
 

@@ -170,7 +170,12 @@ def _lsh_planes(dim: int, n_planes: int, n_tables: int) -> np.ndarray:
     )
 
 
-def _hot_bucket_pairs(df: pd.DataFrame, key_col: str, id_col: str):
+def _hot_bucket_pairs(
+    df: pd.DataFrame,
+    key_col: str,
+    id_col: str,
+    max_bucket: int | None = None,
+):
     """Distinct candidate pairs from bucket co-membership — the shared
     core of every in-shard LSH verification (minhash, simhash, embedding).
 
@@ -179,7 +184,16 @@ def _hot_bucket_pairs(df: pd.DataFrame, key_col: str, id_col: str):
     out id_a < id_b without a per-pair sort), and ``ia``/``ib`` are int64
     POSITION arrays into ``docs`` for the candidate pairs — np.triu per
     bucket (Python cost per bucket, not per pair), cross-bucket dedup via
-    one np.unique.  ``(None, None, None)`` when no bucket has 2+ ids."""
+    one np.unique.  ``(None, None, None)`` when no bucket has 2+ ids.
+
+    Per-bucket candidates are quadratic in bucket size.  The default
+    mitigation upstream is exact-dup pre-collapse (``collapse_exact`` in
+    the three LSH ops), which removes the mass-duplication input shape;
+    ``max_bucket`` is the residual knob for DISTINCT-text hot buckets:
+    buckets larger than it contribute only their ``max_bucket``
+    smallest-id members and the exact number of dropped candidate pairs
+    is logged (never silent) — a recall cap, off by default so the
+    oracle-checked configurations stay exact."""
     sizes = df.groupby(key_col)[id_col].nunique()
     hot = sizes[sizes > 1].index
     if not len(hot):
@@ -190,6 +204,8 @@ def _hot_bucket_pairs(df: pd.DataFrame, key_col: str, id_col: str):
     pos = {int(d): p for p, d in enumerate(doc_ids)}
     ia_parts: list[np.ndarray] = []
     ib_parts: list[np.ndarray] = []
+    capped_buckets = 0
+    dropped_pairs = 0
     mem = sub.drop_duplicates(subset=[key_col, id_col])
     for _, ids in mem.groupby(key_col)[id_col]:
         arr = np.sort(
@@ -197,9 +213,25 @@ def _hot_bucket_pairs(df: pd.DataFrame, key_col: str, id_col: str):
                 (pos[int(x)] for x in ids), dtype=np.int64, count=len(ids)
             )
         )
+        if max_bucket is not None and len(arr) > max_bucket:
+            capped_buckets += 1
+            dropped_pairs += (
+                len(arr) * (len(arr) - 1) - max_bucket * (max_bucket - 1)
+            ) // 2
+            arr = arr[:max_bucket]  # sorted positions == smallest ids
         iu, ju = np.triu_indices(len(arr), k=1)
         ia_parts.append(arr[iu])
         ib_parts.append(arr[ju])
+    if capped_buckets:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "_hot_bucket_pairs: capped %d bucket(s) at max_bucket=%d, "
+            "dropping %d candidate pair(s) (recall cap, not an error)",
+            capped_buckets,
+            max_bucket,
+            dropped_pairs,
+        )
     uniq = np.unique(
         np.stack(
             [np.concatenate(ia_parts), np.concatenate(ib_parts)], axis=1
@@ -207,6 +239,390 @@ def _hot_bucket_pairs(df: pd.DataFrame, key_col: str, id_col: str):
         axis=0,
     )
     return docs, uniq[:, 0], uniq[:, 1]
+
+
+# ---------------------------------------------------------------------------
+# exact-dup pre-collapse for the LSH families
+# ---------------------------------------------------------------------------
+#
+# Exact duplicates share EVERY band/table bucket, so a mass-duplicated text
+# (1M copies of one license header — routine at 100 TB) turns one bucket
+# into ~5e11 candidate pairs per band and kills the verify shard.  All
+# three LSH ops therefore collapse byte-identical inputs to one
+# representative (minimum id) BEFORE bucketing, run LSH on representatives
+# only, and expand the verified pairs back through the dup groups at emit
+# time.  The expansion is exact, not approximate: members of a group have
+# identical signatures/vectors, so every member pair's similarity equals
+# the representative pair's, and intra-group pairs sit at the maximum
+# (jaccard 1.0 / hamming 0 / cosine 1.0), which always passes the
+# threshold.  Only the EMITTED pair list is quadratic in group size — an
+# output-size fact shared with any brute-force oracle — so expansion
+# falls back to a connectivity-preserving star (rep, member) above
+# ``expand_cap`` pairs per group, with the exact dropped count logged.
+
+
+def collapse_exact_dups(ds, id_col: str, keyer, loser_broadcast_max: int = 50_000_000):
+    """Collapse rows with identical 128-bit collapse keys to one
+    representative (minimum id) row each.
+
+    ``keyer(batch: pa.Table) -> (hi, lo, skip)`` returns two int64 numpy
+    key words per row plus a bool "skip" mask for rows the downstream op
+    would discard anyway (shingle-less / word-less / zero-norm) — skipped
+    groups still lose their non-representative members (they contribute
+    nothing) but emit no expansion edges.
+
+    Returns ``(reps_ds, edges_ds)``: ``reps_ds`` is the input filtered to
+    representatives via the shared sorted-chunk anti-join (only
+    (hi, lo, id) ints ride the exchange — same shape as dedup_survivors),
+    and ``edges_ds`` holds (rep, member) rows for every collapsed member
+    of a non-skipped group, or ``None`` when the input had no exact dups
+    (the common case: zero extra stages downstream)."""
+    import ray
+
+    from deduce_ray.ops.agg import merge_shards
+
+    n_shards = merge_shards()
+
+    def hash_rows(batch: pa.Table) -> pa.Table:
+        hi, lo, skip = keyer(batch)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "__h_hi": pa.array(hi, type=pa.int64()),
+                "__h_lo": pa.array(lo, type=pa.int64()),
+                "__skip": pa.array(np.asarray(skip, dtype=bool)),
+                "__shard": pa.array(hi % n_shards, type=pa.int64()),
+            }
+        )
+
+    def emit_edges(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["__h_hi", "__h_lo", id_col])
+        hi = df["__h_hi"].to_numpy()
+        lo = df["__h_lo"].to_numpy()
+        ids = df[id_col].to_numpy(dtype=np.int64)
+        skip = df["__skip"].to_numpy(dtype=bool)
+        n = len(df)
+        new_group = np.ones(n, dtype=bool)
+        if n > 1:
+            new_group[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+        # index of each row's group start (arange is increasing, so the
+        # running max of start indices is exactly the current group start)
+        rep_idx = np.maximum.accumulate(
+            np.where(new_group, np.arange(n), 0)
+        )
+        losers = ~new_group
+        return pd.DataFrame(
+            {
+                "rep": ids[rep_idx][losers],
+                "member": ids[losers],
+                "pair_ok": ~skip[losers],
+            }
+        ).astype({"rep": "int64", "member": "int64", "pair_ok": "bool"})
+
+    edges = (
+        ds.map_batches(
+            hash_rows, batch_format="pyarrow", batch_size=65536, num_cpus=0.9
+        )
+        .groupby("__shard")
+        .map_groups(emit_edges, batch_format="pandas")
+        .materialize()
+    )
+
+    # every member row is a loser id; pull them in bounded sorted chunks
+    # (driver peak = one chunk) exactly like dedup_survivors
+    chunk_rows = max(int(loser_broadcast_max), 1_000_000)
+    refs, buf, buffered = [], [], 0
+    any_pair_edges = False
+    for b in edges.iter_batches(batch_format="pyarrow"):
+        if not b.num_rows:
+            continue
+        if not any_pair_edges and pc.any(b.column("pair_ok")).as_py():
+            any_pair_edges = True
+        buf.append(b.column("member").to_numpy(zero_copy_only=False))
+        buffered += b.num_rows
+        if buffered >= chunk_rows:
+            refs.append(ray.put(np.sort(np.concatenate(buf))))
+            buf, buffered = [], 0
+    if buf:
+        refs.append(ray.put(np.sort(np.concatenate(buf))))
+    if not refs:
+        return ds, None
+
+    reps = _drop_ids(ds, refs, id_col)
+    if not any_pair_edges:
+        return reps, None
+    pair_edges = edges.map_batches(
+        lambda t: t.filter(t.column("pair_ok")).select(["rep", "member"]),
+        batch_format="pyarrow",
+    )
+    return reps, pair_edges
+
+
+def _text_collapse_keyer(text_col: str):
+    """Collapse key = md5(text); skip rows with no words (the LSH text ops
+    discard them: word_shingles()/split_words() are empty for the same
+    inputs, so the flag is exact for both minhash and simhash)."""
+    from deduce_ray.ops.textstats import split_words
+
+    def keyer(batch: pa.Table):
+        texts = batch.column(text_col).to_pylist()
+        digests = [hashlib.md5((t or "").encode()).digest() for t in texts]
+        hi = np.fromiter(
+            (int.from_bytes(d[:8], "big", signed=True) for d in digests),
+            dtype=np.int64,
+            count=len(digests),
+        )
+        lo = np.fromiter(
+            (int.from_bytes(d[8:], "big", signed=True) for d in digests),
+            dtype=np.int64,
+            count=len(digests),
+        )
+        skip = np.fromiter(
+            (not split_words(t or "") for t in texts),
+            dtype=bool,
+            count=len(texts),
+        )
+        return hi, lo, skip
+
+    return keyer
+
+
+def _vector_collapse_keyer(vec_col: str):
+    """Collapse key = md5 of the float64 vector bytes; skip zero-norm rows
+    (their verified cosine is 0 under the shared denom guard, never a
+    pair — and collapsing them removes the all-zeros hot bucket)."""
+
+    def keyer(batch: pa.Table):
+        mat = _vec_matrix(batch.column(vec_col))
+        n = mat.shape[0]
+        hi = np.empty(n, dtype=np.int64)
+        lo = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            d = hashlib.md5(mat[i].tobytes()).digest()
+            hi[i] = int.from_bytes(d[:8], "big", signed=True)
+            lo[i] = int.from_bytes(d[8:], "big", signed=True)
+        skip = ~(mat != 0).any(axis=1)
+        return hi, lo, skip
+
+    return keyer
+
+
+def _expand_dup_pairs(
+    rep_pairs,
+    edges_ds,
+    value_col: str,
+    intra_value,
+    value_dtype: str,
+    expand_cap: int | None = 8192,
+):
+    """Expand representative-level verified pairs through exact-dup groups.
+
+    Emits (a) intra-group pairs at ``intra_value`` for every collapsed
+    group — always above threshold by construction — and (b) each rep
+    pair replicated across the member sets of both endpoints (members
+    share the rep's signature/vector, so the verified value transfers
+    exactly).  Groups whose expansion would exceed ``expand_cap`` pairs
+    degrade to a star around the representative (connectivity and
+    dup-flagging preserved; exact dropped-pair count logged — an
+    output-size cap, not a candidate-generation one).
+
+    Requires non-negative ids (the join stages use -1 as their pair-row
+    sentinel, matching embedding_neardup_pairs' convention)."""
+    import ray.data
+
+    from deduce_ray.ops.agg import merge_shards
+
+    if edges_ds is None:
+        return rep_pairs
+    n_shards = merge_shards()
+
+    def intra_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        import logging
+
+        parts: list[pd.DataFrame] = []
+        dropped = 0
+        for rep, grp in df.groupby("rep"):
+            members = np.concatenate(
+                [
+                    np.asarray([rep], dtype=np.int64),
+                    np.sort(grp["member"].to_numpy(dtype=np.int64)),
+                ]
+            )
+            m = len(members)
+            npairs = m * (m - 1) // 2
+            if expand_cap is not None and npairs > expand_cap:
+                dropped += npairs - (m - 1)
+                ia = np.zeros(m - 1, dtype=np.int64)
+                ib = np.arange(1, m, dtype=np.int64)
+            else:
+                ia, ib = np.triu_indices(m, k=1)
+            parts.append(
+                pd.DataFrame({"id_a": members[ia], "id_b": members[ib]})
+            )
+        if dropped:
+            logging.getLogger(__name__).warning(
+                "_expand_dup_pairs: intra-group expansion capped at "
+                "expand_cap=%d; emitted star pairs instead, dropping %d "
+                "pair(s) (all at the intra value — connectivity preserved)",
+                expand_cap,
+                dropped,
+            )
+        out = pd.concat(parts, ignore_index=True)
+        out[value_col] = intra_value
+        return out.astype(
+            {"id_a": "int64", "id_b": "int64", value_col: value_dtype}
+        )
+
+    def _add_rep_shard(t: pa.Table) -> pa.Table:
+        rep = t.column("rep").to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(
+            "__shard", pa.array(rep % n_shards, type=pa.int64())
+        )
+
+    edge_shard = edges_ds.map_batches(_add_rep_shard, batch_format="pyarrow")
+    intra = edge_shard.groupby("__shard").map_groups(
+        lambda df: intra_pairs(df.drop(columns=["__shard"])),
+        batch_format="pandas",
+    )
+
+    def _tag_edges(t: pa.Table) -> pa.Table:
+        rep = t.column("rep").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t.num_rows
+        return pa.table(
+            {
+                "__shard": pa.array(rep % n_shards, type=pa.int64()),
+                "rep": pa.array(rep, type=pa.int64()),
+                "member": pc.cast(t.column("member"), pa.int64()),
+                "other": pa.array(np.full(n, -1), type=pa.int64()),
+                "value": pa.array(np.zeros(n), type=pa.float64()),
+                "is_edge": pa.array(np.ones(n, dtype=bool)),
+            }
+        )
+
+    edge_tagged = edges_ds.map_batches(_tag_edges, batch_format="pyarrow")
+
+    def _tag_pairs(side: str, other: str):
+        def tag(t: pa.Table) -> pa.Table:
+            rep = (
+                t.column(side)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            n = t.num_rows
+            return pa.table(
+                {
+                    "__shard": pa.array(rep % n_shards, type=pa.int64()),
+                    "rep": pa.array(rep, type=pa.int64()),
+                    "member": pa.array(np.full(n, -1), type=pa.int64()),
+                    "other": pc.cast(t.column(other), pa.int64()),
+                    "value": pc.cast(t.column(value_col), pa.float64()),
+                    "is_edge": pa.array(np.zeros(n, dtype=bool)),
+                }
+            )
+
+        return tag
+
+    def side_expand(df: pd.DataFrame) -> pd.DataFrame:
+        import logging
+
+        edges = df[df["is_edge"]][["rep", "member"]]
+        prs = df[~df["is_edge"]][["rep", "other", "value"]]
+        empty = pd.DataFrame(
+            {
+                "mem": pd.Series(dtype="int64"),
+                "other": pd.Series(dtype="int64"),
+                "value": pd.Series(dtype="float64"),
+            }
+        )
+        if prs.empty:
+            return empty
+        base = prs.rename(columns={"rep": "mem"})[["mem", "other", "value"]]
+        if edges.empty:
+            return base.astype({"mem": "int64", "other": "int64"})
+        if expand_cap is not None:
+            cnt = edges.groupby("rep").size()
+            big = cnt[cnt + 1 > expand_cap]
+            if len(big):
+                pair_cnt = prs.groupby("rep").size()
+                dropped = int(
+                    sum(
+                        int(c) * int(pair_cnt.get(rep, 0))
+                        for rep, c in big.items()
+                    )
+                )
+                if dropped:
+                    logging.getLogger(__name__).warning(
+                        "_expand_dup_pairs: cross-group expansion capped at "
+                        "expand_cap=%d members/side; %d expanded pair(s) "
+                        "dropped (rep-level pair kept; intra stars keep "
+                        "every member connected)",
+                        expand_cap,
+                        dropped,
+                    )
+                edges = edges[~edges["rep"].isin(big.index)]
+        j = prs.merge(edges, on="rep")
+        j = j[["member", "other", "value"]].rename(columns={"member": "mem"})
+        out = pd.concat([base, j], ignore_index=True)
+        return out.astype({"mem": "int64", "other": "int64"})
+
+    # side A: replicate each pair across members of id_a's group
+    stage_a = (
+        edge_tagged.union(
+            rep_pairs.map_batches(
+                _tag_pairs("id_a", "id_b"), batch_format="pyarrow"
+            )
+        )
+        .groupby("__shard")
+        .map_groups(
+            lambda df: side_expand(df.drop(columns=["__shard"])),
+            batch_format="pandas",
+        )
+    )
+
+    # side B: same over id_b — rename so the shared tagger applies
+    def _stage_a_as_pairs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_a": t.column("mem"),
+                "id_b": t.column("other"),
+                value_col: t.column("value"),
+            }
+        )
+
+    stage_b = (
+        edge_tagged.union(
+            stage_a.map_batches(
+                _stage_a_as_pairs, batch_format="pyarrow"
+            ).map_batches(_tag_pairs("id_b", "id_a"), batch_format="pyarrow")
+        )
+        .groupby("__shard")
+        .map_groups(
+            lambda df: side_expand(df.drop(columns=["__shard"])),
+            batch_format="pandas",
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # stage_b rows are (mem = expanded id_b member, other = expanded
+        # id_a member); restore id_a < id_b (member ids can interleave
+        # across groups) and the value column's dtype
+        a = t.column("other").to_numpy(zero_copy_only=False)
+        b = t.column("mem").to_numpy(zero_copy_only=False)
+        lo_ = np.minimum(a, b)
+        hi_ = np.maximum(a, b)
+        val = t.column("value")
+        if value_dtype == "int64":
+            val = pc.cast(pc.round(val), pa.int64())
+        return pa.table(
+            {
+                "id_a": pa.array(lo_, type=pa.int64()),
+                "id_b": pa.array(hi_, type=pa.int64()),
+                value_col: val,
+            }
+        )
+
+    cross = stage_b.map_batches(finish, batch_format="pyarrow")
+    return cross.union(intra)
 
 
 def jaccard(s1: set[int], s2: set[int]) -> float:
@@ -241,7 +657,19 @@ def _dedup_pairs(
         n_shards = merge_shards()
     pairs_ds = pairs_ds.materialize()
     if driver_max and pairs_ds.count() <= driver_max:
-        df = pairs_ds.to_pandas()
+        # build from iter_batches rather than bare to_pandas(): the bound
+        # is the count check above, made explicit and version-proof
+        # (some Ray versions enforce a default to_pandas row limit)
+        frames = [
+            b.to_pandas()
+            for b in pairs_ds.iter_batches(batch_format="pyarrow")
+        ]
+        frames = [f for f in frames if len(f)]
+        df = (
+            pd.concat(frames, ignore_index=True)
+            if frames
+            else pd.DataFrame()
+        )
         if "id_a" not in df.columns:
             # empty dataset -> zero-column DataFrame; return a typed empty
             # result instead of crashing drop_duplicates
@@ -290,8 +718,21 @@ def minhash_lsh_pairs(
     bands: int = 32,
     threshold: float = 0.6,
     verify: str = "signature",
+    collapse_exact: bool = True,
+    expand_cap: int | None = 8192,
+    max_bucket: int | None = None,
 ):
     """MinHash+LSH near-duplicate pairs.
+
+    ``collapse_exact`` (default on) collapses byte-identical texts to one
+    representative before bucketing and expands pairs back through the
+    dup groups at emit — exact-equivalent output (identical texts have
+    identical signatures) but per-bucket candidates stay bounded under
+    mass duplication (1M copies of a license header no longer form an
+    O(m^2) bucket).  ``expand_cap`` bounds the EMITTED pairs per dup
+    group (star fallback, logged); ``max_bucket`` optionally caps
+    distinct-text bucket membership (recall cap, logged, off by
+    default).
 
     Default banding 32x2 puts the S-curve knee near J~0.2, so candidate
     recall at J>=0.5 is effectively 1; the in-bucket verification check
@@ -322,6 +763,11 @@ def minhash_lsh_pairs(
         )
     rows_per_band = n_perm // bands
     a, b = _minhash_params(n_perm)
+    dup_edges = None
+    if collapse_exact:
+        ds, dup_edges = collapse_exact_dups(
+            ds, id_col, _text_collapse_keyer(text_col)
+        )
     from deduce_ray.ops.agg import merge_shards
 
     n_shards = merge_shards()  # shuffle key granularity: most band-buckets
@@ -433,7 +879,7 @@ def minhash_lsh_pairs(
                 "jaccard": pd.Series(dtype="float64"),
             }
         )
-        docs, ia, ib = _hot_bucket_pairs(df, "bucket", id_col)
+        docs, ia, ib = _hot_bucket_pairs(df, "bucket", id_col, max_bucket)
         if docs is None:
             return empty
         doc_ids = docs[id_col].to_numpy(dtype=np.int64)
@@ -469,7 +915,10 @@ def minhash_lsh_pairs(
     sigs = ds.map_batches(signatures, batch_format="pyarrow")
     pairs = sigs.groupby("shard").map_groups(verify_shard, batch_format="pandas")
     # drop duplicate pairs found via buckets in different shards
-    return _dedup_pairs(pairs, "jaccard", n_shards)
+    rep_pairs = _dedup_pairs(pairs, "jaccard", n_shards)
+    return _expand_dup_pairs(
+        rep_pairs, dup_edges, "jaccard", 1.0, "float64", expand_cap
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -521,7 +970,31 @@ def neardup_clusters(
     pairs_ds = pairs_ds.materialize()
 
     if driver_threshold and pairs_ds.count() <= driver_threshold:
-        pairs = pairs_ds.select_columns(["id_a", "id_b"]).take_all()
+        # pull the two id columns as numpy via iter_batches — take_all()'s
+        # per-row dicts cost ~1 ms/row on pandas blocks (measured 85 s for
+        # 100k pairs vs <1 s columnar)
+        a_parts: list[np.ndarray] = []
+        b_parts: list[np.ndarray] = []
+        for bt in pairs_ds.select_columns(["id_a", "id_b"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            if bt.num_rows:
+                a_parts.append(
+                    bt.column("id_a").to_numpy(zero_copy_only=False)
+                )
+                b_parts.append(
+                    bt.column("id_b").to_numpy(zero_copy_only=False)
+                )
+        pair_a = (
+            np.concatenate(a_parts).astype(np.int64)
+            if a_parts
+            else np.empty(0, dtype=np.int64)
+        )
+        pair_b = (
+            np.concatenate(b_parts).astype(np.int64)
+            if b_parts
+            else np.empty(0, dtype=np.int64)
+        )
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -532,13 +1005,18 @@ def neardup_clusters(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in pairs:
-            ra, rb = find(int(row["id_a"])), find(int(row["id_b"]))
+        for ia, ib in zip(pair_a.tolist(), pair_b.tolist()):
+            ra, rb = find(ia), find(ib)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
         if nodes_ds is not None:
-            for row in nodes_ds.select_columns(["doc_id"]).take_all():
-                find(int(row["doc_id"]))
+            for bt in nodes_ds.select_columns(["doc_id"]).iter_batches(
+                batch_format="pyarrow"
+            ):
+                for node in bt.column("doc_id").to_numpy(
+                    zero_copy_only=False
+                ).tolist():
+                    find(int(node))
         out = pd.DataFrame(
             sorted((node, find(node)) for node in parent),
             columns=["doc_id", "cluster_id"],
@@ -752,11 +1230,24 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    collapse_exact: bool = True,
+    expand_cap: int | None = 8192,
+    max_bucket: int | None = None,
 ):
     """SimHash near-dup pairs: 4x16-bit band bucketing guarantees recall for
-    Hamming distance <= 3; in-bucket exact Hamming verification."""
+    Hamming distance <= 3; in-bucket exact Hamming verification.
+
+    ``collapse_exact`` / ``expand_cap`` / ``max_bucket`` mirror
+    :func:`minhash_lsh_pairs` — identical texts collapse to one
+    representative before bucketing (hamming 0 by construction) and
+    verified pairs expand back through the dup groups at emit."""
     from deduce_ray.ops.agg import merge_shards
 
+    dup_edges = None
+    if collapse_exact:
+        ds, dup_edges = collapse_exact_dups(
+            ds, id_col, _text_collapse_keyer(text_col)
+        )
     n_shards = merge_shards()
 
     def signatures(batch: pa.Table) -> pa.Table:
@@ -801,7 +1292,7 @@ def simhash_pairs(
                 "hamming": pd.Series(dtype="int64"),
             }
         )
-        docs, ia, ib = _hot_bucket_pairs(df, "bucket", id_col)
+        docs, ia, ib = _hot_bucket_pairs(df, "bucket", id_col, max_bucket)
         if docs is None:
             return empty
         doc_ids = docs[id_col].to_numpy(dtype=np.int64)
@@ -825,7 +1316,10 @@ def simhash_pairs(
 
     sigs = ds.map_batches(signatures, batch_format="pyarrow")
     pairs = sigs.groupby("shard").map_groups(verify_shard, batch_format="pandas")
-    return _dedup_pairs(pairs, "hamming", n_shards, value_dtype="int64")
+    rep_pairs = _dedup_pairs(pairs, "hamming", n_shards, value_dtype="int64")
+    return _expand_dup_pairs(
+        rep_pairs, dup_edges, "hamming", 0, "int64", expand_cap
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -897,9 +1391,19 @@ def embedding_neardup_pairs(
     n_tables: int = 8,
     broadcast_candidate_ids_max: int = 5_000_000,
     driver_verify_max: int = 20_000,
+    collapse_exact: bool = True,
+    expand_cap: int | None = 8192,
+    max_bucket: int | None = None,
 ):
     """Cosine near-duplicates via multi-table random-hyperplane LSH with
     exact verification through a JOIN back to a single vector table.
+
+    ``collapse_exact`` / ``expand_cap`` / ``max_bucket`` mirror
+    :func:`minhash_lsh_pairs`: byte-identical vectors collapse to one
+    representative before bucketing (cosine exactly 1.0 by construction;
+    zero-norm duplicates are dropped, matching the verify guard that
+    never pairs them) and verified pairs expand back through the dup
+    groups at emit.
 
     A single k-plane table finds a true pair at cosine c with probability
     only p^k (p = 1 - acos(c)/pi), e.g. ~0.38 at c=0.97 for k=12.
@@ -953,6 +1457,11 @@ def embedding_neardup_pairs(
     )
     from deduce_ray.ops.agg import merge_shards
 
+    dup_edges = None
+    if collapse_exact:
+        ds_embeddings, dup_edges = collapse_exact_dups(
+            ds_embeddings, id_col, _vector_collapse_keyer(vec_col)
+        )
     n_shards = merge_shards()
 
     def signatures(batch: pa.Table) -> pa.Table:
@@ -990,7 +1499,7 @@ def embedding_neardup_pairs(
         )
 
     def candidate_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        docs, ia, ib = _hot_bucket_pairs(df, "bucket", "id")
+        docs, ia, ib = _hot_bucket_pairs(df, "bucket", "id", max_bucket)
         if docs is None:
             return pd.DataFrame(
                 {
@@ -1015,14 +1524,21 @@ def embedding_neardup_pairs(
         # result — the exact exchange the signature-only design avoids)
         import ray.data
 
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "id_a": pa.array([], type=pa.int64()),
-                    "id_b": pa.array([], type=pa.int64()),
-                    "cosine": pa.array([], type=pa.float64()),
-                }
-            )
+        return _expand_dup_pairs(
+            ray.data.from_arrow(
+                pa.table(
+                    {
+                        "id_a": pa.array([], type=pa.int64()),
+                        "id_b": pa.array([], type=pa.int64()),
+                        "cosine": pa.array([], type=pa.float64()),
+                    }
+                )
+            ),
+            dup_edges,
+            "cosine",
+            1.0,
+            "float64",
+            expand_cap,
         )
     touched_ref = None
     if 0 < n_pairs <= broadcast_candidate_ids_max:
@@ -1101,16 +1617,26 @@ def embedding_neardup_pairs(
                 denom = norms[ca] * norms[cb]
                 denom[denom == 0] = 1.0
                 cos[lo:hi] = (mat[ca] * mat[cb]).sum(axis=1) / denom
-            cos = np.round(cos, 6)
+            # threshold on the UNROUNDED cosine (matching the minhash
+            # convention and the join path below); round only the stored
+            # value — rounding first would admit pairs in
+            # [threshold - 5e-7, threshold) that an exact oracle excludes
             keep_pairs = cos >= threshold
             out = pd.DataFrame(
                 {
                     "id_a": cand_df["id_a"].to_numpy(dtype=np.int64)[keep_pairs],
                     "id_b": cand_df["id_b"].to_numpy(dtype=np.int64)[keep_pairs],
-                    "cosine": cos[keep_pairs],
+                    "cosine": np.round(cos[keep_pairs], 6),
                 }
             ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
-            return ray.data.from_pandas(out)
+            return _expand_dup_pairs(
+                ray.data.from_pandas(out),
+                dup_edges,
+                "cosine",
+                1.0,
+                "float64",
+                expand_cap,
+            )
 
     # verify join, leg 1: requests (one row per pair side) + vectors,
     # co-sharded on id.  Sentinel -1 instead of nulls: Ray's arrow->pandas
@@ -1193,17 +1719,19 @@ def embedding_neardup_pairs(
         nb = np.linalg.norm(mat_b, axis=1)
         denom = na * nb
         denom[denom == 0] = 1.0
-        cos = np.round((mat_a * mat_b).sum(axis=1) / denom, 6)
+        cos = (mat_a * mat_b).sum(axis=1) / denom
+        # unrounded threshold, rounded stored value (minhash convention)
+        keep = cos >= threshold
         out = pd.DataFrame(
             {
-                "id_a": merged["id_a"].astype("int64"),
-                "id_b": merged["id_b"].astype("int64"),
-                "cosine": cos,
+                "id_a": merged["id_a"].astype("int64")[keep],
+                "id_b": merged["id_b"].astype("int64")[keep],
+                "cosine": np.round(cos[keep], 6),
             }
         )
-        return out[out["cosine"] >= threshold].reset_index(drop=True)
+        return out.reset_index(drop=True)
 
-    return (
+    joined = (
         tagged.groupby("id_shard")
         .map_groups(attach_vectors, batch_format="pandas")
         .groupby("pair_shard")
@@ -1211,6 +1739,9 @@ def embedding_neardup_pairs(
             lambda df: verify_pairs(df.drop(columns=["pair_shard"])),
             batch_format="pandas",
         )
+    )
+    return _expand_dup_pairs(
+        joined, dup_edges, "cosine", 1.0, "float64", expand_cap
     )
 
 
