@@ -130,6 +130,19 @@ def _q_kg_entities_sqlpreds(sf_dir: str):
     return canonical_entities(_triples(sf_dir, enabled=set(SQLPRED_ENABLED)))
 
 
+def _q_kg_entities_canonical_sqlpreds(sf_dir: str):
+    """Cross-document entity canonicalization (length-block shuffle ->
+    DL<=1 edges -> star clustering -> sharded canonical pick) restricted
+    to the SQL-decidable predicates — value-checked end-to-end against a
+    DuckDB damerau_levenshtein + recursive-closure oracle."""
+    from deduce_ray.oracles import SQLPRED_ENABLED
+    from deduce_ray.rayops.kg import canonicalize_entities
+
+    return canonicalize_entities(
+        _triples(sf_dir, enabled=set(SQLPRED_ENABLED))
+    )
+
+
 def _q_doc_token_counts(sf_dir: str):
     import ray.data
 
@@ -250,16 +263,38 @@ def _q_docs_not_blocklisted(sf_dir: str):
 
 
 def _q_minhash_pairs(sf_dir: str):
+    """Signature-mode (scale-path) minhash over the documents table
+    augmented with planted byte-identical copies (doc_id + 1e8),
+    restricted to the planted (original, copy) pairs.  Identical texts
+    share every permutation minimum, so signature agreement is exactly
+    1.0 and LSH recall on the planted pairs is exactly 1 in any banding
+    — which makes the scale path value-checkable against a trivial SQL
+    oracle (the text analogue of embedding_neardup's planted trick).
+    The planted pairs also ride the exact-dup collapse/expand path
+    (collapse_exact is on by default), value-checking that machinery
+    end-to-end."""
     import ray.data
 
-    from deduce_ray.ops.dedup import minhash_lsh_pairs
+    from deduce_ray.ops.dedup import minhash_lsh_pairs, plant_text_dups
 
-    return minhash_lsh_pairs(
+    planted = plant_text_dups(
         read_parquet_sliced(
             f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-        ),
-        threshold=0.5,
+        )
     )
+    pairs = minhash_lsh_pairs(planted, threshold=0.5)
+
+    def planted_only(batch):
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.equal(
+                batch.column("id_b"),
+                pc.add(batch.column("id_a"), 100_000_000),
+            )
+        )
+
+    return pairs.map_batches(planted_only, batch_format="pyarrow")
 
 
 def _q_minhash_pairs_exact(sf_dir: str):
@@ -517,7 +552,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     The round-2 driver evaluated the registry in dict order and recorded
     only the first 50 rows, silently dropping the final two — so the
     registry is now capped at 50 with every value-checked query ahead of
-    every rows-only one.  Two round-2 entries were retired to make room:
+    every rows-only one.
+
+    Round-4 composition changes: ``minhash_pairs`` (signature/scale mode)
+    gained a planted-pair DuckDB oracle (the text analogue of
+    embedding_neardup's trick) and moved into the oracled block, and
+    ``kg_entities_canonical_sqlpreds`` (DL<=1 canonicalization vs a
+    damerau_levenshtein + recursive-closure oracle) was added; to stay at
+    the 50 cap the rows-only ``kg_entities_canonical`` full-engine
+    variant was retired — its distributed path (length-block shuffle ->
+    DL1 edges -> star clustering -> canonical pick) is now value-checked
+    end-to-end by the sqlpreds variant and the full-lexicon run stays
+    covered by tests/test_ray_pipeline.py.
+
+    Two round-2 entries were retired earlier to make room:
     ``kg_redacted`` (its machinery is value-checked by
     ``kg_redacted_sqlpreds``) and ``kg_triples_by_pred`` (a trivial
     grouped count whose grouped_agg machinery is value-checked by
@@ -531,6 +579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_sqlpreds": _q_kg_triples_sqlpreds,
         "kg_graph_sqlpreds": _q_kg_graph_sqlpreds,
         "kg_entities_sqlpreds": _q_kg_entities_sqlpreds,
+        "kg_entities_canonical_sqlpreds": _q_kg_entities_canonical_sqlpreds,
         "kg_redacted_sqlpreds": _q_kg_redacted_sqlpreds,
         # --- single annotator groups, value-checked against DuckDB regex ---
         "kg_dates": _mentions_query(
@@ -556,6 +605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_survivors": _q_dedup_survivors,
         "docs_not_blocklisted": _q_docs_not_blocklisted,
         "minhash_pairs_exact": _q_minhash_pairs_exact,
+        "minhash_pairs": _q_minhash_pairs,
         "minhash_clusters": _q_minhash_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_neardup": _q_embedding_neardup,
@@ -588,9 +638,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _q_kg_triples,
         "kg_graph": _q_kg_graph,
         "kg_entities": _q_kg_entities,
-        "kg_entities_canonical": _q_kg_entities_canonical,
-        # --- scale-mode / approximate variants of value-checked ops ---
-        "minhash_pairs": _q_minhash_pairs,
+        # --- sketches ---
         "events_user_sketch": _q_events_user_sketch,
         # --- multimodal plumbing ---
         "media_features": _q_media_features,
@@ -640,6 +688,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_sqlpreds": oracles.kg_triples_sqlpreds_sql(),
         "kg_graph_sqlpreds": oracles.kg_graph_sqlpreds_sql(),
         "kg_entities_sqlpreds": oracles.kg_entities_sqlpreds_sql(),
+        "kg_entities_canonical_sqlpreds":
+            oracles.kg_entities_canonical_sqlpreds_sql(),
+        "minhash_pairs": oracles.minhash_planted_pairs_sql(),
         "doc_shingle_fingerprints": oracles.shingle_fingerprint_sql(),
         "kg_redacted_sqlpreds": oracles.kg_redacted_sqlpreds_sql(),
         "doc_langid": oracles.doc_langid_sql(),

@@ -709,6 +709,80 @@ def _dedup_pairs(
     )
 
 
+_BAND_P1 = np.uint64(0x9E3779B97F4A7C15)
+_BAND_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _minhash_sig_matrix(texts, ids_in, k, n_perm, a, b):
+    """(kept_ids, sig_rows) for the docs with at least one word.
+
+    Batched signatures (ROADMAP #6): ONE affine transform + per-doc
+    segmented min per chunk of docs, instead of an (n_perm x n_shingles)
+    product per document; chunks bound the intermediate at ~64 MB.
+    Shingle-less (empty/whitespace-only) docs are dropped: they all share
+    the zero signature, so emitting them would put every such doc in one
+    bucket (O(m^2) verify, all "jaccard 1.0") — they are exact duplicates
+    of each other and belong to exact_dedup."""
+    sh_list: list[np.ndarray] = []
+    kept: list[int] = []
+    for i, t in zip(ids_in, texts):
+        sh = word_shingles(t or "", k)
+        if sh.size == 0:
+            continue
+        sh_list.append(sh)
+        kept.append(i)
+    if not kept:
+        return (
+            np.empty(0, dtype=np.int64),
+            np.empty((0, n_perm), dtype=np.uint64),
+            [],
+        )
+    n_docs = len(kept)
+    sig_rows = np.empty((n_docs, n_perm), dtype=np.uint64)
+    max_chunk_shingles = max(1, 8_000_000 // n_perm)
+    start = 0
+    while start < n_docs:
+        end, total = start, 0
+        while end < n_docs and (
+            end == start or total + sh_list[end].size <= max_chunk_shingles
+        ):
+            total += sh_list[end].size
+            end += 1
+        chunk = sh_list[start:end]
+        lens = np.fromiter(
+            (s.size for s in chunk), dtype=np.int64, count=len(chunk)
+        )
+        offsets = np.zeros(len(chunk), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        allsh = np.concatenate(chunk)
+        with np.errstate(over="ignore"):
+            prod = a[:, None] * allsh[None, :] + b[:, None]
+        sig_rows[start:end] = np.minimum.reduceat(prod, offsets, axis=1).T
+        start = end
+    return np.asarray(kept, dtype=np.int64), sig_rows, sh_list
+
+
+def _minhash_band_buckets(sig_rows, bands, rows_per_band):
+    """(bands, n_docs) int64 bucket keys: polynomial combine of each
+    band's signature rows with the band index mixed in — int64 keys
+    (faster groupby than hex strings), and equal band slices still map to
+    equal buckets so LSH recall is unchanged; a cross-band collision only
+    ADDS a candidate that verification removes (~2^-64 per pair)."""
+    n_docs = sig_rows.shape[0]
+    bucket_rows = np.empty((bands, n_docs), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for band in range(bands):
+            seg = sig_rows[:, band * rows_per_band : (band + 1) * rows_per_band]
+            acc = seg[:, 0].copy()
+            for j in range(1, rows_per_band):
+                acc *= _BAND_P1
+                acc += seg[:, j]
+            acc += np.uint64(band) * _BAND_P1
+            acc *= _BAND_P2
+            bucket_rows[band] = acc
+    return bucket_rows
+
+
 def minhash_lsh_pairs(
     ds,
     text_col: str = "text",
@@ -721,6 +795,8 @@ def minhash_lsh_pairs(
     collapse_exact: bool = True,
     expand_cap: int | None = 8192,
     max_bucket: int | None = None,
+    broadcast_candidate_ids_max: int = 5_000_000,
+    driver_verify_max: int = 100_000,
 ):
     """MinHash+LSH near-duplicate pairs.
 
@@ -740,17 +816,22 @@ def minhash_lsh_pairs(
 
     shingle -> minhash -> band -> bucket groupby -> in-bucket verify.
 
-    ``verify`` picks the verification payload that rides into the bucket
-    shuffle:
+    ``verify`` picks the verification strategy:
 
-    - ``"signature"`` (default, the scale path): each band row carries the
-      full minhash signature at a fixed 8*n_perm bytes; the in-bucket check
-      thresholds on the signature-agreement estimate of Jaccard
-      (|sig_a == sig_b| / n_perm, unbiased, resolution 1/n_perm).  Shuffle
-      rows are constant-width regardless of document length.
-    - ``"exact"`` (validation mode for small sf): shingle sets ride along
-      and the check computes exact Jaccard.  Payload is O(doc length) and
-      multiplied by ``bands`` in the exchange — do not use at scale.
+    - ``"signature"`` (default, the scale path): the bucket shuffle ships
+      20-byte (shard, bucket, id) rows ONLY; signatures live in one
+      materialized side table (8*n_perm bytes per doc, once) and ride the
+      verify step once per touched id (bounded driver fast path, the
+      common case) or once per pair side (sharded join fallback) — never
+      once per band row.  The check thresholds on the signature-agreement
+      estimate of Jaccard (|sig_a == sig_b| / n_perm, unbiased,
+      resolution 1/n_perm).  Ids must be NON-NEGATIVE int64 (the join
+      fallback tags signature rows with an id_a = -1 sentinel, the same
+      contract as embedding_neardup_pairs).
+    - ``"exact"`` (validation mode for small sf): shingle sets ride the
+      bucket shuffle and the check computes exact Jaccard.  Payload is
+      O(doc length) and multiplied by ``bands`` in the exchange — do not
+      use at scale.
     """
     if verify not in ("signature", "exact"):
         raise ValueError(f"unknown verify mode {verify!r}")
@@ -776,114 +857,60 @@ def minhash_lsh_pairs(
     # with the per-bucket work vectorized in pandas inside each shard.
     exact = verify == "exact"
 
-    _BP1 = np.uint64(0x9E3779B97F4A7C15)
-    _BP2 = np.uint64(0xC2B2AE3D27D4EB4F)
-
-    def signatures(batch: pa.Table) -> pa.Table:
-        ids_in = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        sh_list: list[np.ndarray] = []
-        kept: list[int] = []
-        for i, t in zip(ids_in, texts):
-            sh = word_shingles(t or "", k)
-            if sh.size == 0:
-                # shingle-less (empty/whitespace-only) docs all share the
-                # zero signature: emitting them would put every such doc in
-                # one bucket (O(m^2) verify, all "jaccard 1.0") — they are
-                # exact duplicates of each other and belong to exact_dedup
-                continue
-            sh_list.append(sh)
-            kept.append(i)
-
-        payload_type = pa.list_(pa.uint64()) if exact else pa.binary()
-        if not kept:
+    if exact:
+        # ----- exact mode (sf-small validation): shingle payload rides the
+        # bucket shuffle; O(doc length) x bands exchange, do not use at
+        # scale -----
+        def signatures(batch: pa.Table) -> pa.Table:
+            ids_in = batch.column(id_col).to_pylist()
+            texts = batch.column(text_col).to_pylist()
+            ids_arr, sig_rows, sh_list = _minhash_sig_matrix(
+                texts, ids_in, k, n_perm, a, b
+            )
+            payload_type = pa.list_(pa.uint64())
+            if not len(ids_arr):
+                return pa.table(
+                    {
+                        "shard": pa.array([], type=pa.int32()),
+                        "bucket": pa.array([], type=pa.int64()),
+                        id_col: pa.array([], type=pa.int64()),
+                        "payload": pa.array([], type=payload_type),
+                    }
+                )
+            buckets_flat = _minhash_band_buckets(
+                sig_rows, bands, rows_per_band
+            ).reshape(-1)
+            doc_payloads = [s.tolist() for s in sh_list]
             return pa.table(
                 {
-                    "shard": pa.array([], type=pa.int32()),
-                    "bucket": pa.array([], type=pa.int64()),
-                    id_col: pa.array([], type=pa.int64()),
-                    "payload": pa.array([], type=payload_type),
+                    "shard": pa.array(
+                        (buckets_flat % n_shards).astype(np.int32),
+                        type=pa.int32(),
+                    ),
+                    "bucket": pa.array(
+                        buckets_flat.view(np.int64), type=pa.int64()
+                    ),
+                    id_col: pa.array(np.tile(ids_arr, bands), type=pa.int64()),
+                    "payload": pa.array(doc_payloads * bands, type=payload_type),
                 }
             )
 
-        # batched signatures (ROADMAP #6): ONE affine transform + per-doc
-        # segmented min per chunk of docs, instead of an (n_perm x
-        # n_shingles) product per document; chunks bound the intermediate
-        # at ~64 MB
-        n_docs = len(kept)
-        sig_rows = np.empty((n_docs, n_perm), dtype=np.uint64)
-        max_chunk_shingles = max(1, 8_000_000 // n_perm)
-        start = 0
-        while start < n_docs:
-            end, total = start, 0
-            while end < n_docs and (
-                end == start or total + sh_list[end].size <= max_chunk_shingles
-            ):
-                total += sh_list[end].size
-                end += 1
-            chunk = sh_list[start:end]
-            lens = np.fromiter(
-                (s.size for s in chunk), dtype=np.int64, count=len(chunk)
+        def verify_shard(df: pd.DataFrame) -> pd.DataFrame:
+            """Vectorized in-shard verification: one payload row per
+            distinct doc, candidate-pair positions gathered per bucket
+            (np.triu per bucket, Python cost per BUCKET not per pair),
+            pairs deduped with one np.unique, exact Jaccard per pair."""
+            empty = pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "jaccard": pd.Series(dtype="float64"),
+                }
             )
-            offsets = np.zeros(len(chunk), dtype=np.int64)
-            np.cumsum(lens[:-1], out=offsets[1:])
-            allsh = np.concatenate(chunk)
-            with np.errstate(over="ignore"):
-                prod = a[:, None] * allsh[None, :] + b[:, None]
-            sig_rows[start:end] = np.minimum.reduceat(prod, offsets, axis=1).T
-            start = end
-
-        # vectorized band buckets: polynomial combine of each band's sig
-        # rows with the band index mixed in — int64 keys (faster groupby
-        # than hex strings), and equal band slices still map to equal
-        # buckets so LSH recall is unchanged; a cross-band collision only
-        # ADDS a candidate that verification removes (~2^-64 per pair)
-        ids_arr = np.asarray(kept, dtype=np.int64)
-        bucket_rows = np.empty((bands, n_docs), dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for band in range(bands):
-                seg = sig_rows[:, band * rows_per_band : (band + 1) * rows_per_band]
-                acc = seg[:, 0].copy()
-                for j in range(1, rows_per_band):
-                    acc *= _BP1
-                    acc += seg[:, j]
-                acc += np.uint64(band) * _BP1
-                acc *= _BP2
-                bucket_rows[band] = acc
-        buckets_flat = bucket_rows.reshape(-1)
-        if exact:
-            doc_payloads = [s.tolist() for s in sh_list]
-        else:
-            doc_payloads = [sig_rows[d].tobytes() for d in range(n_docs)]
-        return pa.table(
-            {
-                "shard": pa.array(
-                    (buckets_flat % n_shards).astype(np.int32), type=pa.int32()
-                ),
-                "bucket": pa.array(buckets_flat.view(np.int64), type=pa.int64()),
-                id_col: pa.array(np.tile(ids_arr, bands), type=pa.int64()),
-                "payload": pa.array(doc_payloads * bands, type=payload_type),
-            }
-        )
-
-    def verify_shard(df: pd.DataFrame) -> pd.DataFrame:
-        """Vectorized in-shard verification: one payload row per distinct
-        doc, candidate-pair positions gathered per bucket (np.triu per
-        bucket, Python cost per BUCKET not per pair), pairs deduped with
-        one np.unique, and — in signature mode — ALL pair similarities
-        computed in a single matrix comparison."""
-        empty = pd.DataFrame(
-            {
-                "id_a": pd.Series(dtype="int64"),
-                "id_b": pd.Series(dtype="int64"),
-                "jaccard": pd.Series(dtype="float64"),
-            }
-        )
-        docs, ia, ib = _hot_bucket_pairs(df, "bucket", id_col, max_bucket)
-        if docs is None:
-            return empty
-        doc_ids = docs[id_col].to_numpy(dtype=np.int64)
-        if exact:
+            docs, ia, ib = _hot_bucket_pairs(df, "bucket", id_col, max_bucket)
+            if docs is None:
+                return empty
+            doc_ids = docs[id_col].to_numpy(dtype=np.int64)
             payloads = docs["payload"].tolist()
             sims = np.fromiter(
                 (
@@ -896,28 +923,336 @@ def minhash_lsh_pairs(
                 dtype=np.float64,
                 count=len(ia),
             )
-        else:
-            sigs_mat = np.vstack(
-                [np.frombuffer(p, dtype=np.uint64) for p in docs["payload"]]
+            keep = sims >= threshold  # threshold on the unrounded value
+            if not keep.any():
+                return empty
+            return pd.DataFrame(
+                {
+                    "id_a": doc_ids[ia[keep]],
+                    "id_b": doc_ids[ib[keep]],
+                    "jaccard": np.round(sims[keep], 6),
+                }
             )
-            sims = (sigs_mat[ia] == sigs_mat[ib]).mean(axis=1)
-        keep = sims >= threshold  # threshold on the unrounded value
-        if not keep.any():
-            return empty
-        return pd.DataFrame(
+
+        sigs = ds.map_batches(signatures, batch_format="pyarrow")
+        pairs = sigs.groupby("shard").map_groups(
+            verify_shard, batch_format="pandas"
+        )
+        # drop duplicate pairs found via buckets in different shards
+        rep_pairs = _dedup_pairs(pairs, "jaccard", n_shards)
+        return _expand_dup_pairs(
+            rep_pairs, dup_edges, "jaccard", 1.0, "float64", expand_cap
+        )
+
+    # ----- signature mode (the scale path): signature-only bucket shuffle,
+    # mirroring embedding_neardup_pairs.  Band rows carry (shard, bucket,
+    # id) at 20 bytes regardless of n_perm; the 8*n_perm-byte signatures
+    # live in ONE materialized side table and ride the verify step once
+    # per touched id (bounded driver fast path) or once per pair side
+    # (sharded join fallback) — never once per band row.  The previous
+    # design shipped the full signature `bands` times through the sort
+    # exchange (~16 KB/doc at the defaults, ~33 GB at 2M docs), which
+    # dominated the adversarial stress wall-time. -----
+    import logging
+
+    import ray
+    import ray.data
+
+    def sig_table(batch: pa.Table) -> pa.Table:
+        ids_in = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        ids_arr, sig_rows, _ = _minhash_sig_matrix(
+            texts, ids_in, k, n_perm, a, b
+        )
+        return pa.table(
             {
-                "id_a": doc_ids[ia[keep]],
-                "id_b": doc_ids[ib[keep]],
-                "jaccard": np.round(sims[keep], 6),
+                "id": pa.array(ids_arr, type=pa.int64()),
+                "sig": pa.array(
+                    [sig_rows[d].tobytes() for d in range(len(ids_arr))],
+                    type=pa.binary(),
+                ),
             }
         )
 
-    sigs = ds.map_batches(signatures, batch_format="pyarrow")
-    pairs = sigs.groupby("shard").map_groups(verify_shard, batch_format="pandas")
-    # drop duplicate pairs found via buckets in different shards
-    rep_pairs = _dedup_pairs(pairs, "jaccard", n_shards)
+    # materialized: consumed twice (band rows + verify fetch), and the
+    # shingling/minhash pass is the expensive part worth caching
+    sig_tbl = ds.map_batches(sig_table, batch_format="pyarrow").materialize()
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "shard": pa.array([], type=pa.int32()),
+                    "bucket": pa.array([], type=pa.int64()),
+                    "id": pa.array([], type=pa.int64()),
+                }
+            )
+        sig_rows = np.vstack(
+            [
+                np.frombuffer(s, dtype=np.uint64)
+                for s in batch.column("sig").to_pylist()
+            ]
+        )
+        ids_arr = batch.column("id").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        buckets_flat = _minhash_band_buckets(
+            sig_rows, bands, rows_per_band
+        ).reshape(-1)
+        return pa.table(
+            {
+                "shard": pa.array(
+                    (buckets_flat % n_shards).astype(np.int32), type=pa.int32()
+                ),
+                "bucket": pa.array(buckets_flat.view(np.int64), type=pa.int64()),
+                "id": pa.array(np.tile(ids_arr, bands), type=pa.int64()),
+            }
+        )
+
+    def candidate_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        docs, ia, ib = _hot_bucket_pairs(df, "bucket", "id", max_bucket)
+        if docs is None:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                }
+            )
+        ids = docs["id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    cand = (
+        sig_tbl.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(candidate_pairs, batch_format="pandas")
+        .materialize()
+    )
+
+    def _empty_pairs():
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                    "jaccard": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+
+    def _sig_agreement(mat, ia, ib):
+        """Chunked signature-agreement similarity: mat[ia]/mat[ib] would
+        materialize two (n_pairs, n_perm) uint64 copies (~5 GB at 5M
+        pairs x 64 perms); 65536-pair chunks bound the working set."""
+        sims = np.empty(len(ia), dtype=np.float64)
+        chunk = 65536
+        for lo in range(0, len(ia), chunk):
+            hi = min(lo + chunk, len(ia))
+            sims[lo:hi] = (mat[ia[lo:hi]] == mat[ib[lo:hi]]).mean(axis=1)
+        return sims
+
+    n_pairs = cand.count()
+    if n_pairs == 0:
+        # nothing to verify: skip the fetch entirely (without this, the
+        # id-shard leg would ship EVERY signature for a guaranteed-empty
+        # result — the exact exchange the signature-only design avoids)
+        return _expand_dup_pairs(
+            _empty_pairs(), dup_edges, "jaccard", 1.0, "float64", expand_cap
+        )
+
+    touched_ref = None
+    if 0 < n_pairs <= broadcast_candidate_ids_max:
+        # candidate_pairs dedupes within a shard only; the same pair found
+        # via buckets in DIFFERENT shards appears once per shard
+        frames = [
+            bt.to_pandas()
+            for bt in cand.iter_batches(batch_format="pyarrow")
+            if bt.num_rows
+        ]
+        cand_df = pd.concat(frames, ignore_index=True).drop_duplicates(
+            subset=["id_a", "id_b"]
+        )
+        touched = np.unique(
+            np.concatenate(
+                [cand_df["id_a"].to_numpy(), cand_df["id_b"].to_numpy()]
+            )
+        )
+        touched_ref = ray.put(pa.array(touched, type=pa.int64()))
+        logging.getLogger(__name__).info(
+            "minhash_lsh_pairs: %d candidate pairs over %d touched docs; "
+            "verify ships only those signatures",
+            n_pairs,
+            len(touched),
+        )
+
+        if len(touched) <= driver_verify_max:
+            # sparse-candidate fast path (the common case: near-dups are
+            # rare relative to the corpus): collect ONLY the touched
+            # signatures to the driver — a bounded materialization, like
+            # the union-find path in neardup_clusters — and verify all
+            # pairs vectorized, skipping both join shuffles entirely
+            def touched_sigs(batch: pa.Table) -> pa.Table:
+                keep = pc.is_in(
+                    batch.column("id"), value_set=ray.get(touched_ref)
+                )
+                return batch.filter(keep)
+
+            sig_frames = [
+                bt.to_pandas()
+                for bt in sig_tbl.map_batches(
+                    touched_sigs, batch_format="pyarrow"
+                ).iter_batches(batch_format="pyarrow")
+                if bt.num_rows
+            ]
+            sig_df = pd.concat(sig_frames, ignore_index=True).drop_duplicates(
+                subset=["id"]
+            )
+            mat = np.vstack(
+                [np.frombuffer(s, dtype=np.uint64) for s in sig_df["sig"]]
+            )
+            index = {int(i): p for p, i in enumerate(sig_df["id"])}
+            ia = np.fromiter(
+                (index[int(x)] for x in cand_df["id_a"]),
+                dtype=np.int64,
+                count=len(cand_df),
+            )
+            ib = np.fromiter(
+                (index[int(x)] for x in cand_df["id_b"]),
+                dtype=np.int64,
+                count=len(cand_df),
+            )
+            sims = _sig_agreement(mat, ia, ib)
+            keep_pairs = sims >= threshold  # unrounded threshold
+            out = pd.DataFrame(
+                {
+                    "id_a": cand_df["id_a"].to_numpy(dtype=np.int64)[
+                        keep_pairs
+                    ],
+                    "id_b": cand_df["id_b"].to_numpy(dtype=np.int64)[
+                        keep_pairs
+                    ],
+                    "jaccard": np.round(sims[keep_pairs], 6),
+                }
+            ).astype({"id_a": "int64", "id_b": "int64", "jaccard": "float64"})
+            return _expand_dup_pairs(
+                ray.data.from_pandas(out),
+                dup_edges,
+                "jaccard",
+                1.0,
+                "float64",
+                expand_cap,
+            )
+
+    # verify join, leg 1: requests (one row per pair side) + signatures,
+    # co-sharded on id.  Sentinel -1 instead of nulls: Ray's arrow->pandas
+    # conversion widens nullable int64 to float64 (rounds 63-bit ids).
+    def requests(batch: pa.Table) -> pa.Table:
+        a_ = batch.column("id_a").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        b_ = batch.column("id_b").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        join_id = np.concatenate([a_, b_])
+        return pa.table(
+            {
+                "id_shard": pa.array(join_id % n_shards, type=pa.int64()),
+                "join_id": pa.array(join_id, type=pa.int64()),
+                "id_a": pa.array(np.concatenate([a_, a_]), type=pa.int64()),
+                "id_b": pa.array(np.concatenate([b_, b_]), type=pa.int64()),
+                "sig": pa.nulls(2 * len(a_), type=pa.binary()),
+            }
+        )
+
+    def sig_rows_leg(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id")
+        sigs_col = batch.column("sig")
+        if touched_ref is not None:
+            keep = pc.is_in(ids, value_set=ray.get(touched_ref))
+            batch = batch.filter(keep)
+            ids = batch.column("id")
+            sigs_col = batch.column("sig")
+        n = batch.num_rows
+        ids_np = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "id_shard": pa.array(ids_np % n_shards, type=pa.int64()),
+                "join_id": pa.array(ids_np, type=pa.int64()),
+                "id_a": pa.array(np.full(n, -1), type=pa.int64()),
+                "id_b": pa.array(np.full(n, -1), type=pa.int64()),
+                "sig": sigs_col,
+            }
+        )
+
+    tagged = cand.map_batches(requests, batch_format="pyarrow").union(
+        sig_tbl.map_batches(sig_rows_leg, batch_format="pyarrow")
+    )
+
+    def attach_sigs(df: pd.DataFrame) -> pd.DataFrame:
+        have = df[df["id_a"] < 0][["join_id", "sig"]].drop_duplicates(
+            subset=["join_id"]
+        )
+        reqs = df[df["id_a"] >= 0][["join_id", "id_a", "id_b"]]
+        out = reqs.merge(have, on="join_id")[
+            ["id_a", "id_b", "join_id", "sig"]
+        ]
+        out = out.astype({"id_a": "int64", "id_b": "int64", "join_id": "int64"})
+        out["pair_shard"] = (
+            (
+                out["id_a"].to_numpy().astype(np.uint64)
+                * np.uint64(0x9E3779B97F4A7C15)
+                ^ out["id_b"].to_numpy().astype(np.uint64)
+            )
+            % n_shards
+        ).astype("int64")
+        return out
+
+    def verify_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sides_a = df[df["join_id"] == df["id_a"]].drop_duplicates(
+            subset=["id_a", "id_b"]
+        )
+        sides_b = df[df["join_id"] == df["id_b"]].drop_duplicates(
+            subset=["id_a", "id_b"]
+        )
+        merged = sides_a.merge(
+            sides_b, on=["id_a", "id_b"], suffixes=("_a", "_b")
+        )
+        if merged.empty:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "jaccard": pd.Series(dtype="float64"),
+                }
+            )
+        mat_a = np.vstack(
+            [np.frombuffer(s, dtype=np.uint64) for s in merged["sig_a"]]
+        )
+        mat_b = np.vstack(
+            [np.frombuffer(s, dtype=np.uint64) for s in merged["sig_b"]]
+        )
+        sims = (mat_a == mat_b).mean(axis=1)
+        keep = sims >= threshold  # unrounded threshold
+        out = pd.DataFrame(
+            {
+                "id_a": merged["id_a"].astype("int64")[keep],
+                "id_b": merged["id_b"].astype("int64")[keep],
+                "jaccard": np.round(sims[keep], 6),
+            }
+        )
+        return out.reset_index(drop=True)
+
+    joined = (
+        tagged.groupby("id_shard")
+        .map_groups(attach_sigs, batch_format="pandas")
+        .groupby("pair_shard")
+        .map_groups(
+            lambda df: verify_pairs(df.drop(columns=["pair_shard"])),
+            batch_format="pandas",
+        )
+    )
     return _expand_dup_pairs(
-        rep_pairs, dup_edges, "jaccard", 1.0, "float64", expand_cap
+        joined, dup_edges, "jaccard", 1.0, "float64", expand_cap
     )
 
 
@@ -1380,6 +1715,47 @@ def plant_embedding_neardups(
         return pa.concat_tables([base, planted])
 
     return ds_embeddings.map_batches(augment, batch_format="pyarrow")
+
+
+def plant_text_dups(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    every: int = 10,
+    id_offset: int = 100_000_000,
+):
+    """Deterministically augment a document table with planted exact
+    duplicates: every ``every``-th doc gains a byte-identical copy under
+    ``id + id_offset``.  Identical texts share every minhash/simhash
+    signature (jaccard exactly 1.0, hamming 0), so LSH recall on the
+    planted pairs is exactly 1 in ANY banding — and, with
+    ``collapse_exact`` on, the planted pair is produced by the exact-dup
+    collapse/expand path, making that machinery value-checkable against
+    a trivial SQL oracle (the text-table analogue of
+    :func:`plant_embedding_neardups`)."""
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids_np = (
+            batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        copies = batch.filter(pa.array(ids_np % every == 0))
+        planted = pa.table(
+            {
+                id_col: pc.add(
+                    pc.cast(copies.column(id_col), pa.int64()), id_offset
+                ),
+                text_col: copies.column(text_col),
+            }
+        )
+        base = pa.table(
+            {
+                id_col: pc.cast(batch.column(id_col), pa.int64()),
+                text_col: batch.column(text_col),
+            }
+        )
+        return pa.concat_tables([base, planted])
+
+    return ds.map_batches(augment, batch_format="pyarrow")
 
 
 def embedding_neardup_pairs(

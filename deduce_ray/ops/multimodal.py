@@ -1,12 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads with typed metadata,
 processed by actor-pool map_batches stages.
 
-Decoding is REAL for the three uncompressed formats a pure-numpy codec
-can handle — binary PPM (P6) images, PCM WAV audio, and YUV4MPEG2 (Y4M)
-video — which is what the synthesized test corpus uses, so the decode
-stages exercise genuine byte-level parsing end-to-end.  Compressed codecs
-(PNG/JPEG/MP3/H.264 via PIL / torchaudio / ffmpeg) are NOT available in
-this environment and stay honestly stubbed:
+Decoding is REAL for binary PPM (P6) images, PCM WAV audio, YUV4MPEG2
+(Y4M) video, and — the one genuinely COMPRESSED format implementable
+with the stdlib — 8-bit gray/RGB PNG (zlib inflate + numpy unfiltering
+of all five scanline filters).  The synthesized test corpus mixes PNG
+and PPM images, so the decode stages exercise genuine byte-level parsing
+including DEFLATE end-to-end.  The remaining compressed codecs
+(JPEG/MP3/H.264 via PIL / torchaudio / ffmpeg) are NOT available in this
+environment and stay honestly stubbed:
 ``decode_image``/``decode_audio``/``decode_video`` raise
 NotImplementedError on unknown magic bytes, and stages constructed with
 ``fake_decoder=True`` keep the deterministic pseudo-decode for plumbing
@@ -132,6 +134,170 @@ def decode_wav(payload: bytes) -> np.ndarray:
     raise ValueError("WAV payload has no data chunk")
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """Real PNG encoder (stdlib zlib + numpy): 8-bit RGB (color type 2),
+    no interlace.  ``filter_type`` applies one of the five PNG scanline
+    filters (0 none, 1 sub, 2 up, 3 average, 4 paeth) to every row —
+    exposed so the decoder's unfiltering paths are all round-trip
+    testable, not just the filter-0 one."""
+    import zlib
+
+    if pixels.ndim != 3 or pixels.shape[2] != 3 or pixels.dtype != np.uint8:
+        raise ValueError("encode_png expects (h, w, 3) uint8")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"unknown PNG filter type {filter_type}")
+    h, w = pixels.shape[:2]
+    bpp = 3
+    raw = bytearray()
+    prev = np.zeros(w * bpp, dtype=np.uint8)
+    for y in range(h):
+        row = pixels[y].reshape(-1)
+        if filter_type == 0:
+            filt = row
+        else:
+            left = np.zeros_like(row)
+            left[bpp:] = row[:-bpp]
+            up = prev
+            ul = np.zeros_like(row)
+            ul[bpp:] = prev[:-bpp]
+            if filter_type == 1:
+                filt = row - left
+            elif filter_type == 2:
+                filt = row - up
+            elif filter_type == 3:
+                filt = row - (
+                    (left.astype(np.uint16) + up.astype(np.uint16)) // 2
+                ).astype(np.uint8)
+            else:  # paeth
+                filt = row - _paeth_predictor(left, up, ul)
+        raw.append(filter_type)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth_predictor(
+    left: np.ndarray, up: np.ndarray, ul: np.ndarray
+) -> np.ndarray:
+    a = left.astype(np.int32)
+    b = up.astype(np.int32)
+    c = ul.astype(np.int32)
+    p = a + b - c
+    pa_ = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    out = np.where((pa_ <= pb) & (pa_ <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Real PNG decoder (stdlib zlib inflate + numpy unfiltering) for the
+    subset the encoder produces plus grayscale: 8-bit depth, color type 2
+    (RGB, returns (h, w, 3)) or 0 (gray, returns (h, w, 1)), no
+    interlace, chunk CRCs verified.  Filters 2 (up) unfilter vectorized;
+    1/3/4 carry an intra-row left dependency and walk bytes per row —
+    acceptable for the fixture-sized images this environment decodes
+    (PIL/libpng stay the production path for arbitrary PNGs)."""
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    idat = bytearray()
+    w = h = None
+    color_type = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if depth != 8 or color_type not in (0, 2):
+                raise ValueError(
+                    "only 8-bit grayscale/RGB PNG is supported here"
+                )
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError("unsupported PNG compression/interlace")
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("PNG payload missing IHDR/IDAT")
+    bpp = 3 if color_type == 2 else 1
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ft == 0:
+            pass
+        elif ft == 2:
+            row += prev
+        elif ft in (1, 3, 4):
+            ri = row.astype(np.int32)
+            pi = prev.astype(np.int32)
+            for i in range(stride):
+                left = ri[i - bpp] if i >= bpp else 0
+                if ft == 1:
+                    ri[i] = (ri[i] + left) & 0xFF
+                elif ft == 3:
+                    ri[i] = (ri[i] + (left + pi[i]) // 2) & 0xFF
+                else:
+                    ul = pi[i - bpp] if i >= bpp else 0
+                    p = left + pi[i] - ul
+                    pa_, pb, pc = abs(p - left), abs(p - pi[i]), abs(p - ul)
+                    if pa_ <= pb and pa_ <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = pi[i]
+                    else:
+                        pred = ul
+                    ri[i] = (ri[i] + pred) & 0xFF
+            row = ri.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = row
+        prev = row
+    return out.reshape(h, w, bpp)
+
+
 def encode_y4m(frames: np.ndarray, rate: tuple[int, int] = (25, 1)) -> bytes:
     """YUV4MPEG2 (Y4M) bytes from an (n_frames, h, w) uint8 luma array,
     colorspace Cmono — the uncompressed video container mplayer/ffmpeg
@@ -217,16 +383,24 @@ def decode_video(payload: bytes) -> np.ndarray:
 
 def synthesize_media_batch(batch: pa.Table) -> pa.Table:
     """Deterministic media rows derived from doc_id (test fixture
-    generator).  Payloads are REAL encodings — P6 PPM images and PCM WAV
-    audio — whose pixel/sample bytes are a pure function of the id, so the
-    decode stages run genuine parsers end-to-end."""
+    generator).  Payloads are REAL encodings — P6 PPM and PNG (zlib
+    DEFLATE, paeth-filtered) images, PCM WAV audio — whose pixel/sample
+    bytes are a pure function of the id, so the decode stages run genuine
+    parsers (including a compressed one) end-to-end.  PNG and PPM rows
+    decode to identical pixels for the same id, so switching a row's
+    container changes no downstream feature values."""
     ids = batch.column("doc_id").to_pylist()
     payloads, kinds, mimes, widths, heights = [], [], [], [], []
     for i in ids:
         seed = hashlib.sha256(f"media:{i}".encode()).digest()
         w = 16 + (i % 8) * 16
         h = 16 + (i % 5) * 16
-        if i % 3:
+        if i % 3 == 1:
+            pixels = _seed_bytes(seed, w * h * 3).reshape(h, w, 3)
+            payloads.append(encode_png(pixels, filter_type=4))
+            kinds.append("image")
+            mimes.append("image/png")
+        elif i % 3 == 2:
             pixels = _seed_bytes(seed, w * h * 3).reshape(h, w, 3)
             payloads.append(encode_ppm(pixels))
             kinds.append("image")
@@ -255,14 +429,19 @@ def synthesize_media_batch(batch: pa.Table) -> pa.Table:
 
 def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     """Decode an image payload to a float32 grayscale (h, w) array in
-    [0, 1].  REAL for binary PPM (P6); other formats (PNG/JPEG) need PIL /
-    turbojpeg, absent in this environment, and raise — the honest stub."""
+    [0, 1].  REAL for binary PPM (P6) and for 8-bit gray/RGB PNG (stdlib
+    zlib inflate + numpy unfiltering — one genuinely COMPRESSED format);
+    JPEG needs PIL/turbojpeg, absent in this environment, and raises —
+    the honest stub."""
     if payload.startswith(b"P6"):
         rgb = decode_ppm(payload)
         return (rgb.astype(np.float32).mean(axis=2)) / 255.0
+    if payload.startswith(_PNG_SIG):
+        px = decode_png(payload)
+        return (px.astype(np.float32).mean(axis=2)) / 255.0
     raise NotImplementedError(
-        "only binary PPM (P6) decodes in this environment; compressed "
-        "image codecs need PIL/turbojpeg (construct the stage with "
+        "only binary PPM (P6) and 8-bit gray/RGB PNG decode in this "
+        "environment; JPEG needs PIL/turbojpeg (construct the stage with "
         "fake_decoder=True for the deterministic stand-in)"
     )
 

@@ -426,3 +426,86 @@ def kg_entities_sqlpreds_sql() -> str:
         FROM linked
         GROUP BY pred, lower(obj)
     """
+
+
+def kg_entities_canonical_sqlpreds_sql() -> str:
+    """Cross-document entity canonicalization oracle: per predicate,
+    cluster surface forms within Damerau-Levenshtein distance 1 via a
+    recursive transitive closure, then pick each cluster's canonical
+    (max mentions, ties to the lexicographically smallest form) — the
+    independent replica of rayops.kg.canonicalize_entities' length-block
+    shuffle -> DL1 edges -> star clustering -> sharded canonical pick.
+
+    DuckDB's ``damerau_levenshtein`` is the unrestricted metric and the
+    engine's ``within_edit_distance_one`` is OSA; at a bound of 1 the two
+    coincide (a single transposition is one edit in both)."""
+    return f"""
+        WITH RECURSIVE {_mentions_cte()},
+        counted AS (
+          SELECT pred, lower(obj) AS obj_norm, COUNT(*) AS n_mentions
+          FROM linked
+          GROUP BY pred, lower(obj)
+        ),
+        e AS (
+          SELECT a.pred, a.obj_norm AS fa, b.obj_norm AS fb
+          FROM counted a JOIN counted b
+            ON a.pred = b.pred AND a.obj_norm < b.obj_norm
+          WHERE abs(length(a.obj_norm) - length(b.obj_norm)) <= 1
+            AND damerau_levenshtein(a.obj_norm, b.obj_norm) <= 1
+        ),
+        sym AS (
+          SELECT pred, fa AS a, fb AS b FROM e
+          UNION SELECT pred, fb, fa FROM e
+          UNION SELECT pred, obj_norm, obj_norm FROM counted
+        ),
+        reach(pred, a, b) AS (
+          SELECT pred, a, b FROM sym
+          UNION
+          SELECT r.pred, r.a, s.b
+          FROM reach r JOIN sym s ON r.pred = s.pred AND r.b = s.a
+        ),
+        clusters AS (
+          SELECT pred, a AS obj_norm, MIN(b) AS cluster
+          FROM reach GROUP BY pred, a
+        ),
+        labeled AS (
+          SELECT c.pred, c.obj_norm, c.cluster, f.n_mentions
+          FROM clusters c
+          JOIN counted f ON c.pred = f.pred AND c.obj_norm = f.obj_norm
+        ),
+        best AS (
+          SELECT pred, cluster, obj_norm AS canonical FROM (
+            SELECT pred, cluster, obj_norm,
+                   row_number() OVER (
+                     PARTITION BY pred, cluster
+                     ORDER BY n_mentions DESC, obj_norm
+                   ) AS rn
+            FROM labeled
+          ) WHERE rn = 1
+        )
+        SELECT l.pred, l.obj_norm, b.canonical, l.n_mentions
+        FROM labeled l
+        JOIN best b ON l.pred = b.pred AND l.cluster = b.cluster
+    """
+
+
+def minhash_planted_pairs_sql(
+    every: int = 10, id_offset: int = 100_000_000
+) -> str:
+    """Oracle for the planted-pair view of SIGNATURE-mode minhash: a
+    planted copy is byte-identical to its original, so the two share
+    every permutation minimum — signature agreement is exactly
+    64/64 = 1.0 >= any threshold and LSH bucket recall is exactly 1 in
+    every banding.  The expected planted pair set is therefore just
+    "every ``every``-th doc that has at least one word" (word-less docs
+    are dropped by the signature stage and skipped by the collapse
+    keyer, identically)."""
+    return f"""
+        SELECT doc_id AS id_a,
+               doc_id + {id_offset} AS id_b,
+               1.0 AS jaccard
+        FROM documents
+        WHERE doc_id % {every} = 0
+          AND len(regexp_extract_all(coalesce(text, ''),
+                  '{WORD_CLASS_SQL}')) > 0
+    """

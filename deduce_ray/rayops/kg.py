@@ -520,42 +520,81 @@ def detect_hot_keys(
     both unbiased and cheaper than a hash-sampled pass: the rows stream
     through either way, so a per-row md5 coin-flip would only add work on
     top of the same I/O.  The pass reads a single string column and does
-    no shuffle; at 100-TB scale run it over the raw repo table (column-
-    pruned parquet read) rather than the annotated triples.
+    no shuffle beyond one repo-hash-sharded merge of the per-block
+    partial counts, so the driver pulls at most ONE row per distinct
+    repo (round-4 fix: previously the driver frame was distinct-repos x
+    blocks, a large pull at 100 TB with millions of repos); at 100-TB
+    scale run it over the raw repo table (column-pruned parquet read)
+    rather than the annotated triples.
     """
+    import pandas as pd
+
+    from deduce_ray.ops.agg import merge_shards
+
+    n_shards = merge_shards()
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        # count via a ones column: a ("repo", "count") aggregate would skip
-        # null repo keys, which the hot-key share must still include
-        ones = batch.append_column(
-            "__one", pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        # normalize BEFORE counting: materialize_graph's normalize_keys
+        # merges null and '' repos into one sink partition, so their
+        # volumes must be summed before the hot-fraction test —
+        # thresholded separately, a 6%-null + 6%-'' corpus would escape
+        # salting of its 12% partition
+        repo = pc.fill_null(pc.cast(batch.column("repo"), pa.string()), "")
+        ones = pa.table(
+            {
+                "repo": repo,
+                "__one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
         )
         counts = ones.group_by(["repo"]).aggregate([("__one", "sum")])
+        repos = counts.column("repo").to_pylist()
+        shard = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(r.encode()).digest()[:4], "big")
+                % n_shards
+                for r in repos
+            ),
+            dtype=np.int64,
+            count=len(repos),
+        )
         return pa.table(
             {
                 "repo": counts.column("repo"),
                 "n": pc.cast(counts.column("__one_sum"), pa.int64()),
+                "__shard": pa.array(shard, type=pa.int64()),
             }
         )
 
-    parts = triples_ds.select_columns(["repo"]).map_batches(
-        partial_counts, batch_format="pyarrow"
-    ).to_pandas()
-    if parts.empty:
+    def merge_partials(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("repo", as_index=False).agg(n=("n", "sum"))
+
+    merged = (
+        triples_ds.select_columns(["repo"])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("__shard")
+        .map_groups(merge_partials, batch_format="pandas")
+    )
+    repo_parts: list[list] = []
+    n_parts: list[np.ndarray] = []
+    for bt in merged.iter_batches(batch_format="pyarrow"):
+        if bt.num_rows:
+            repo_parts.append(bt.column("repo").to_pylist())
+            n_parts.append(bt.column("n").to_numpy(zero_copy_only=False))
+    if not repo_parts:
         return set()
-    # normalize BEFORE thresholding: materialize_graph's normalize_keys
-    # merges null and '' repos into one sink partition, so their volumes
-    # must be summed before the hot-fraction test — thresholded separately,
-    # a 6%-null + 6%-'' corpus would escape salting of its 12% partition
-    # (and sorted(hot_keys) never compares float NaN to str)
-    parts["repo"] = parts["repo"].map(lambda r: r if isinstance(r, str) else "")
-    totals = parts.groupby("repo")["n"].sum()
-    grand = int(totals.sum())
+    counts_np = np.concatenate(n_parts)
+    grand = int(counts_np.sum())
     if grand == 0:
         return set()
-    return {r for r, n in totals.items() if n / grand >= hot_fraction}
+    cutoff = hot_fraction * grand
+    return {
+        r
+        for repos, ns in zip(repo_parts, n_parts)
+        for r, n in zip(repos, ns)
+        if n >= cutoff
+    }
 
 
 # single source of truth for the slug escape table: _slug_field (Python)

@@ -6,8 +6,12 @@ Exact duplicates share EVERY minhash band bucket, so before the
 exact-dup pre-collapse (ops/dedup.py collapse_exact_dups) the verify
 shard faced ~5e9 candidate pairs per band and died.  With collapse the
 LSH stage sees each distinct text once, the 100k-copy group expands as
-a logged star (connectivity preserved), and the run completes in
-seconds.
+a logged star (connectivity preserved), and — with the signature-only
+bucket shuffle (band rows carry 20 bytes, signatures ride the verify
+step once per touched id, never once per band row) — the 2M-doc run
+completes in ~2 minutes on the 32-cpu sandbox (measured 2026-08-18:
+pairs 121 s, clusters 1.8 s, all copies flagged, one cluster; the old
+payload-per-band-row design was still running at 570 s).
 
 Run:  PYTHONPATH=. python scripts/stress_hot_bucket.py [n_docs] [n_copies]
 Emits one JSON line with wall time, pair counts, and cluster check.

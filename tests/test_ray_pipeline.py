@@ -888,14 +888,52 @@ class TestMultimodal:
         assert all(len(r["feature"]) == 32 for r in feats)
 
     def test_compressed_codecs_are_stubbed(self):
-        """Unknown magic bytes (compressed formats) raise; PPM/WAV decode
-        for real."""
+        """Unknown magic bytes (unsupported compressed formats) raise;
+        PPM/PNG/WAV decode for real."""
         from deduce_ray.ops.multimodal import decode_audio, decode_image
 
         with pytest.raises(NotImplementedError):
-            decode_image(b"\x89PNG...", 4, 4)
+            decode_image(b"\xff\xd8\xff\xe0...jpeg...", 4, 4)
         with pytest.raises(NotImplementedError):
             decode_audio(b"ID3...")
+
+    def test_png_roundtrip_all_filters(self):
+        """Byte-level PNG round-trip through the stdlib-zlib codec for
+        every scanline filter type (0 none, 1 sub, 2 up, 3 average,
+        4 paeth)."""
+        from deduce_ray.ops.multimodal import decode_png, encode_png
+
+        rng = np.random.default_rng(11)
+        pixels = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+        for ft in range(5):
+            payload = encode_png(pixels, filter_type=ft)
+            assert payload.startswith(b"\x89PNG\r\n\x1a\n")
+            assert np.array_equal(decode_png(payload), pixels), ft
+
+    def test_png_decode_image_matches_ppm(self):
+        """decode_image yields identical grayscale for the same pixels in
+        either container — the corpus-mixing invariant."""
+        from deduce_ray.ops.multimodal import (
+            decode_image,
+            encode_png,
+            encode_ppm,
+        )
+
+        rng = np.random.default_rng(12)
+        pixels = rng.integers(0, 256, size=(16, 32, 3), dtype=np.uint8)
+        g_ppm = decode_image(encode_ppm(pixels), 32, 16)
+        g_png = decode_image(encode_png(pixels, filter_type=4), 32, 16)
+        assert np.array_equal(g_ppm, g_png)
+
+    def test_png_crc_rejected(self):
+        from deduce_ray.ops.multimodal import decode_png, encode_png
+
+        payload = bytearray(
+            encode_png(np.zeros((3, 3, 3), dtype=np.uint8))
+        )
+        payload[40] ^= 0xFF  # corrupt one IDAT byte, CRC must catch it
+        with pytest.raises(ValueError):
+            decode_png(bytes(payload))
 
     def test_ppm_roundtrip(self):
         from deduce_ray.ops.multimodal import decode_ppm, encode_ppm
@@ -968,7 +1006,7 @@ class TestMultimodal:
 
         from deduce_ray.ops.multimodal import (
             MediaFeatureExtractor,
-            decode_ppm,
+            decode_image,
             extract_media_features,
             synthesize_media_batch,
         )
@@ -977,6 +1015,12 @@ class TestMultimodal:
             pa.table({"doc_id": pa.array(list(range(12)), type=pa.int64())})
         )
         media = ray.data.from_arrow(media_tbl)
+        # the corpus mixes PPM and PNG containers for the same seeded
+        # pixels, so this exercises both parsers including DEFLATE
+        assert {r["mime"] for r in media_tbl.to_pylist()} >= {
+            "image/png",
+            "image/x-portable-pixmap",
+        }
         feats = {
             r["media_id"]: r["feature"]
             for r in extract_media_features(media, fake_decoder=False).take_all()
@@ -986,7 +1030,7 @@ class TestMultimodal:
         for row in media_tbl.to_pylist():
             if row["kind"] != "image":
                 continue
-            gray = decode_ppm(row["payload"]).astype(np.float32).mean(axis=2) / 255.0
+            gray = decode_image(row["payload"], row["width"], row["height"])
             flat = gray.ravel()
             pooled = flat[: (len(flat) // dim) * dim].reshape(dim, -1).mean(axis=1)
             want = [round(float(x), 6) for x in pooled]
