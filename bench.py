@@ -184,6 +184,50 @@ def kg_headline(sf_dir: str, num_cpus: int, replicate: int) -> dict:
     }
 
 
+def kg_graph_headline(sf_dir: str, num_cpus: int, replicate: int) -> dict:
+    """End-to-end graph job: annotate -> per-batch combiner -> (repo,lang)
+    merge shuffle -> partitioned parquet sink.  This is the scaling
+    evidence for the SHUFFLE half of the engine — kg_headline covers the
+    embarrassingly-parallel map stage; this covers dedup_triples'
+    exchange and materialize_graph's grouped sink."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from deduce_ray.rayops.annotate import broadcast_lexicon, extract_triples
+    from deduce_ray.rayops.kg import materialize_graph
+
+    lexicon_ref = broadcast_lexicon()
+    n_docs = (
+        pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows * replicate
+    )
+
+    # warm worker pool + engines (same rationale as kg_headline)
+    extract_triples(
+        _replicated_repo_table(sf_dir, 1),
+        lexicon_ref=lexicon_ref,
+        batch_size=2048,
+    ).count()
+
+    out_dir = tempfile.mkdtemp(prefix="bench_graph_")
+    try:
+        repo = _replicated_repo_table(sf_dir, replicate)
+        triples = extract_triples(repo, lexicon_ref=lexicon_ref, batch_size=2048)
+        t0 = time.time()
+        metrics = materialize_graph(triples, out_dir, resume=False)
+        n_units = metrics.count()
+        elapsed = time.time() - t0
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return {
+        "docs": n_docs,
+        "units": n_units,
+        "sec": round(elapsed, 3),
+        "docs_per_sec": round(n_docs / elapsed, 1),
+    }
+
+
 def run_suite(sf_dir: str, num_cpus: int) -> dict:
     import __ray_entry__ as entry
 
@@ -239,7 +283,17 @@ def main() -> None:
     parser.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     parser.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     parser.add_argument("--kg-only", action="store_true")
+    parser.add_argument("--graph-only", action="store_true")
     parser.add_argument("--scaling", action="store_true")
+    parser.add_argument(
+        "--scaling-job",
+        choices=("annotate", "graph"),
+        default="annotate",
+        help="which headline the --scaling pair measures: the "
+        "embarrassingly-parallel annotate stage, or the end-to-end graph "
+        "job (annotate -> combiner -> (repo,lang) merge shuffle -> "
+        "partitioned sink) whose exchange is the skeptics' question",
+    )
     args = parser.parse_args()
 
     if args.scaling:
@@ -256,10 +310,11 @@ def main() -> None:
             log_to_driver=False,
         )
 
-    if args.kg_only:
+    if args.kg_only or args.graph_only:
+        headline = kg_graph_headline if args.graph_only else kg_headline
         _warm_pool(args.cpus)
         ticks0 = _cpu_ticks()
-        result = kg_headline(args.sf_dir, args.cpus, KG_REPLICATE)
+        result = headline(args.sf_dir, args.cpus, KG_REPLICATE)
         window = _cpu_window(ticks0, _cpu_ticks())
         print(json.dumps({**result, "num_cpus": args.cpus, **window}))
         ray.shutdown()
@@ -320,8 +375,11 @@ def run_scaling(args) -> None:
     # levels are run ALTERNATELY in fresh processes and the best time per
     # level is kept — temporal noise then degrades both levels together
     # instead of biasing the ratio.
+    job = getattr(args, "scaling_job", "annotate")
     if "KG_REPLICATE" not in os.environ:
-        os.environ["KG_REPLICATE"] = "160"
+        # the graph job runs the full annotate + shuffle + sink chain, so
+        # a smaller corpus reaches the same wall-time per leg
+        os.environ["KG_REPLICATE"] = "160" if job == "annotate" else "64"
     trials = int(os.environ.get("SCALE_TRIALS", "2"))
 
     def one_run(cpus: int) -> dict:
@@ -329,7 +387,7 @@ def run_scaling(args) -> None:
             [
                 sys.executable,
                 __file__,
-                "--kg-only",
+                "--graph-only" if job == "graph" else "--kg-only",
                 "--sf-dir",
                 args.sf_dir,
                 "--cpus",
@@ -355,13 +413,14 @@ def run_scaling(args) -> None:
     tput_lo = results[lo]["docs_per_sec"]
     tput_hi = results[hi]["docs_per_sec"]
     efficiency = round(tput_hi / ((hi / lo) * tput_lo), 3)
+    stage = "kg_annotate" if job == "annotate" else "kg_graph_e2e"
     out = {
-        "metric": "kg_scaling_efficiency",
+        "metric": f"{stage}_scaling_efficiency",
         "value": efficiency,
         "unit": "ratio",
         "queries": {
-            f"kg_annotate_{lo}cpu_sec": results[lo]["sec"],
-            f"kg_annotate_{hi}cpu_sec": results[hi]["sec"],
+            f"{stage}_{lo}cpu_sec": results[lo]["sec"],
+            f"{stage}_{hi}cpu_sec": results[hi]["sec"],
         },
         "sf": _sf_of(args.sf_dir),
         "num_cpus": hi,
@@ -376,9 +435,14 @@ def run_scaling(args) -> None:
     baseline = Path(__file__).parent / "BASELINE.md"
     if baseline.exists():
         text = baseline.read_text()
-        marker = "\n## Measured scaling (this engine)\n"
+        marker = (
+            "\n## Measured scaling (this engine)\n"
+            if job == "annotate"
+            else "\n## Measured scaling, kg_graph end-to-end (this engine)\n"
+        )
         section = (
             f"{marker}\n"
+            f"- job: {stage}\n"
             f"- input: {args.sf_dir} documents x{os.environ['KG_REPLICATE']} "
             f"replicas ({results[hi]['docs']} docs)\n"
             f"- {lo} CPUs: {tput_lo} docs/s ({results[lo]['sec']} s)\n"
@@ -390,8 +454,14 @@ def run_scaling(args) -> None:
             f"SCALE_CPUS=8,32 overrides.\n"
         )
         if marker in text:
-            text = text.split(marker)[0]
-        baseline.write_text(text + section)
+            head, _, rest = text.partition(marker)
+            # keep any OTHER sections that follow this one
+            after = ""
+            next_marker = rest.find("\n## ")
+            if next_marker != -1:
+                after = rest[next_marker:]
+            text = head + after
+        baseline.write_text(text.rstrip("\n") + "\n" + section)
 
 
 if __name__ == "__main__":
