@@ -480,8 +480,14 @@ def _expand_dup_pairs(
         )
 
     edge_shard = edges_ds.map_batches(_add_rep_shard, batch_format="pyarrow")
+    # emit ARROW blocks: this dataset is unioned with the arrow-block
+    # `cross` below, and a union of pandas + arrow blocks crashes any
+    # downstream iter_batches whose batch window spans the type boundary
+    # (ray.data DelegatingBlockBuilder asserts one block type per batch)
     intra = edge_shard.groupby("__shard").map_groups(
-        lambda df: intra_pairs(df.drop(columns=["__shard"])),
+        lambda df: pa.Table.from_pandas(
+            intra_pairs(df.drop(columns=["__shard"])), preserve_index=False
+        ),
         batch_format="pandas",
     )
 

@@ -533,6 +533,43 @@ class TestDedupOps:
         sig_13 = next(p["jaccard"] for p in sig if (p["id_a"], p["id_b"]) == (1, 3))
         assert sig_13 == 1.0
 
+    def test_expanded_pairs_blocks_are_homogeneous(self, ray_session):
+        """Regression: _expand_dup_pairs returned cross.union(intra) with
+        ARROW blocks on one side and PANDAS blocks on the other; any
+        downstream iter_batches whose batch window spanned the type
+        boundary hit ray.data's one-block-type-per-batch assertion (seen
+        as a minhash_clusters crash at sf0.1).  Exact-dup groups force a
+        non-empty intra side; many input blocks force small output blocks
+        so a batch window spans both sides."""
+        import numpy as np
+        import ray.data
+
+        from deduce_ray.ops.dedup import minhash_lsh_pairs, neardup_clusters
+
+        rng = np.random.default_rng(7)
+        words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+        items = [
+            {"doc_id": i, "text": " ".join(rng.choice(words, size=25))}
+            for i in range(200)
+        ]
+        # exact-dup groups -> intra (collapsed-group) pairs exist
+        items += [
+            {"doc_id": 10_000 + g * 10 + c, "text": items[g]["text"]}
+            for g in range(10)
+            for c in range(3)
+        ]
+        ds = ray.data.from_items(items).repartition(16)
+        pairs = minhash_lsh_pairs(ds, threshold=0.5)
+        # one batch spanning every block exercises the delegating builder
+        batches = list(pairs.iter_batches(batch_size=1 << 20, batch_format="pyarrow"))
+        n_pairs = sum(b.num_rows for b in batches)
+        assert n_pairs >= 10 * 6  # 4-member groups -> 6 intra pairs each
+        labels = {
+            r["doc_id"]: r["cluster_id"] for r in neardup_clusters(pairs).take_all()
+        }
+        for g in range(10):
+            assert labels[10_000 + g * 10] == labels[g]
+
     def test_minhash_skips_empty_docs(self, ray_session):
         """Shingle-less docs share the zero signature; they must not pair
         with each other in either verify mode (they are exact_dedup's
