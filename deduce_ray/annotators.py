@@ -453,6 +453,7 @@ class RegexpAnnotator(Annotator):
         tag: str,
         capturing_group: int = 0,
         pre_match_words: Sequence[str] | None = None,
+        requires_digit: bool = False,
         priority: int = 0,
     ) -> None:
         super().__init__(tag, priority)
@@ -467,11 +468,17 @@ class RegexpAnnotator(Annotator):
         self.pre_match_words = (
             {w.lower() for w in pre_match_words} if pre_match_words else None
         )
+        # set ONLY for patterns that must consume at least one digit on
+        # every match (a structural property of the regex, asserted per
+        # config entry): digit-free documents then skip the scan outright
+        self.requires_digit = requires_digit
 
     def _validate_match(self, match: re.Match, doc: Document) -> bool:
         return True
 
     def annotate(self, doc: Document) -> list[Annotation]:
+        if self.requires_digit and not doc.has_digit():
+            return []
         if self.pre_match_words is not None:
             words = doc.get_tokens().get_words(_LOWER)
             if words.isdisjoint(self.pre_match_words):
@@ -578,6 +585,9 @@ class BsnAnnotator(Annotator):
         return sum(int(c) * w for c, w in zip(bsn, weights)) % 11 == 0
 
     def annotate(self, doc: Document) -> list[Annotation]:
+        # a BSN is 9 digits by definition; digit-free documents can't match
+        if not doc.has_digit():
+            return []
         found = []
         for match in self.regexp.finditer(doc.text):
             text = match.group(self.capture_group)
@@ -615,6 +625,10 @@ class PhoneNumberAnnotator(Annotator):
         self.max_digits = max_digits
 
     def annotate(self, doc: Document) -> list[Annotation]:
+        # the digit-count window needs >= min_digits digits; digit-free
+        # documents can't match
+        if not doc.has_digit():
+            return []
         found = []
         for match in self.regexp.finditer(doc.text):
             full = match.group(0)

@@ -226,14 +226,15 @@ DEFAULT_CONFIG: dict = {
             "args": {
                 "regexp_pattern":
                     "(\\d{4}([A-Za-z]{2}| [A-Z]{2}))(?<!mg|MG|gr|ie)(\\W|$)",
-                "capturing_group": 1, "tag": "locatie",
+                "capturing_group": 1, "tag": "locatie", "requires_digit": True,
             },
         },
         "postbus": {
             "type": "regexp", "group": "locations",
             "args": {
                 "regexp_pattern": "([Pp]ostbus\\s\\d{1,5}(\\.\\d{2,4})?)",
-                "tag": "locatie", "pre_match_words": ["postbus"],
+                "tag": "locatie", "requires_digit": True,
+                "pre_match_words": ["postbus"],
             },
         },
         "hospital": {
@@ -252,7 +253,7 @@ DEFAULT_CONFIG: dict = {
                 "regexp_pattern":
                     "(?<!\\d)(([1-9]|0[1-9]|[12][0-9]|3[01])(?P<sep>[-/\\. ])"
                     "([1-9]|0[1-9]|1[012])(?P=sep)((19|20|\\'|`)?\\d{2}))(?!\\d)",
-                "tag": "datum", "capturing_group": 1,
+                "tag": "datum", "capturing_group": 1, "requires_digit": True,
             },
         },
         "date_dmy_2": {
@@ -264,7 +265,7 @@ DEFAULT_CONFIG: dict = {
                     "jun|juli|jul|augustus|aug|september|sep|sept|oktober|okt|"
                     "november|nov|december|dec)[-/\\. ]((19|20|\\'|`)?\\d{2}))"
                     "(?!\\d)",
-                "tag": "datum", "capturing_group": 1,
+                "tag": "datum", "capturing_group": 1, "requires_digit": True,
                 "pre_match_words": _MONTHS,
             },
         },
@@ -275,7 +276,7 @@ DEFAULT_CONFIG: dict = {
                     "(?<!\\d)(((19|20|\\'|`)\\d{2})(?P<sep>[-/\\. ])"
                     "([1-9]|0[1-9]|1[012])(?P=sep)"
                     "([1-9]|0[1-9]|[12][0-9]|3[01]))(\\D|$)",
-                "tag": "datum", "capturing_group": 1,
+                "tag": "datum", "capturing_group": 1, "requires_digit": True,
             },
         },
         "date_ymd_2": {
@@ -287,7 +288,7 @@ DEFAULT_CONFIG: dict = {
                     "jun|juli|jul|augustus|aug|september|sep|sept|oktober|okt|"
                     "november|nov|december|dec)[-/\\. ]"
                     "([1-9]|0[1-9]|[12][0-9]|3[01]))(?!\\d)",
-                "tag": "datum", "capturing_group": 1,
+                "tag": "datum", "capturing_group": 1, "requires_digit": True,
                 "pre_match_words": _MONTHS,
             },
         },
@@ -305,6 +306,7 @@ DEFAULT_CONFIG: dict = {
                                 "naar", "nadien"],
                 "pre_match_words": ["jaar", "jarig", "jarige", "jr"],
                 "tag": "leeftijd", "capturing_group": 1,
+                "requires_digit": True,
             },
         },
         "bsn": {
@@ -316,7 +318,8 @@ DEFAULT_CONFIG: dict = {
         },
         "identifier": {
             "type": "regexp", "group": "identifiers",
-            "args": {"regexp_pattern": "\\d{7,}", "tag": "id"},
+            "args": {"regexp_pattern": "\\d{7,}", "tag": "id",
+                     "requires_digit": True},
         },
         "phone": {
             "type": "phone", "group": "phone_numbers",

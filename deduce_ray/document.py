@@ -2,8 +2,12 @@
 
 from __future__ import annotations
 
+import re
+
 from deduce_ray.annotation import AnnotationSet
 from deduce_ray.tokenizer import TokenList, WordTokenizer
+
+_DIGIT_RE = re.compile(r"\d")
 
 
 class MetaData:
@@ -34,6 +38,7 @@ class Document:
         "_deadline",
         "_tokenizer",
         "_tokens",
+        "_has_digit",
     )
 
     def __init__(
@@ -53,6 +58,18 @@ class Document:
         self._deadline: float | None = None
         self._tokenizer = tokenizer
         self._tokens: TokenList | None = None
+        self._has_digit: bool | None = None
+
+    def has_digit(self) -> bool:
+        """Whether the text contains any decimal digit, computed once.
+
+        Cheap C-level gate for annotators whose pattern must consume a
+        digit (dates, ids, postal codes, phone, bsn, ages): a digit-free
+        document provably cannot match them, and prose-heavy corpora are
+        mostly digit-free, so one search saves 8+ full regex scans."""
+        if self._has_digit is None:
+            self._has_digit = _DIGIT_RE.search(self.text) is not None
+        return self._has_digit
 
     def get_tokens(self) -> TokenList:
         if self._tokens is None:

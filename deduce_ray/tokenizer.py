@@ -15,6 +15,7 @@ serializable.
 from __future__ import annotations
 
 import re
+from collections import defaultdict
 from collections.abc import Iterable, Sequence
 
 from deduce_ray.strproc import Lowercase, apply_pipeline
@@ -114,23 +115,27 @@ class TokenList:
     def _word_index(self, pipeline_key: tuple, pipeline: Sequence) -> dict:
         index = self._word_index_cache.get(pipeline_key)
         if index is None:
-            index = {}
-            setdefault = index.setdefault
-            # fast paths for the two pipelines every document pays for
-            # (raw for the token-pattern start lookups, Lowercase for the
-            # regexp pre_match_words gates): skip apply_pipeline dispatch
+            # defaultdict, not dict.setdefault: setdefault(k, []) allocates
+            # a throwaway list per call even on hits (one per token here).
+            # Consumers only .get()/iterate, so the insert-on-[] footgun
+            # never fires.  Each pipeline's index stays LAZY: with the
+            # digit gate, prose-only documents never request the Lowercase
+            # index (its only consumers are regexp pre_match_words gates,
+            # all of which are digit-gated first), so eagerly fusing the
+            # two builds would do wasted work on the scale-dominant case.
+            index = defaultdict(list)
             if not pipeline:
                 for tok in self._tokens:
-                    setdefault(tok.text, []).append(tok)
+                    index[tok.text].append(tok)
             elif len(pipeline) == 1 and type(pipeline[0]) is Lowercase:
                 for tok in self._tokens:
-                    setdefault(tok.text.lower(), []).append(tok)
+                    index[tok.text.lower()].append(tok)
             else:
                 for tok in self._tokens:
                     text = apply_pipeline(tok.text, pipeline)
                     if text is None:
                         continue
-                    setdefault(text, []).append(tok)
+                    index[text].append(tok)
             self._word_index_cache[pipeline_key] = index
         return index
 
@@ -170,7 +175,16 @@ class TokenList:
         return tuple(parts)
 
     def get_words(self, pipeline: Sequence | None = None) -> set[str]:
-        return set(self._word_index(self._pipeline_key(pipeline), pipeline or ()))
+        # memoized: every gated RegexpAnnotator (10+ per full-engine doc)
+        # asks for the same lowercase word set; building set(index) anew
+        # per caller was a measurable share of the regexp stage
+        key = self._pipeline_key(pipeline)
+        memo_key = ("get_words", key)
+        words = self._word_index_cache.get(memo_key)
+        if words is None:
+            words = set(self._word_index(key, pipeline or ()))
+            self._word_index_cache[memo_key] = words
+        return words
 
     def token_lookup(
         self, lookup_values: set[str], matching_pipeline: Sequence | None = None
@@ -191,19 +205,31 @@ class TokenList:
         cached = self._word_index_cache.get(memo_key)
         if cached is not None and cached[0] is lookup_values:
             return cached[1]
-        index = self._word_index(pipeline_key, matching_pipeline or ())
-        hits: list[Token] = []
-        if len(lookup_values) < len(index):
-            for value in lookup_values:
-                found = index.get(value)
-                if found:
-                    hits.extend(found)
-            hits.sort(key=lambda t: t.start_char)
+        hits: list[Token]
+        if not matching_pipeline:
+            # raw-text lookups (all six name-pattern start sets) scan the
+            # token texts directly: one set probe per token is cheaper
+            # than building the full raw word index, which would have no
+            # other consumer (get_words' only caller asks Lowercase)
+            hits = [
+                tok
+                for text, tok in zip(self.texts(), self._tokens)
+                if text in lookup_values
+            ]
         else:
-            for text, toks in index.items():
-                if text in lookup_values:
-                    hits.extend(toks)
-            hits.sort(key=lambda t: t.start_char)
+            index = self._word_index(pipeline_key, matching_pipeline)
+            hits = []
+            if len(lookup_values) < len(index):
+                for value in lookup_values:
+                    found = index.get(value)
+                    if found:
+                        hits.extend(found)
+                hits.sort(key=lambda t: t.start_char)
+            else:
+                for text, toks in index.items():
+                    if text in lookup_values:
+                        hits.extend(toks)
+                hits.sort(key=lambda t: t.start_char)
         self._word_index_cache[memo_key] = (lookup_values, hits)
         return hits
 

@@ -251,6 +251,32 @@ class TestRegexpAnnotators:
         assert ann.annotate(doc_hit) == [Annotation("123", 7, 10, "_")]
         assert ann.annotate(doc_miss) == []
 
+    def test_requires_digit_gate(self, tokenizer):
+        ann = RegexpAnnotator(regexp_pattern=r"\d+", tag="_", requires_digit=True)
+        doc_hit = Document("nummer 123", tokenizer=tokenizer)
+        doc_miss = Document("nummer honderd", tokenizer=tokenizer)
+        assert ann.annotate(doc_hit) == [Annotation("123", 7, 10, "_")]
+        assert ann.annotate(doc_miss) == []
+
+    def test_requires_digit_flags_are_structurally_sound(self, engine):
+        """Every configured requires_digit pattern must be unable to match
+        digit-free text — otherwise the gate would change behavior.  The
+        probe text contains every word that could unlock a gated pattern
+        (months, age words, postbus) but no digit."""
+        probe = (
+            "postbus jaar jarige jr januari februari maart april mei juni "
+            "juli augustus september oktober november december jan feb mrt "
+            "apr jun jul aug sep sept okt nov dec ' ` . - / BSN"
+        )
+        assert not any(ch.isdigit() for ch in probe)
+        n_gated = 0
+        for _, members in engine.processor_groups.items():
+            for _, proc in members:
+                if getattr(proc, "requires_digit", False):
+                    n_gated += 1
+                    assert proc.regexp.search(probe) is None, proc.tag
+        assert n_gated == 8  # 4 dates, age, id, postal_code, postbus
+
     def test_pseudo_veto(self, tokenizer):
         doc = Document(
             "De patient is Na 12 jaar gestopt met medicijnen.", tokenizer=tokenizer
