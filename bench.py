@@ -266,7 +266,23 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     timed("pricing_summary", lambda: queries["pricing_summary"](sf_dir))
     timed("top_customers", lambda: queries["top_customers"](sf_dir))
     timed("exact_dedup", lambda: queries["exact_dedup"](sf_dir))
-    timed("minhash_pairs", lambda: queries["minhash_pairs"](sf_dir))
+
+    def _minhash_unplanted():
+        # the registered minhash_pairs query now augments the corpus with
+        # planted duplicates for its DuckDB oracle; bench keeps timing the
+        # PLAIN scale-path op (identical invocation to earlier rounds) so
+        # per-round numbers stay comparable
+        from deduce_ray.corpus import read_parquet_sliced
+        from deduce_ray.ops.dedup import minhash_lsh_pairs
+
+        return minhash_lsh_pairs(
+            read_parquet_sliced(
+                f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+            ),
+            threshold=0.5,
+        )
+
+    timed("minhash_pairs", _minhash_unplanted)
     timed("simhash_pairs", lambda: queries["simhash_pairs"](sf_dir))
     timed("minhash_clusters", lambda: queries["minhash_clusters"](sf_dir))
     timed("embedding_neardup", lambda: queries["embedding_neardup"](sf_dir))
@@ -434,34 +450,29 @@ def run_scaling(args) -> None:
 
     baseline = Path(__file__).parent / "BASELINE.md"
     if baseline.exists():
+        # APPEND one disclosure line under a per-job marker — never
+        # replace the section: the multi-run table with per-leg steal is
+        # the honest scaling evidence and must survive later runs
         text = baseline.read_text()
-        marker = (
-            "\n## Measured scaling (this engine)\n"
-            if job == "annotate"
-            else "\n## Measured scaling, kg_graph end-to-end (this engine)\n"
-        )
-        section = (
-            f"{marker}\n"
-            f"- job: {stage}\n"
-            f"- input: {args.sf_dir} documents x{os.environ['KG_REPLICATE']} "
-            f"replicas ({results[hi]['docs']} docs)\n"
-            f"- {lo} CPUs: {tput_lo} docs/s ({results[lo]['sec']} s)\n"
-            f"- {hi} CPUs: {tput_hi} docs/s ({results[hi]['sec']} s)\n"
-            f"- scaling efficiency ({lo} -> {hi} CPUs, fresh processes, "
-            f"same input): **{efficiency}** (target >= 0.8)\n"
-            f"- note: pair defaults to 6/24 because the sandbox advertises "
-            f"32 logical CPUs but sustains ~24 hardware threads; "
-            f"SCALE_CPUS=8,32 overrides.\n"
+        marker = f"<!-- scaling-runs:{stage} -->"
+        line = (
+            f"- {stage}: {lo}cpu {tput_lo} docs/s "
+            f"(steal {results[lo].get('steal_pct')}%) vs {hi}cpu "
+            f"{tput_hi} docs/s (steal {results[hi].get('steal_pct')}%), "
+            f"{results[hi]['docs']} docs -> efficiency **{efficiency}**\n"
         )
         if marker in text:
             head, _, rest = text.partition(marker)
-            # keep any OTHER sections that follow this one
-            after = ""
-            next_marker = rest.find("\n## ")
-            if next_marker != -1:
-                after = rest[next_marker:]
-            text = head + after
-        baseline.write_text(text.rstrip("\n") + "\n" + section)
+            text = head + marker + "\n" + line + rest.lstrip("\n")
+        else:
+            text = (
+                text.rstrip("\n")
+                + f"\n\n## Measured scaling, {stage} (appended runs)\n\n"
+                + marker
+                + "\n"
+                + line
+            )
+        baseline.write_text(text)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,45 @@
+"""Ray Data execution-context tuning shared by every Ray-facing module.
+
+Called at import time from ``deduce_ray.rayops`` and ``deduce_ray.ops`` so
+any pipeline built through this engine runs with the tuned context,
+whichever entry point the caller used.
+"""
+
+from __future__ import annotations
+
+import os
+
+_applied = False
+
+
+def tune_data_context() -> None:
+    """Disable Ray Data's per-operator resource reservation for this
+    engine's pipelines (DEDUCE_RAY_OP_RESERVATION=1 restores the default).
+
+    Measured on the graph pipeline (annotate -> combiner -> salted sort ->
+    partitioned sink, a 5-map-operator chain): with the default
+    ReservationOpResourceAllocator the chain STARVES — at num_cpus=6 the
+    annotate stage ran ~1 task at a time (183 s task CPU vs 198 s wall,
+    195 s task_submission_backpressure_time; the 50% reservation split
+    over the chain's operators leaves each map op less than one full CPU,
+    so everything queues behind the shared pool), and at num_cpus=24 the
+    same job still paid 2.1x (24.4 s -> 11.4 s without reservation; the
+    6-CPU leg went 198 s -> 38.5 s).  This engine's stages keep blocks
+    small and bounded (per-batch combiners, constant-width shuffle rows),
+    so the reservation mechanism's protection against store-hogging
+    operators buys nothing here, while its starvation cost is
+    catastrophic on small CPU budgets — exactly the regime the N-vs-4N
+    scaling criterion measures.
+    """
+    global _applied
+    if _applied or os.environ.get("DEDUCE_RAY_OP_RESERVATION") == "1":
+        return
+    try:
+        import ray.data
+
+        ray.data.DataContext.get_current().op_resource_reservation_enabled = (
+            False
+        )
+        _applied = True
+    except Exception:  # pragma: no cover — ray absent or API moved
+        pass
