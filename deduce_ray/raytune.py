@@ -32,14 +32,25 @@ def tune_data_context() -> None:
     scaling criterion measures.
     """
     global _applied
-    if _applied or os.environ.get("DEDUCE_RAY_OP_RESERVATION") == "1":
+    if _applied:
         return
     try:
         import ray.data
 
-        ray.data.DataContext.get_current().op_resource_reservation_enabled = (
-            False
-        )
+        ctx = ray.data.DataContext.get_current()
+        if os.environ.get("DEDUCE_RAY_OP_RESERVATION") != "1":
+            ctx.op_resource_reservation_enabled = False
+        # This engine's list<float> columns (resized pixels, frame
+        # features, embeddings) are genuine variable-length lists with
+        # nulls for non-image rows.  Ray Data's tensor-extension
+        # auto-cast fires whenever a batch HAPPENS to hold only
+        # equal-length non-null lists — under limit()+actor pools batch
+        # composition is timing-dependent, so the cast succeeds on some
+        # runs and then fails unifying against a null-bearing block
+        # ("Tried to cast column pixels to the TensorArray ... failed").
+        # Nothing in this engine consumes the tensor extension type;
+        # disable the cast so list columns stay list columns.
+        ctx.enable_tensor_extension_casting = False
         _applied = True
     except Exception:  # pragma: no cover — ray absent or API moved
         pass

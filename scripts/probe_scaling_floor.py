@@ -1,0 +1,110 @@
+"""Ray-free parallel-scaling probe for the annotate engine.
+
+Answers one question: when the 24-process leg of `bench.py --scaling`
+reads lower docs/s-per-core than the 6-process leg, is that Ray Data
+overhead or the host itself (co-tenant memory-bandwidth / vCPU
+oversubscription that /proc/stat steal does not capture)?
+
+Runs the SAME single-core engine loop (DeduceEngine.extract_mentions
+over sf docs) in K plain `multiprocessing` processes — no Ray, no
+object store, no serialization — and reports per-process and aggregate
+throughput at each K.  If pure multiprocessing shows the same per-core
+falloff from K=6 to K=24 as the Ray pipeline, the ceiling is the host,
+not the engine's pipeline shape.
+
+Run:  python scripts/probe_scaling_floor.py [sf_dir] [K1,K2,...] [docs_per_proc]
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import sys
+import time
+
+
+def _worker(sf_dir: str, n_docs: int, out_q) -> None:
+    import pyarrow.parquet as pq
+
+    from deduce_ray.engine import DeduceEngine
+    from deduce_ray.lexicon import DEFAULT_LOOKUP_PATH, load_or_build_lexicon
+
+    lexicon = load_or_build_lexicon(DEFAULT_LOOKUP_PATH)
+    engine = DeduceEngine(lexicon)
+    texts = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+        .column("text")
+        .to_pylist()
+    )
+    # replicate to the requested workload so every K runs the same docs
+    reps = (n_docs + len(texts) - 1) // len(texts)
+    texts = (texts * reps)[:n_docs]
+    t0 = time.time()
+    n_mentions = 0
+    for t in texts:
+        n_mentions += len(engine.extract_mentions(t or ""))
+    dt = time.time() - t0
+    out_q.put({"docs": n_docs, "sec": round(dt, 2), "mentions": n_mentions})
+
+
+def _steal_window():
+    with open("/proc/stat") as f:
+        v = [int(x) for x in f.readline().split()[1:]]
+    return sum(v), v[7]
+
+
+def run_level(sf_dir: str, k: int, docs_per_proc: int) -> dict:
+    q: mp.Queue = mp.Queue()
+    s0_total, s0_steal = _steal_window()
+    procs = [
+        mp.Process(target=_worker, args=(sf_dir, docs_per_proc, q))
+        for _ in range(k)
+    ]
+    t0 = time.time()
+    for p in procs:
+        p.start()
+    results = [q.get() for _ in procs]
+    for p in procs:
+        p.join()
+    wall = time.time() - t0
+    s1_total, s1_steal = _steal_window()
+    steal = round(100 * (s1_steal - s0_steal) / max(1, s1_total - s0_total), 1)
+    # engine-loop throughput (excludes per-process lexicon build + read)
+    loop_tput = sum(r["docs"] / r["sec"] for r in results)
+    return {
+        "k": k,
+        "wall_sec": round(wall, 2),
+        "docs_per_sec_aggregate": round(loop_tput, 1),
+        "docs_per_sec_per_proc": round(loop_tput / k, 1),
+        "steal_pct": steal,
+        "proc_secs": sorted(r["sec"] for r in results),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    levels = (
+        [int(x) for x in sys.argv[2].split(",")] if len(sys.argv) > 2 else [6, 24]
+    )
+    docs_per_proc = int(sys.argv[3]) if len(sys.argv) > 3 else 8000
+    out = [run_level(sf_dir, k, docs_per_proc) for k in levels]
+    for row in out:
+        print(json.dumps(row))
+    if len(out) >= 2:
+        lo, hi = out[0], out[-1]
+        eff = (hi["docs_per_sec_aggregate"] / lo["docs_per_sec_aggregate"]) / (
+            hi["k"] / lo["k"]
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "mp_scaling_efficiency",
+                    "value": round(eff, 3),
+                    "pair": [lo["k"], hi["k"]],
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
