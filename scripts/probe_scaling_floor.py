@@ -19,18 +19,29 @@ from __future__ import annotations
 
 import json
 import multiprocessing as mp
+import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def _worker(sf_dir: str, n_docs: int, out_q) -> None:
+    try:
+        _worker_inner(sf_dir, n_docs, out_q)
+    except BaseException as exc:  # always unblock the parent's q.get()
+        out_q.put({"error": f"{type(exc).__name__}: {exc}"})
+        raise
+
+
+def _worker_inner(sf_dir: str, n_docs: int, out_q) -> None:
     import pyarrow.parquet as pq
 
     from deduce_ray.engine import DeduceEngine
     from deduce_ray.lexicon import DEFAULT_LOOKUP_PATH, load_or_build_lexicon
 
     lexicon = load_or_build_lexicon(DEFAULT_LOOKUP_PATH)
-    engine = DeduceEngine(lexicon)
+    engine = DeduceEngine(lexicon=lexicon)
     texts = (
         pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
         .column("text")
@@ -66,6 +77,9 @@ def run_level(sf_dir: str, k: int, docs_per_proc: int) -> dict:
     results = [q.get() for _ in procs]
     for p in procs:
         p.join()
+    errors = [r["error"] for r in results if "error" in r]
+    if errors:
+        raise RuntimeError(f"{len(errors)} workers failed: {errors[0]}")
     wall = time.time() - t0
     s1_total, s1_steal = _steal_window()
     steal = round(100 * (s1_steal - s0_steal) / max(1, s1_total - s0_total), 1)
