@@ -1093,6 +1093,38 @@ class TestMultimodal:
             else:
                 assert r["pixels"] is None
 
+    def test_tensor_extension_cast_disabled(self, ray_session):
+        """Regression: Ray Data auto-casts a batch of equal-length
+        non-null lists to the TensorArray extension; a later null-bearing
+        block then fails to unify ("Tried to cast column pixels ...").
+        Batch composition under limit()+actor pools is timing-dependent,
+        so the failure was intermittent — the engine disables the cast
+        globally (deduce_ray/raytune.py) and this test pins both the
+        setting and the mixed-composition round trip."""
+        import ray.data
+
+        import deduce_ray.ops  # noqa: F401 — applies tune_data_context
+        from deduce_ray.ops.multimodal import resize_images, synthesize_media_batch
+
+        assert (
+            ray.data.DataContext.get_current().enable_tensor_extension_casting
+            is False
+        )
+
+        # ids 1,4,7,... are all images (i % 3 == 1): the first batch is
+        # uniform equal-length lists (the tensor-cast trigger), the second
+        # holds audio rows whose pixels are null
+        ids = [1, 4, 7, 10, 13, 16] + [0, 3, 2, 5]
+        media = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+        ).map_batches(synthesize_media_batch, batch_format="pyarrow")
+        df = resize_images(
+            media, target=8, fake_decoder=True, batch_size=6
+        ).to_pandas()
+        assert len(df) == len(ids)
+        n_img = sum(1 for i in ids if i % 3 != 0)
+        assert df["pixels"].notna().sum() == n_img
+
     def test_frame_sampler_plumbing(self, ray_session):
         import ray.data
 
