@@ -570,6 +570,45 @@ class TestDedupOps:
         for g in range(10):
             assert labels[10_000 + g * 10] == labels[g]
 
+    def test_expand_cap_degrades_to_star(self, ray_session):
+        """A collapsed exact-dup group whose full expansion exceeds
+        expand_cap degrades to a star around the representative: every
+        copy still appears in >=1 pair (dup-flagging preserved) and the
+        whole group still forms ONE cluster (connectivity preserved),
+        with the dropped-pair count logged rather than silent."""
+        import ray.data
+
+        from deduce_ray.ops.dedup import minhash_lsh_pairs, neardup_clusters
+
+        boiler = "identical boilerplate text repeated verbatim " * 4
+        n_copies = 30  # full expansion = 435 pairs > cap
+        items = [{"doc_id": i, "text": boiler} for i in range(n_copies)]
+        items += [
+            {"doc_id": 100 + i, "text": f"unique filler {i} alpha beta gamma"}
+            for i in range(20)
+        ]
+        ds = ray.data.from_items(items)
+        pairs = minhash_lsh_pairs(ds, threshold=0.5, expand_cap=50)
+        rows = pairs.take_all()
+        copy_pairs = [
+            (r["id_a"], r["id_b"])
+            for r in rows
+            if r["id_a"] < n_copies and r["id_b"] < n_copies
+        ]
+        # star, not clique: m-1 pairs instead of m(m-1)/2
+        assert len(copy_pairs) == n_copies - 1
+        flagged = {i for p in copy_pairs for i in p}
+        assert flagged == set(range(n_copies))
+        # every surviving pair sits at the intra value (jaccard 1.0)
+        for r in rows:
+            if (r["id_a"], r["id_b"]) in copy_pairs:
+                assert r["jaccard"] == 1.0
+        labels = {
+            r["doc_id"]: r["cluster_id"]
+            for r in neardup_clusters(pairs).take_all()
+        }
+        assert len({labels[i] for i in range(n_copies)}) == 1
+
     def test_minhash_skips_empty_docs(self, ray_session):
         """Shingle-less docs share the zero signature; they must not pair
         with each other in either verify mode (they are exact_dedup's
