@@ -751,13 +751,20 @@ def materialize_graph(
     def add_salt(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.append_column("salt", pa.array([], type=pa.int32()))
+        if not hot:
+            # common case (no declared hot repos): constant salt 0, no
+            # per-row Python loop on the exchange's input path
+            zeros = np.zeros(batch.num_rows, dtype=np.int32)
+            return batch.append_column("salt", pa.array(zeros))
         repos = batch.column("repo").to_pylist()
         doc_ids = batch.column("doc_id").to_pylist()
-        salts = [
-            _doc_bucket(d, n_salts) if r in hot else 0
-            for r, d in zip(repos, doc_ids)
-        ]
-        return batch.append_column("salt", pa.array(salts, type=pa.int32()))
+        # only rows in hot repos pay the per-row bucket hash; cold rows
+        # are bulk-filled with 0
+        salts = np.zeros(len(repos), dtype=np.int32)
+        for i, (r, d) in enumerate(zip(repos, doc_ids)):
+            if r in hot:
+                salts[i] = _doc_bucket(d, n_salts)
+        return batch.append_column("salt", pa.array(salts))
 
     salted = combined.map_batches(add_salt, batch_format="pyarrow")
 
