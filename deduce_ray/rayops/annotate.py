@@ -34,18 +34,38 @@ TRIPLE_SCHEMA = pa.schema(
 )
 
 
+_BROADCAST_LEXICON_CACHE: dict = {}
+
+
 def broadcast_lexicon(lookup_data_path=None, cache_dir=None):
     """Compile/load the lexicon on the driver and put it in the object
-    store; returns the ObjectRef handed to every AnnotateBatch actor."""
+    store; returns the ObjectRef handed to every AnnotateBatch actor.
+
+    Memoized per (path, cache_dir) for the life of the driver process:
+    every caller (bench headline, __ray_entry__ queries, user pipelines)
+    must share ONE ObjectRef, because workers key their per-process
+    engine caches on the ref — a second ref for the same lexicon makes
+    every worker re-fetch and re-unpickle the 77 MB object (~1.2 s each)
+    inside whichever stage touches it first."""
     import ray
 
     from deduce_ray.lexicon import DEFAULT_LOOKUP_PATH, load_or_build_lexicon
 
-    lexicon = load_or_build_lexicon(
-        lookup_data_path if lookup_data_path is not None else DEFAULT_LOOKUP_PATH,
-        cache_dir=cache_dir,
-    )
-    return ray.put(lexicon)
+    path = lookup_data_path if lookup_data_path is not None else DEFAULT_LOOKUP_PATH
+    # job id in the key: a ray.shutdown()/ray.init() cycle in one process
+    # invalidates every ObjectRef from the old session — a stale cached ref
+    # would poison all annotate stages of the new session
+    try:
+        job_id = ray.get_runtime_context().get_job_id()
+    except Exception:
+        job_id = None
+    key = (str(path), str(cache_dir) if cache_dir is not None else None, job_id)
+    ref = _BROADCAST_LEXICON_CACHE.get(key)
+    if ref is None:
+        lexicon = load_or_build_lexicon(path, cache_dir=cache_dir)
+        ref = ray.put(lexicon)
+        _BROADCAST_LEXICON_CACHE[key] = ref
+    return ref
 
 
 class AnnotateBatch:
