@@ -287,20 +287,25 @@ class MultiPackedTrie:
 
     __slots__ = (
         "names", "_entries", "_entry_masks", "_firsts", "_len_masks",
-        "_first_memo", "_sizes", "_mask_rows", "_entry_memo",
+        "_first_memo", "_sizes", "_entry_memo",
     )
 
     _MEMO_CAP = 262_144
     _MISS = (0, ())  # memo value for tokens absent from every lexicon
 
-    def _build_mask_rows(self) -> None:
-        """Per first-token (union_mask, per-trie masks) as plain Python ints:
-        the probe loop reads these once per candidate token, and numpy
-        scalar unboxing there costs more than the whole candidate check."""
-        self._mask_rows = [
-            (int(np.bitwise_or.reduce(row)), tuple(int(x) for x in row))
-            for row in self._len_masks
-        ]
+    def _mask_row(self, fi: int) -> tuple[int, tuple[int, ...]]:
+        """(union_mask, per-trie masks) for first-token row ``fi`` as plain
+        Python ints: the probe loop reads these once per candidate token,
+        and numpy scalar unboxing there costs more than the whole candidate
+        check.  Built LAZILY per first-token on demand (and held by the
+        token memo): materializing all ~240k rows eagerly cost ~1.6 s and
+        ~100 MB of heap per worker at unpickle time, for rows mostly never
+        probed by any document."""
+        trie_masks = tuple(int(x) for x in self._len_masks[fi])
+        union = 0
+        for m in trie_masks:
+            union |= m
+        return (union, trie_masks)
 
     def __init__(self, tries: list[tuple[str, object]]) -> None:
         # tries: (name, build-time LookupTrie) pairs, all pipeline-free
@@ -346,7 +351,6 @@ class MultiPackedTrie:
         for tok, row in first_masks.items():
             len_masks[self._firsts.index(tok)] = row
         self._len_masks = len_masks
-        self._build_mask_rows()
         self._first_memo: dict[bytes, tuple[int, tuple[int, ...]]] = {}
         self._entry_memo: dict[bytes, int] = {}
 
@@ -366,7 +370,7 @@ class MultiPackedTrie:
         firsts = self._firsts
         entries = self._entries
         entry_masks = self._entry_masks
-        mask_rows = self._mask_rows
+        mask_row = self._mask_row
         miss = self._MISS
 
         # NOTE: a vectorized candidate prefilter (np.array(enc, dtype="S8")
@@ -378,7 +382,7 @@ class MultiPackedTrie:
             cached = memo.get(tok)
             if cached is None:
                 fi = firsts.index(tok)
-                cached = mask_rows[fi] if fi >= 0 else miss
+                cached = mask_row(fi) if fi >= 0 else miss
                 memo[tok] = cached
             union_mask, trie_masks = cached
             if union_mask == 0:
@@ -429,7 +433,6 @@ class MultiPackedTrie:
             self._len_masks,
             self._sizes,
         ) = state
-        self._build_mask_rows()
         self._first_memo = {}
         self._entry_memo = {}
 
