@@ -26,6 +26,15 @@ def _repo_ds():
 
 
 class TestAnnotateStage:
+    def test_broadcast_lexicon_memoized(self, ray_session):
+        # one ObjectRef per (path, cache_dir) per Ray session: workers key
+        # their engine caches on the ref, so a second ref for the same
+        # lexicon makes every worker re-fetch + re-unpickle 77 MB inside
+        # whichever stage touches it first
+        from deduce_ray.rayops.annotate import broadcast_lexicon
+
+        assert broadcast_lexicon() is broadcast_lexicon()
+
     def test_triples_schema_and_invariant(self, ray_session, lexicon_ref):
         from deduce_ray.corpus import content_for
         from deduce_ray.rayops.annotate import TRIPLE_SCHEMA, extract_triples
