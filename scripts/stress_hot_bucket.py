@@ -9,19 +9,24 @@ LSH stage sees each distinct text once, the 100k-copy group expands as
 a logged star (connectivity preserved), and — with the signature-only
 bucket shuffle (band rows carry 20 bytes, signatures ride the verify
 step once per touched id, never once per band row) — the 2M-doc run
-completes in ~2 minutes on the 32-cpu sandbox (measured 2026-08-18:
-pairs 121 s, clusters 1.8 s, all copies flagged, one cluster; the old
-payload-per-band-row design was still running at 570 s).
+completes in ~1-2 minutes on the 32-cpu sandbox (measured 2026-08-18:
+pairs 121 s under load, 64.8 s on a re-run; clusters ~1-2 s, all
+copies flagged, one cluster; the old payload-per-band-row design was
+still running at 570 s).
 
-Run:  PYTHONPATH=. python scripts/stress_hot_bucket.py [n_docs] [n_copies]
+Run:  python scripts/stress_hot_bucket.py [n_docs] [n_copies]
 Emits one JSON line with wall time, pair counts, and cluster check.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+# importable regardless of invocation directory (sys.path[0] is scripts/)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import pyarrow as pa
