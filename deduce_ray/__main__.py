@@ -59,6 +59,10 @@ def _infer_format(path: str) -> str:
     if not p.exists():
         raise SystemExit(f"--input path does not exist: {path}")
     suffix = p.suffix.lower()
+    if suffix == ".gz":
+        # look through the compression suffix: docs.jsonl.gz / docs.csv.gz
+        # (the readers decompress transparently)
+        suffix = Path(p.stem).suffix.lower()
     if suffix in (".jsonl", ".ndjson"):
         return "jsonl"
     if suffix == ".json":
@@ -90,7 +94,10 @@ def _infer_format(path: str) -> str:
     for pat, fmt in (
         ("*.jsonl", "jsonl"),
         ("*.ndjson", "jsonl"),
+        ("*.jsonl.gz", "jsonl"),
+        ("*.ndjson.gz", "jsonl"),
         ("*.csv", "csv"),
+        ("*.csv.gz", "csv"),
         ("*.orc", "orc"),
     ):
         if any(p.glob(pat)):

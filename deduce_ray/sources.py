@@ -109,14 +109,43 @@ def _presplit_single_small_file(path: str | Path, reader, ds_factory):
     return ds_factory()
 
 
+def _resolve_compression(path: str | Path, compression: str | None) -> str | None:
+    """"infer" -> codec from the file suffix (.gz only; web-scale text
+    dumps ship as *.jsonl.gz / *.csv.gz); explicit codec passes through;
+    None disables.  A DIRECTORY under "infer" resolves to None here —
+    the streaming readers' per-task opens use pyarrow's own
+    compression="detect", which infers from each member file's suffix,
+    so mixed/compressed directories decompress per file regardless."""
+    if compression != "infer":
+        return compression
+    return "gzip" if str(path).endswith(".gz") else None
+
+
+def _open_maybe_compressed(path: str | Path, codec: str | None):
+    """Driver-side open for the single-small-file fast path: a plain
+    OSFile, or a pyarrow CompressedInputStream around it."""
+    f = pa.OSFile(str(path), "rb")
+    if codec is None:
+        return f
+    return pa.CompressedInputStream(f, codec)
+
+
 def read_jsonl_corpus(
-    path: str | Path, text_key: str = "content", column_map: dict[str, str] | None = None
+    path: str | Path,
+    text_key: str = "content",
+    column_map: dict[str, str] | None = None,
+    compression: str | None = "infer",
 ):
     """Newline-delimited JSON file(s) -> repo-shaped Dataset.
 
     ``column_map`` maps SOURCE keys to repo columns (default: identity
     plus ``text_key`` -> content).  Extra JSON keys are dropped; missing
     repo columns become "".
+
+    ``compression="infer"`` (default) reads ``*.gz`` transparently —
+    streaming decompression inside each read task (pyarrow
+    CompressedInputStream via ``arrow_open_stream_args``), never on the
+    driver for the multi-file case.
 
     Mapped columns are read with an EXPLICIT string schema: pyarrow's
     type inference would otherwise rewrite bytes — ISO-date strings
@@ -127,14 +156,26 @@ def read_jsonl_corpus(
     import ray.data
 
     cmap = column_map or _default_column_map(text_key)
+    codec = _resolve_compression(path, compression)
     parse = pj.ParseOptions(
         explicit_schema=pa.schema([(src, pa.string()) for src in cmap]),
         unexpected_field_behavior="ignore",
     )
+    # explicit codec rides arrow_open_stream_args (needed when the suffix
+    # would defeat pyarrow's "detect"); inferred/None cases rely on the
+    # reader's per-file detect, and read_json's default file_extensions
+    # already admit *.jsonl.gz
+    stream_args = {"compression": codec} if codec else None
     ds = _presplit_single_small_file(
         path,
-        reader=lambda: pj.read_json(str(path), parse_options=parse),
-        ds_factory=lambda: ray.data.read_json(str(path), parse_options=parse),
+        reader=lambda: pj.read_json(
+            _open_maybe_compressed(path, codec), parse_options=parse
+        ),
+        ds_factory=lambda: ray.data.read_json(
+            str(path),
+            parse_options=parse,
+            arrow_open_stream_args=stream_args,
+        ),
     )
     return ds.map_batches(
         lambda b: _to_repo_batch(b, cmap), batch_format="pyarrow"
@@ -142,9 +183,16 @@ def read_jsonl_corpus(
 
 
 def read_csv_corpus(
-    path: str | Path, text_key: str = "content", column_map: dict[str, str] | None = None
+    path: str | Path,
+    text_key: str = "content",
+    column_map: dict[str, str] | None = None,
+    compression: str | None = "infer",
 ):
     """CSV file(s) with a header row -> repo-shaped Dataset.
+
+    ``compression="infer"`` (default) reads ``*.gz`` transparently, with
+    per-task streaming decompression (same mechanism as
+    :func:`read_jsonl_corpus`).
 
     Mapped columns are forced to string at parse time — inference would
     turn an all-numeric content column ("1.50") into a double rendered
@@ -155,13 +203,21 @@ def read_csv_corpus(
     import ray.data
 
     cmap = column_map or _default_column_map(text_key)
+    codec = _resolve_compression(path, compression)
     convert = pcsv.ConvertOptions(
         column_types={src: pa.string() for src in cmap}
     )
+    stream_args = {"compression": codec} if codec else None
     ds = _presplit_single_small_file(
         path,
-        reader=lambda: pcsv.read_csv(str(path), convert_options=convert),
-        ds_factory=lambda: ray.data.read_csv(str(path), convert_options=convert),
+        reader=lambda: pcsv.read_csv(
+            _open_maybe_compressed(path, codec), convert_options=convert
+        ),
+        ds_factory=lambda: ray.data.read_csv(
+            str(path),
+            convert_options=convert,
+            arrow_open_stream_args=stream_args,
+        ),
     )
     return ds.map_batches(
         lambda b: _to_repo_batch(b, cmap), batch_format="pyarrow"

@@ -68,6 +68,39 @@ class TestJsonl:
                 == hashlib.sha256(doc["content"].encode()).hexdigest()
             )
 
+    def test_gzip_single_file_inferred(self, ray_session, tmp_path):
+        import gzip
+
+        f = tmp_path / "docs.jsonl.gz"
+        raw = ("\n".join(json.dumps(d) for d in DOCS) + "\n").encode()
+        f.write_bytes(gzip.compress(raw))
+        ds = read_jsonl_corpus(f)  # compression inferred from .gz
+        _assert_repo_shape(ds)
+        assert _rows(ds) == sorted(DOCS, key=lambda d: d["path"])
+
+    def test_gzip_directory_of_shards(self, ray_session, tmp_path):
+        import gzip
+
+        d = tmp_path / "gz_shards"
+        d.mkdir()
+        for i, doc in enumerate(DOCS):
+            (d / f"part-{i}.jsonl.gz").write_bytes(
+                gzip.compress((json.dumps(doc) + "\n").encode())
+            )
+        # directory: per-file detect inside the streaming read tasks
+        ds = read_jsonl_corpus(d)
+        _assert_repo_shape(ds)
+        assert _rows(ds) == sorted(DOCS, key=lambda d_: d_["path"])
+
+    def test_gzip_explicit_codec_without_suffix(self, ray_session, tmp_path):
+        import gzip
+
+        f = tmp_path / "docs.jsonl"  # no .gz suffix: detect would fail
+        raw = ("\n".join(json.dumps(d) for d in DOCS) + "\n").encode()
+        f.write_bytes(gzip.compress(raw))
+        ds = read_jsonl_corpus(f, compression="gzip")
+        assert _rows(ds) == sorted(DOCS, key=lambda d: d["path"])
+
     def test_missing_columns_filled_empty(self, ray_session, tmp_path):
         f = tmp_path / "bare.jsonl"
         f.write_text(
@@ -151,6 +184,22 @@ class TestCsv:
         _assert_repo_shape(ds)
         rows = _rows(ds)
         assert rows == sorted(DOCS, key=lambda d: d["path"])
+
+    def test_gzip_csv_inferred(self, ray_session, tmp_path):
+        import csv as _csv
+        import gzip
+        import io
+
+        buf = io.StringIO()
+        w = _csv.DictWriter(buf, fieldnames=list(DOCS[0]))
+        w.writeheader()
+        for d in DOCS:
+            w.writerow(d)
+        f = tmp_path / "docs.csv.gz"
+        f.write_bytes(gzip.compress(buf.getvalue().encode()))
+        ds = read_csv_corpus(f)
+        _assert_repo_shape(ds)
+        assert _rows(ds) == sorted(DOCS, key=lambda d: d["path"])
 
     def test_numeric_looking_values_not_rewritten(self, ray_session, tmp_path):
         # type inference would parse "1.50" as double (rendered "1.5") and
