@@ -118,7 +118,11 @@ def _resolve_compression(path: str | Path, compression: str | None) -> str | Non
     so mixed/compressed directories decompress per file regardless."""
     if compression != "infer":
         return compression
-    return "gzip" if str(path).endswith(".gz") else None
+    s = str(path)
+    for suffix, codec in ((".gz", "gzip"), (".zst", "zstd"), (".bz2", "bz2")):
+        if s.endswith(suffix):
+            return codec
+    return None
 
 
 def _open_maybe_compressed(path: str | Path, codec: str | None):

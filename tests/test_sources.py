@@ -92,6 +92,16 @@ class TestJsonl:
         _assert_repo_shape(ds)
         assert _rows(ds) == sorted(DOCS, key=lambda d_: d_["path"])
 
+    def test_zstd_single_file_inferred(self, ray_session, tmp_path):
+        f = tmp_path / "docs.jsonl.zst"
+        raw = ("\n".join(json.dumps(d) for d in DOCS) + "\n").encode()
+        buf = pa.BufferOutputStream()
+        with pa.CompressedOutputStream(buf, "zstd") as out:
+            out.write(raw)
+        f.write_bytes(buf.getvalue().to_pybytes())
+        ds = read_jsonl_corpus(f)
+        assert _rows(ds) == sorted(DOCS, key=lambda d: d["path"])
+
     def test_gzip_explicit_codec_without_suffix(self, ray_session, tmp_path):
         import gzip
 
