@@ -24,6 +24,11 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, _REPO_DIR)
 
 from deduce_ray.corpus import read_parquet_sliced  # noqa: E402
+from deduce_ray.raytune import tune_data_context  # noqa: E402
+
+# driver contract surface: tune the Ray DataContext once, before any query
+# builds a dataset (library imports deliberately have no side effects)
+tune_data_context()
 
 _LEX_REF = None
 

@@ -322,6 +322,8 @@ def main() -> None:
 
     import ray
 
+    from deduce_ray.raytune import tune_data_context
+
     if not ray.is_initialized():
         ray.init(
             address="local",
@@ -329,6 +331,7 @@ def main() -> None:
             include_dashboard=False,
             log_to_driver=False,
         )
+    tune_data_context()
 
     if args.kg_only or args.graph_only:
         headline = kg_graph_headline if args.graph_only else kg_headline

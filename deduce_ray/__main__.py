@@ -24,11 +24,14 @@ import sys
 def _init_ray(num_cpus: int | None) -> None:
     import ray
 
+    from deduce_ray.raytune import tune_data_context
+
     if not ray.is_initialized():
         kwargs = {"address": "local", "include_dashboard": False}
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
+    tune_data_context()
 
 
 def _expand_enabled(engine, enabled: set[str] | None) -> set[str] | None:

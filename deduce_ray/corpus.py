@@ -108,6 +108,9 @@ def slice_table_to_blocks(tbl, blocks_per_cpu: int = 4):
     import ray
     import ray.data
 
+    from deduce_ray.raytune import tune_data_context
+
+    tune_data_context()
     n = tbl.num_rows
     cpus = (
         int(ray.cluster_resources().get("CPU", 32))
@@ -142,6 +145,9 @@ def read_parquet_sliced(path, columns: list[str] | None = None,
     import ray.data
     from pathlib import Path
 
+    from deduce_ray.raytune import tune_data_context
+
+    tune_data_context()
     p = Path(path)
     if p.is_file() and p.stat().st_size <= _DRIVER_SLICE_MAX_BYTES:
         # one handle for metadata AND data (no second open / footer parse;

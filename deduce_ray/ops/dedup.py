@@ -311,6 +311,13 @@ def collapse_exact_dups(ds, id_col: str, keyer, loser_broadcast_max: int = 50_00
             np.where(new_group, np.arange(n), 0)
         )
         losers = ~new_group
+        # duplicate-id rows with identical text (a dataset unioned with
+        # itself, planted-id collisions) would otherwise emit a self edge
+        # AND put the id on the loser list — _drop_ids then erases the
+        # representative row too, silently removing the document from LSH.
+        # Masking self-edges keeps both rows in reps_ds, the benign
+        # pre-collapse behavior (downstream pair emission dedups ids).
+        losers &= ids[rep_idx] != ids
         return pd.DataFrame(
             {
                 "rep": ids[rep_idx][losers],
@@ -413,7 +420,7 @@ def _expand_dup_pairs(
     value_col: str,
     intra_value,
     value_dtype: str,
-    expand_cap: int | None = 8192,
+    expand_cap: int | None = None,
 ):
     """Expand representative-level verified pairs through exact-dup groups.
 
@@ -424,7 +431,11 @@ def _expand_dup_pairs(
     exactly).  Groups whose expansion would exceed ``expand_cap`` pairs
     degrade to a star around the representative (connectivity and
     dup-flagging preserved; exact dropped-pair count logged — an
-    output-size cap, not a candidate-generation one).
+    output-size cap, not a candidate-generation one).  Off (None) by
+    default, matching ``max_bucket``: every output-changing cap is
+    opt-in so the oracle-checked configurations stay exact; scale runs
+    over mass-duplicated corpora should pass a cap (the stress harness
+    uses 8192).
 
     Requires non-negative ids (the join stages use -1 as their pair-row
     sentinel, matching embedding_neardup_pairs' convention)."""
@@ -442,10 +453,14 @@ def _expand_dup_pairs(
         parts: list[pd.DataFrame] = []
         dropped = 0
         for rep, grp in df.groupby("rep"):
+            # unique members excluding the rep: duplicate-id input rows
+            # produce repeated (rep, member) edges, which would otherwise
+            # expand into self pairs (member, member)
+            uniq = np.unique(grp["member"].to_numpy(dtype=np.int64))
             members = np.concatenate(
                 [
                     np.asarray([rep], dtype=np.int64),
-                    np.sort(grp["member"].to_numpy(dtype=np.int64)),
+                    uniq[uniq != rep],
                 ]
             )
             m = len(members)
@@ -531,7 +546,9 @@ def _expand_dup_pairs(
     def side_expand(df: pd.DataFrame) -> pd.DataFrame:
         import logging
 
-        edges = df[df["is_edge"]][["rep", "member"]]
+        # drop_duplicates: duplicate-id input rows yield repeated
+        # (rep, member) edges, which would replicate each cross pair
+        edges = df[df["is_edge"]][["rep", "member"]].drop_duplicates()
         prs = df[~df["is_edge"]][["rep", "other", "value"]]
         empty = pd.DataFrame(
             {
@@ -799,7 +816,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.6,
     verify: str = "signature",
     collapse_exact: bool = True,
-    expand_cap: int | None = 8192,
+    expand_cap: int | None = None,
     max_bucket: int | None = None,
     broadcast_candidate_ids_max: int = 5_000_000,
     driver_verify_max: int = 100_000,
@@ -811,10 +828,14 @@ def minhash_lsh_pairs(
     dup groups at emit — exact-equivalent output (identical texts have
     identical signatures) but per-bucket candidates stay bounded under
     mass duplication (1M copies of a license header no longer form an
-    O(m^2) bucket).  ``expand_cap`` bounds the EMITTED pairs per dup
-    group (star fallback, logged); ``max_bucket`` optionally caps
-    distinct-text bucket membership (recall cap, logged, off by
-    default).
+    O(m^2) bucket).  ``expand_cap`` optionally bounds the EMITTED pairs
+    per dup group (star fallback, logged); ``max_bucket`` optionally
+    caps distinct-text bucket membership (recall cap, logged).  Both
+    output-changing caps are OFF by default so the oracle-checked
+    configurations stay exact; runs over mass-duplicated corpora should
+    set expand_cap (the stress harness uses 8192 — collapse keeps the
+    candidate stage bounded either way, the cap only bounds the
+    quadratic OUTPUT).
 
     Default banding 32x2 puts the S-curve knee near J~0.2, so candidate
     recall at J>=0.5 is effectively 1; the in-bucket verification check
@@ -970,6 +991,17 @@ def minhash_lsh_pairs(
         ids_arr, sig_rows, _ = _minhash_sig_matrix(
             texts, ids_in, k, n_perm, a, b
         )
+        if len(ids_arr) and int(np.min(ids_arr)) < 0:
+            # same fail-fast as embedding_neardup_pairs: the sharded
+            # verify-join fallback tags signature rows with negative
+            # id_a, so a negative input id would be misclassified there
+            # (sig=None request rows -> frombuffer TypeError or silently
+            # dropped pairs) — and only at scale, past the driver path
+            raise ValueError(
+                "minhash_lsh_pairs (signature mode) requires non-negative "
+                "ids: the verify join reserves negative id_a as its "
+                "signature-row tag"
+            )
         return pa.table(
             {
                 "id": pa.array(ids_arr, type=pa.int64()),
@@ -1572,7 +1604,7 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     collapse_exact: bool = True,
-    expand_cap: int | None = 8192,
+    expand_cap: int | None = None,
     max_bucket: int | None = None,
 ):
     """SimHash near-dup pairs: 4x16-bit band bucketing guarantees recall for
@@ -1774,7 +1806,7 @@ def embedding_neardup_pairs(
     broadcast_candidate_ids_max: int = 5_000_000,
     driver_verify_max: int = 20_000,
     collapse_exact: bool = True,
-    expand_cap: int | None = 8192,
+    expand_cap: int | None = None,
     max_bucket: int | None = None,
 ):
     """Cosine near-duplicates via multi-table random-hyperplane LSH with

@@ -1,6 +1,6 @@
 """Ray Data stages: stateful annotator actor pool, triple pipeline,
-checkpointed graph materialization."""
+checkpointed graph materialization.
 
-from deduce_ray.raytune import tune_data_context
-
-tune_data_context()
+No import side effects — see ``deduce_ray/ops/__init__.py`` for where the
+Ray DataContext tuning is applied instead.
+"""

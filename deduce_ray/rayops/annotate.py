@@ -52,19 +52,31 @@ def broadcast_lexicon(lookup_data_path=None, cache_dir=None):
     from deduce_ray.lexicon import DEFAULT_LOOKUP_PATH, load_or_build_lexicon
 
     path = lookup_data_path if lookup_data_path is not None else DEFAULT_LOOKUP_PATH
+
     # job id in the key: a ray.shutdown()/ray.init() cycle in one process
     # invalidates every ObjectRef from the old session — a stale cached ref
     # would poison all annotate stages of the new session
-    try:
-        job_id = ray.get_runtime_context().get_job_id()
-    except Exception:
-        job_id = None
-    key = (str(path), str(cache_dir) if cache_dir is not None else None, job_id)
-    ref = _BROADCAST_LEXICON_CACHE.get(key)
-    if ref is None:
-        lexicon = load_or_build_lexicon(path, cache_dir=cache_dir)
-        ref = ray.put(lexicon)
-        _BROADCAST_LEXICON_CACHE[key] = ref
+    def _job_id():
+        try:
+            if ray.is_initialized():
+                return ray.get_runtime_context().get_job_id()
+        except Exception:
+            pass
+        return None
+
+    base = (str(path), str(cache_dir) if cache_dir is not None else None)
+    job_id = _job_id()
+    if job_id is not None:
+        ref = _BROADCAST_LEXICON_CACHE.get(base + (job_id,))
+        if ref is not None:
+            return ref
+    lexicon = load_or_build_lexicon(path, cache_dir=cache_dir)
+    ref = ray.put(lexicon)
+    # re-fetch AFTER ray.put: when this call was the process' first Ray
+    # interaction, put() auto-initialized the session — keying the memo on
+    # the pre-init None would make every later call miss and re-broadcast,
+    # the exact regression the memo exists to prevent
+    _BROADCAST_LEXICON_CACHE[base + (_job_id(),)] = ref
     return ref
 
 

@@ -1,8 +1,13 @@
 """Ray Data execution-context tuning shared by every Ray-facing module.
 
-Called at import time from ``deduce_ray.rayops`` and ``deduce_ray.ops`` so
-any pipeline built through this engine runs with the tuned context,
-whichever entry point the caller used.
+Called from the engine's own entry surfaces — the corpus/sources readers
+(dataset creation), the CLI, bench, the driver contract module, and the
+test session fixture — NEVER at library import: importing deduce_ray must
+not mutate the process-global DataContext of an application that embeds
+this engine next to its own Ray Data pipelines (nor drag a multi-second
+``import ray.data`` into Ray-free uses of the pure-numpy helpers).
+Embedders composing these ops over their own datasets keep their own
+context unless they call :func:`tune_data_context` explicitly.
 """
 
 from __future__ import annotations

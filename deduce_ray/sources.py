@@ -102,6 +102,9 @@ def _presplit_single_small_file(path: str | Path, reader, ds_factory):
     ``ds_factory()`` the streaming Dataset otherwise.
     """
     from deduce_ray.corpus import slice_table_to_blocks
+    from deduce_ray.raytune import tune_data_context
+
+    tune_data_context()
 
     p = Path(path)
     if p.is_file() and p.stat().st_size <= _SMALL_FILE_MAX_BYTES:
@@ -110,9 +113,9 @@ def _presplit_single_small_file(path: str | Path, reader, ds_factory):
 
 
 def _resolve_compression(path: str | Path, compression: str | None) -> str | None:
-    """"infer" -> codec from the file suffix (.gz only; web-scale text
-    dumps ship as *.jsonl.gz / *.csv.gz); explicit codec passes through;
-    None disables.  A DIRECTORY under "infer" resolves to None here —
+    """"infer" -> codec from the file suffix (.gz/.zst/.bz2; web-scale
+    text dumps ship as *.jsonl.gz / *.csv.gz); explicit codec passes
+    through; None disables.  A DIRECTORY under "infer" resolves to None here —
     the streaming readers' per-task opens use pyarrow's own
     compression="detect", which infers from each member file's suffix,
     so mixed/compressed directories decompress per file regardless."""
@@ -167,9 +170,16 @@ def read_jsonl_corpus(
     )
     # explicit codec rides arrow_open_stream_args (needed when the suffix
     # would defeat pyarrow's "detect"); inferred/None cases rely on the
-    # reader's per-file detect, and read_json's default file_extensions
-    # already admit *.jsonl.gz
+    # reader's per-file detect.  file_extensions passed EXPLICITLY:
+    # Ray's read_json default excludes *.ndjson entirely and the .bz2
+    # compressed variants, so a directory of part-*.ndjson.gz (or a large
+    # docs.jsonl.bz2 falling through to the streaming path) would raise
+    # "No input files found" under the default filter.
     stream_args = {"compression": codec} if codec else None
+    bases = ["json", "jsonl", "ndjson"]
+    exts = bases + [
+        f"{b}.{c}" for b in bases for c in ("gz", "br", "zst", "lz4", "bz2")
+    ]
     ds = _presplit_single_small_file(
         path,
         reader=lambda: pj.read_json(
@@ -179,6 +189,7 @@ def read_jsonl_corpus(
             str(path),
             parse_options=parse,
             arrow_open_stream_args=stream_args,
+            file_extensions=exts,
         ),
     )
     return ds.map_batches(
@@ -245,7 +256,9 @@ def read_orc_corpus(
     import ray.data
 
     from deduce_ray.corpus import slice_table_to_blocks
+    from deduce_ray.raytune import tune_data_context
 
+    tune_data_context()
     cmap = column_map or _default_column_map(text_key)
     p = Path(path)
 
@@ -313,6 +326,9 @@ def read_text_tree_corpus(
 
     import ray.data
 
+    from deduce_ray.raytune import tune_data_context
+
+    tune_data_context()
     if on_decode_error not in ("raise", "skip"):
         raise ValueError(f"on_decode_error must be raise|skip, got {on_decode_error!r}")
 

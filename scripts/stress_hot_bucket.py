@@ -45,6 +45,9 @@ def main() -> None:
     import ray.data
 
     from deduce_ray.ops.dedup import minhash_lsh_pairs, neardup_clusters
+    from deduce_ray.raytune import tune_data_context
+
+    tune_data_context()
 
     boiler = (
         "permission is hereby granted free of charge to any person "
@@ -70,7 +73,12 @@ def main() -> None:
     docs = ray.data.range(n_docs).map_batches(synth, batch_format="pyarrow")
 
     t0 = time.perf_counter()
-    pairs = minhash_lsh_pairs(docs, threshold=0.5, verify="signature")
+    # expand_cap: output-changing caps are OFF by default (oracle-exact
+    # configurations); the stress corpus is exactly the mass-duplication
+    # shape where the quadratic OUTPUT must degrade to a logged star
+    pairs = minhash_lsh_pairs(
+        docs, threshold=0.5, verify="signature", expand_cap=8192
+    )
     pairs = pairs.materialize()
     n_pairs = pairs.count()
     pairs_sec = time.perf_counter() - t0

@@ -5,6 +5,8 @@ import pytest
 def ray_session():
     import ray
 
+    from deduce_ray.raytune import tune_data_context
+
     if not ray.is_initialized():
         ray.init(
             address="local",
@@ -12,6 +14,10 @@ def ray_session():
             include_dashboard=False,
             ignore_reinit_error=True,
         )
+    # the engine's entry surfaces tune the DataContext themselves; tests
+    # that build raw ray.data datasets and hand them to ops need the same
+    # context (tensor-extension cast off above all)
+    tune_data_context()
     yield
     ray.shutdown()
 

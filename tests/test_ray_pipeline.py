@@ -618,6 +618,71 @@ class TestDedupOps:
         }
         assert len({labels[i] for i in range(n_copies)}) == 1
 
+    def test_expand_defaults_exact_clique(self, ray_session):
+        """Output-changing caps are OFF by default: a dup group big enough
+        to exceed the old expand_cap=8192 default (150 copies -> 11175
+        pairs) must emit the FULL clique under default arguments, exactly
+        like the brute-force DuckDB oracles expect."""
+        import ray.data
+
+        from deduce_ray.ops.dedup import minhash_lsh_pairs
+
+        n_copies = 150
+        items = [
+            {"doc_id": i, "text": "identical boilerplate text " * 4}
+            for i in range(n_copies)
+        ]
+        items += [
+            {"doc_id": 1000 + i, "text": f"unique filler {i} alpha beta"}
+            for i in range(5)
+        ]
+        pairs = minhash_lsh_pairs(ray.data.from_items(items), threshold=0.5)
+        copy_pairs = [
+            r
+            for r in pairs.take_all()
+            if r["id_a"] < n_copies and r["id_b"] < n_copies
+        ]
+        assert len(copy_pairs) == n_copies * (n_copies - 1) // 2
+
+    def test_duplicate_id_rows_survive_collapse(self, ray_session):
+        """Duplicate doc_id rows with identical text (a corpus unioned
+        with itself) must not erase the document from LSH or emit self
+        pairs: collapse masks self edges, keeping the benign pre-collapse
+        behavior."""
+        import ray.data
+
+        from deduce_ray.ops.dedup import minhash_lsh_pairs
+
+        items = [
+            {"doc_id": 1, "text": "alpha beta gamma delta epsilon " * 3},
+            {"doc_id": 2, "text": "alpha beta gamma delta epsilon " * 3},
+            {"doc_id": 3, "text": "totally different words entirely here"},
+        ]
+        doubled = ray.data.from_items(items + items)  # every id twice
+        rows = minhash_lsh_pairs(doubled, threshold=0.5).take_all()
+        pairs = {(r["id_a"], r["id_b"]) for r in rows}
+        assert (1, 2) in pairs, "near-dup pair lost after id duplication"
+        assert all(a != b for a, b in pairs), f"self pairs emitted: {pairs}"
+
+    def test_signature_mode_rejects_negative_ids(self, ray_session):
+        import pytest as _pytest
+        import ray.data
+
+        from deduce_ray.ops.dedup import minhash_lsh_pairs
+
+        ds = ray.data.from_items(
+            [
+                {"doc_id": -1, "text": "alpha beta gamma delta"},
+                {"doc_id": 2, "text": "alpha beta gamma delta"},
+            ]
+        )
+        # Ray wraps the worker-side ValueError in RayTaskError; match on
+        # the message rather than the (dynamically wrapped) type
+        with _pytest.raises(Exception, match="non-negative"):
+            minhash_lsh_pairs(
+                ds, threshold=0.5, verify="signature", collapse_exact=False
+            ).take_all()
+
     def test_minhash_skips_empty_docs(self, ray_session):
         """Shingle-less docs share the zero signature; they must not pair
         with each other in either verify mode (they are exact_dedup's

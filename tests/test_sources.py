@@ -92,6 +92,21 @@ class TestJsonl:
         _assert_repo_shape(ds)
         assert _rows(ds) == sorted(DOCS, key=lambda d_: d_["path"])
 
+    def test_gzip_ndjson_directory(self, ray_session, tmp_path):
+        # Ray's read_json default file_extensions excludes *.ndjson.gz —
+        # the readers pass an explicit list so these shards are not
+        # silently filtered into "No input files found"
+        import gzip
+
+        d = tmp_path / "ndjson_gz"
+        d.mkdir()
+        for i, doc in enumerate(DOCS):
+            (d / f"part-{i}.ndjson.gz").write_bytes(
+                gzip.compress((json.dumps(doc) + "\n").encode())
+            )
+        ds = read_jsonl_corpus(d)
+        assert _rows(ds) == sorted(DOCS, key=lambda d_: d_["path"])
+
     def test_zstd_single_file_inferred(self, ray_session, tmp_path):
         f = tmp_path / "docs.jsonl.zst"
         raw = ("\n".join(json.dumps(d) for d in DOCS) + "\n").encode()
