@@ -120,3 +120,23 @@ def test_multi_packed_trie_pickle():
     view = MemberTrieView(multi, 0)
     assert view.find_spans(["a", "b"]) == [(0, 2)]
     assert len(view) == 2
+
+
+def test_library_import_has_no_ray_data_side_effects():
+    """Importing deduce_ray packages must neither import ray.data (multi-
+    second, for numpy-only helpers) nor mutate the global DataContext of
+    an embedding application — tuning happens at the engine's own entry
+    surfaces (readers, CLI, bench, driver contract) instead."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys\n"
+        "import deduce_ray.ops, deduce_ray.rayops\n"
+        "import deduce_ray.ops.multimodal\n"
+        "assert 'ray.data' not in sys.modules, 'ray.data import side effect'\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True
+    )
+    assert proc.returncode == 0, proc.stderr
