@@ -148,6 +148,16 @@ def _q_kg_entities_canonical_sqlpreds(sf_dir: str):
     )
 
 
+def _q_kg_cooccurrence_sqlpreds(sf_dir: str):
+    """Entity co-occurrence edge construction (doc-hash merge shuffle ->
+    within-doc pair generation -> sharded edge-count merge) over the
+    SQL-decidable predicates — value-checked against a DuckDB self-join."""
+    from deduce_ray.oracles import SQLPRED_ENABLED
+    from deduce_ray.rayops.kg import cooccurrence_edges
+
+    return cooccurrence_edges(_triples(sf_dir, enabled=set(SQLPRED_ENABLED)))
+
+
 def _q_doc_token_counts(sf_dir: str):
     import ray.data
 
@@ -568,7 +578,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     variant was retired — its distributed path (length-block shuffle ->
     DL1 edges -> star clustering -> canonical pick) is now value-checked
     end-to-end by the sqlpreds variant and the full-lexicon run stays
-    covered by tests/test_ray_pipeline.py.
+    covered by tests/test_ray_pipeline.py.  Later in round 4
+    ``kg_cooccurrence_sqlpreds`` (entity co-occurrence edge construction
+    vs a DuckDB self-join) was added and the rows-only ``media_frames``
+    retired — frame sampling stays fully covered by the multimodal
+    byte-level round-trip tests, and two media queries remain registered.
 
     Two round-2 entries were retired earlier to make room:
     ``kg_redacted`` (its machinery is value-checked by
@@ -585,6 +599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_graph_sqlpreds": _q_kg_graph_sqlpreds,
         "kg_entities_sqlpreds": _q_kg_entities_sqlpreds,
         "kg_entities_canonical_sqlpreds": _q_kg_entities_canonical_sqlpreds,
+        "kg_cooccurrence_sqlpreds": _q_kg_cooccurrence_sqlpreds,
         "kg_redacted_sqlpreds": _q_kg_redacted_sqlpreds,
         # --- single annotator groups, value-checked against DuckDB regex ---
         "kg_dates": _mentions_query(
@@ -648,7 +663,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal plumbing ---
         "media_features": _q_media_features,
         "media_resized": _q_media_resized,
-        "media_frames": _q_media_frames,
     }
 
 
@@ -695,6 +709,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entities_sqlpreds": oracles.kg_entities_sqlpreds_sql(),
         "kg_entities_canonical_sqlpreds":
             oracles.kg_entities_canonical_sqlpreds_sql(),
+        "kg_cooccurrence_sqlpreds": oracles.kg_cooccurrence_sqlpreds_sql(),
         "minhash_pairs": oracles.minhash_planted_pairs_sql(),
         "doc_shingle_fingerprints": oracles.shingle_fingerprint_sql(),
         "kg_redacted_sqlpreds": oracles.kg_redacted_sqlpreds_sql(),

@@ -192,6 +192,22 @@ def kg_triples_sqlpreds_sql() -> str:
     """
 
 
+def kg_cooccurrence_sqlpreds_sql() -> str:
+    """Entity co-occurrence edges over the SQL-decidable predicate set:
+    distinct (pred, obj) mention pairs within a document, counted across
+    documents — ordered pair key, one row per undirected edge."""
+    return f"""
+        WITH {_mentions_cte()},
+        m AS (SELECT DISTINCT doc_id, pred, obj FROM linked)
+        SELECT a.pred AS pred_a, a.obj AS obj_a,
+               b.pred AS pred_b, b.obj AS obj_b,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM m a JOIN m b ON a.doc_id = b.doc_id
+          AND (a.pred < b.pred OR (a.pred = b.pred AND a.obj < b.obj))
+        GROUP BY pred_a, obj_a, pred_b, obj_b
+    """
+
+
 def kg_graph_sqlpreds_sql() -> str:
     return f"""
         WITH {_mentions_cte()}

@@ -210,6 +210,89 @@ def canonical_entities(triples_ds):
     )
 
 
+def cooccurrence_edges(triples_ds, n_buckets: int | None = None):
+    """Entity co-occurrence edges — the standard KG edge-construction
+    step: two distinct (pred, obj) mentions appearing in the SAME document
+    form an undirected edge, weighted by the number of distinct documents
+    in which they co-occur.
+
+    Scale shape: per-batch distinct combine -> ONE doc-hash merge shuffle
+    (every mention of a document shares its bucket, so within-bucket pair
+    generation is exact and the pair count per doc is bounded by its own
+    mention count squared — no cross-document blowup) -> per-bucket
+    partial edge counts (combiner) -> one (edge-hash) merge of partials.
+    Columns: pred_a, obj_a, pred_b, obj_b (pair ordered by (pred, obj)),
+    n_docs."""
+    import pandas as pd
+
+    from deduce_ray.ops.agg import merge_shards
+
+    if n_buckets is None:
+        n_buckets = merge_shards()
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = batch.select(["doc_id", "pred", "obj"])
+        # per-batch distinct: repeated mentions of the same entity in one
+        # doc must count the document once
+        grouped = t.group_by(["doc_id", "pred", "obj"]).aggregate([])
+        buckets = [
+            _doc_bucket(d, n_buckets)
+            for d in grouped.column("doc_id").to_pylist()
+        ]
+        return grouped.append_column(
+            "doc_bucket", pa.array(buckets, type=pa.int64())
+        )
+
+    _EDGE_KEY = ["pred_a", "obj_a", "pred_b", "obj_b"]
+
+    def doc_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["doc_id", "pred", "obj"])
+        m = df.merge(df, on="doc_id", suffixes=("_a", "_b"))
+        m = m[
+            (m["pred_a"] < m["pred_b"])
+            | ((m["pred_a"] == m["pred_b"]) & (m["obj_a"] < m["obj_b"]))
+        ]
+        if m.empty:
+            return pd.DataFrame(
+                {
+                    **{k: pd.Series(dtype="object") for k in _EDGE_KEY},
+                    "n_docs": pd.Series(dtype="int64"),
+                    "__shard": pd.Series(dtype="int64"),
+                }
+            )
+        # partial combine inside the bucket before the edge merge
+        out = (
+            m.groupby(_EDGE_KEY, as_index=False, dropna=False)
+            .size()
+            .rename(columns={"size": "n_docs"})
+        )
+        out["__shard"] = (
+            pd.util.hash_pandas_object(out[_EDGE_KEY], index=False)
+            % n_buckets
+        ).astype("int64")
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.drop(columns=["__shard"])
+            .groupby(_EDGE_KEY, as_index=False, dropna=False)
+            .agg(n_docs=("n_docs", "sum"))
+        )
+
+    return (
+        triples_ds.map_batches(
+            project, batch_format="pyarrow", batch_size=32768, num_cpus=0.9
+        )
+        .groupby("doc_bucket")
+        .map_groups(
+            lambda df: doc_pairs(df.drop(columns=["doc_bucket"])),
+            batch_format="pandas",
+        )
+        .groupby("__shard")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
 def _form_node_id(pred: str | None, obj_norm: str | None) -> int:
     """Deterministic positive int64 id for a (pred, surface form) node.
     Null fields are tagged distinctly from any string (a bare f-string

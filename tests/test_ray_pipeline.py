@@ -1759,6 +1759,35 @@ class TestDedupModes:
         assert rows(False) == rows(True)
 
 
+class TestCooccurrence:
+    def test_edges_and_weights(self, ray_session):
+        import ray.data
+
+        from deduce_ray.rayops.kg import cooccurrence_edges
+
+        rows = [
+            # doc A: x,y co-occur; y mentioned twice (must count doc once)
+            {"doc_id": "a1", "pred": "p", "obj": "x"},
+            {"doc_id": "a1", "pred": "p", "obj": "y"},
+            {"doc_id": "a1", "pred": "p", "obj": "y"},
+            # doc B: x,y again and z
+            {"doc_id": "b2", "pred": "p", "obj": "x"},
+            {"doc_id": "b2", "pred": "p", "obj": "y"},
+            {"doc_id": "b2", "pred": "q", "obj": "z"},
+            # doc C: single mention -> no edges
+            {"doc_id": "c3", "pred": "p", "obj": "x"},
+        ]
+        edges = {
+            (r["pred_a"], r["obj_a"], r["pred_b"], r["obj_b"]): r["n_docs"]
+            for r in cooccurrence_edges(ray.data.from_items(rows)).take_all()
+        }
+        assert edges == {
+            ("p", "x", "p", "y"): 2,
+            ("p", "x", "q", "z"): 1,
+            ("p", "y", "q", "z"): 1,
+        }
+
+
 class TestEntityCanonicalization:
     def test_fuzzy_cross_doc_merge(self, ray_session):
         import ray.data
