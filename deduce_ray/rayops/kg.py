@@ -210,7 +210,11 @@ def canonical_entities(triples_ds):
     )
 
 
-def cooccurrence_edges(triples_ds, n_buckets: int | None = None):
+def cooccurrence_edges(
+    triples_ds,
+    n_buckets: int | None = None,
+    max_mentions_per_doc: int | None = None,
+):
     """Entity co-occurrence edges — the standard KG edge-construction
     step: two distinct (pred, obj) mentions appearing in the SAME document
     form an undirected edge, weighted by the number of distinct documents
@@ -222,7 +226,15 @@ def cooccurrence_edges(triples_ds, n_buckets: int | None = None):
     mention count squared — no cross-document blowup) -> per-bucket
     partial edge counts (combiner) -> one (edge-hash) merge of partials.
     Columns: pred_a, obj_a, pred_b, obj_b (pair ordered by (pred, obj)),
-    n_docs."""
+    n_docs.
+
+    ``max_mentions_per_doc``: opt-in scale guard (output-changing caps
+    are OFF by default, the oracle-checked configuration stays exact) —
+    a pathological document with m distinct mentions contributes
+    m*(m-1)/2 pairs, so a 100k-mention doc would emit ~5e9 rows from one
+    bucket task.  When set, documents EXCEEDING the cap are skipped
+    whole (not truncated: dropping an arbitrary mention subset would
+    bias edge weights unpredictably) and the skip count is logged."""
     import pandas as pd
 
     from deduce_ray.ops.agg import merge_shards
@@ -246,7 +258,21 @@ def cooccurrence_edges(triples_ds, n_buckets: int | None = None):
     _EDGE_KEY = ["pred_a", "obj_a", "pred_b", "obj_b"]
 
     def doc_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        import logging
+
         df = df.drop_duplicates(["doc_id", "pred", "obj"])
+        if max_mentions_per_doc is not None and len(df):
+            sizes = df.groupby("doc_id")["pred"].transform("size")
+            skipped = df.loc[sizes > max_mentions_per_doc, "doc_id"]
+            if len(skipped):
+                logging.getLogger(__name__).warning(
+                    "cooccurrence_edges: skipped %d document(s) exceeding "
+                    "max_mentions_per_doc=%d (largest had %d mentions)",
+                    skipped.nunique(),
+                    max_mentions_per_doc,
+                    int(sizes.max()),
+                )
+                df = df[sizes <= max_mentions_per_doc]
         m = df.merge(df, on="doc_id", suffixes=("_a", "_b"))
         m = m[
             (m["pred_a"] < m["pred_b"])

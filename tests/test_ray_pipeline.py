@@ -1787,6 +1787,29 @@ class TestCooccurrence:
             ("p", "y", "q", "z"): 1,
         }
 
+    def test_max_mentions_per_doc_skips_whole_doc(self, ray_session):
+        import ray.data
+
+        from deduce_ray.rayops.kg import cooccurrence_edges
+
+        rows = [
+            # doc A: 4 mentions -> over the cap of 3, skipped whole
+            *(
+                {"doc_id": "a1", "pred": "p", "obj": f"m{i}"}
+                for i in range(4)
+            ),
+            # doc B: 2 mentions -> under the cap
+            {"doc_id": "b2", "pred": "p", "obj": "m0"},
+            {"doc_id": "b2", "pred": "p", "obj": "m1"},
+        ]
+        edges = {
+            (r["pred_a"], r["obj_a"], r["pred_b"], r["obj_b"]): r["n_docs"]
+            for r in cooccurrence_edges(
+                ray.data.from_items(rows), max_mentions_per_doc=3
+            ).take_all()
+        }
+        assert edges == {("p", "m0", "p", "m1"): 1}
+
 
 class TestEntityCanonicalization:
     def test_fuzzy_cross_doc_merge(self, ray_session):
