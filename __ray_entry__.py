@@ -550,17 +550,6 @@ def _q_media_resized(sf_dir: str):
     return resize_images(media, fake_decoder=False)
 
 
-def _q_media_frames(sf_dir: str):
-    import ray.data
-
-    from deduce_ray.ops.multimodal import sample_frames, synthesize_video_batch
-
-    videos = read_parquet_sliced(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"]
-    ).map_batches(synthesize_video_batch, batch_format="pyarrow")
-    return sample_frames(videos, fake_decoder=False)
-
-
 def queries() -> dict[str, Callable[[str], Any]]:
     """Exactly 50 queries, DuckDB-oracled entries FIRST.
 

@@ -330,6 +330,9 @@ def ivf_build(
     import ray
     import ray.data
 
+    from deduce_ray.raytune import tune_data_context
+
+    tune_data_context()
     cents = _train_quantizer(ds_embeddings, train_size, n_lists, vec_col)
     cents_ref = ray.put(cents)
 
@@ -376,6 +379,9 @@ def ivf_search(
         PathPartitionFilter,
     )
 
+    from deduce_ray.raytune import tune_data_context
+
+    tune_data_context()
     cent_tbl = pq.read_table(f"{index_dir}/_centroids")
     order = np.argsort(np.asarray(cent_tbl.column("list_id").to_pylist()))
     cents = np.asarray(cent_tbl.column("centroid").to_pylist(), dtype=np.float64)[

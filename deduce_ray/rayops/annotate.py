@@ -65,9 +65,13 @@ def broadcast_lexicon(lookup_data_path=None, cache_dir=None):
         return None
 
     base = (str(path), str(cache_dir) if cache_dir is not None else None)
-    job_id = _job_id()
-    if job_id is not None:
-        ref = _BROADCAST_LEXICON_CACHE.get(base + (job_id,))
+    if ray.is_initialized():
+        # consult the cache with whatever id we can get — including None
+        # when get_job_id itself raises (API drift): in that degraded case
+        # every call sees None, so the None-keyed entry still memoizes
+        # within the session (a shutdown/init cycle then risks one stale
+        # ref, strictly better than re-broadcasting 77 MB per call)
+        ref = _BROADCAST_LEXICON_CACHE.get(base + (_job_id(),))
         if ref is not None:
             return ref
     lexicon = load_or_build_lexicon(path, cache_dir=cache_dir)

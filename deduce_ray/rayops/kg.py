@@ -236,6 +236,7 @@ def cooccurrence_edges(
     whole (not truncated: dropping an arbitrary mention subset would
     bias edge weights unpredictably) and the skip count is logged."""
     import pandas as pd
+    import pyarrow.compute as pc
 
     from deduce_ray.ops.agg import merge_shards
 
@@ -244,6 +245,12 @@ def cooccurrence_edges(
 
     def project(batch: pa.Table) -> pa.Table:
         t = batch.select(["doc_id", "pred", "obj"])
+        # drop null-doc rows: SQL NULL joins nothing (the oracle's
+        # self-join semantics), while pandas merge matches None == None —
+        # without this every null-doc mention corpus-wide would land in
+        # bucket 0 and cross-pair into spurious edges (and an uncappable
+        # m^2 single-bucket blowup at scale)
+        t = t.filter(pc.is_valid(t.column("doc_id")))
         # per-batch distinct: repeated mentions of the same entity in one
         # doc must count the document once
         grouped = t.group_by(["doc_id", "pred", "obj"]).aggregate([])

@@ -1787,6 +1787,24 @@ class TestCooccurrence:
             ("p", "y", "q", "z"): 1,
         }
 
+    def test_null_doc_id_rows_join_nothing(self, ray_session):
+        # SQL NULL joins nothing in the oracle's self-join; pandas merge
+        # would match None == None and cross-pair unrelated mentions
+        import ray.data
+
+        from deduce_ray.rayops.kg import cooccurrence_edges
+
+        rows = [
+            {"doc_id": None, "pred": "p", "obj": "x"},
+            {"doc_id": None, "pred": "p", "obj": "y"},
+            {"doc_id": "d1", "pred": "p", "obj": "x"},
+            {"doc_id": "d1", "pred": "p", "obj": "y"},
+        ]
+        out = cooccurrence_edges(ray.data.from_items(rows)).take_all()
+        assert [(r["pred_a"], r["obj_a"], r["pred_b"], r["obj_b"], r["n_docs"]) for r in out] == [
+            ("p", "x", "p", "y", 1)
+        ]
+
     def test_max_mentions_per_doc_skips_whole_doc(self, ray_session):
         import ray.data
 
