@@ -1759,6 +1759,57 @@ class TestDedupModes:
         assert rows(False) == rows(True)
 
 
+class TestPrepFunnel:
+    def test_full_funnel(self, ray_session):
+        import ray.data
+
+        from deduce_ray.ops.funnel import prep_corpus
+
+        base = (
+            "the quick brown fox jumps over the lazy dog and it is a fine "
+            "day for that in the sun "
+        )
+        rows = [
+            {"doc_id": 1, "text": base + "alpha"},
+            {"doc_id": 2, "text": base + "alpha"},  # exact dup of 1
+            # near-dup of 1 (high jaccard, not byte-identical)
+            {"doc_id": 3, "text": base + "alpha beta"},
+            {"doc_id": 4, "text": "tiny"},  # fails min_chars
+            {"doc_id": 5, "text": "12345678901234567890 " * 5},  # digits
+            {"doc_id": 6, "text": "一二三四五六七八九十 " * 8},  # zh
+            {
+                "doc_id": 7,
+                "text": "it was the best of times and it was the worst of "
+                "times for a tale about two cities in that old story",
+            },
+        ]
+        out = prep_corpus(
+            ray.data.from_items(rows),
+            langs=("en",),
+            min_chars=20,
+            max_digit_ppm=500_000,
+            minhash_threshold=0.6,
+        )
+        ids = sorted(r["doc_id"] for r in out.take_all())
+        # 2 drops as exact dup, 3 as near-dup (min id 1 survives),
+        # 4/5/6 fail the filters, 1 and 7 survive
+        assert ids == [1, 7]
+
+    def test_stages_disable(self, ray_session):
+        import ray.data
+
+        from deduce_ray.ops.funnel import prep_corpus
+
+        rows = [
+            {"doc_id": 1, "text": "x"},
+            {"doc_id": 2, "text": "x"},
+        ]
+        out = prep_corpus(
+            ray.data.from_items(rows), minhash_threshold=None
+        )
+        assert sorted(r["doc_id"] for r in out.take_all()) == [1]
+
+
 class TestCooccurrence:
     def test_edges_and_weights(self, ray_session):
         import ray.data
