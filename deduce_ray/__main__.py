@@ -177,6 +177,66 @@ def cmd_extract(args) -> int:
     return 0
 
 
+def cmd_prep(args) -> int:
+    """LLM data-prep funnel over any supported corpus format: language /
+    quality filters -> exact dedup -> MinHash near-dup removal ->
+    surviving rows as parquet."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray
+
+    from deduce_ray.ops.funnel import prep_corpus
+
+    _init_ray(args.num_cpus)
+    ds = _read_corpus(args)
+
+    text_col = "content" if "content" in set(ds.schema().names) else "text"
+
+    def add_id(batch: pa.Table) -> pa.Table:
+        # deterministic 63-bit id from (repo|path|commit): stable across
+        # the funnel's multiple passes over this re-executable pipeline
+        # (a positional id would differ between executions).  Requires
+        # unique (repo, path, commit) rows — the corpus-row identity.
+        ids = [
+            int.from_bytes(
+                hashlib.sha256(f"{r}|{p}|{c}".encode()).digest()[:8], "big"
+            )
+            >> 1
+            for r, p, c in zip(
+                batch.column("repo").to_pylist(),
+                batch.column("path").to_pylist(),
+                batch.column("commit").to_pylist(),
+            )
+        ]
+        return batch.append_column("doc_id", pa.array(ids, type=pa.int64()))
+
+    if "doc_id" not in set(ds.schema().names):
+        ds = ds.map_batches(add_id, batch_format="pyarrow")
+
+    threshold = None if args.minhash_threshold <= 0 else args.minhash_threshold
+    out = prep_corpus(
+        ds,
+        text_col=text_col,
+        langs=tuple(args.langs.split(",")) if args.langs else None,
+        min_chars=args.min_chars,
+        max_digit_ppm=args.max_digit_ppm,
+        minhash_threshold=threshold,
+    )
+    out.write_parquet(args.output)
+
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    survivors = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in Path(args.output).glob("*.parquet")
+    )
+    print(json.dumps({"survivors": survivors, "output": str(args.output)}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_deidentify(args) -> int:
     from deduce_ray.engine import DeduceEngine
     from deduce_ray.person import Person
@@ -287,6 +347,33 @@ def main() -> int:
     p.add_argument("--num-cpus", type=int)
     p.add_argument("--lookup-data-path")
     p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser(
+        "prep",
+        help="LLM data-prep funnel: lang/quality filter -> exact dedup -> "
+        "near-dup removal -> parquet",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument(
+        "--format", choices=["parquet", "jsonl", "csv", "orc", "text-tree"]
+    )
+    p.add_argument("--text-key", default="content")
+    p.add_argument("--extensions")
+    p.add_argument("--on-decode-error", choices=["raise", "skip"], default="raise")
+    p.add_argument("--output", required=True)
+    p.add_argument(
+        "--langs", help="comma-separated allowed languages (omit: no filter)"
+    )
+    p.add_argument("--min-chars", type=int, default=1)
+    p.add_argument("--max-digit-ppm", type=int, default=None)
+    p.add_argument(
+        "--minhash-threshold",
+        type=float,
+        default=0.7,
+        help="near-dup Jaccard threshold; <=0 disables the near-dup stage",
+    )
+    p.add_argument("--num-cpus", type=int)
+    p.set_defaults(fn=cmd_prep)
 
     p = sub.add_parser("deidentify", help="one document -> annotations JSON")
     p.add_argument("--text", help="document text (default: stdin)")
