@@ -188,10 +188,42 @@ def cmd_prep(args) -> int:
 
     from deduce_ray.ops.funnel import prep_corpus
 
+    from pathlib import Path
+
+    out_dir = Path(args.output)
+    if "://" in args.output:
+        raise SystemExit(
+            "prep writes and counts local directories; for object stores "
+            "use the library (deduce_ray.ops.funnel.prep_corpus + "
+            "Dataset.write_parquet) directly"
+        )
+    if out_dir.exists() and any(out_dir.iterdir()):
+        raise SystemExit(
+            f"--output {args.output} exists and is not empty — survivors "
+            "would mix with stale files; point prep at a fresh directory"
+        )
+
     _init_ray(args.num_cpus)
     ds = _read_corpus(args)
 
     text_col = "content" if "content" in set(ds.schema().names) else "text"
+
+    names = set(ds.schema().names)
+    if "doc_id" not in names and {"repo", "path", "commit"} <= names:
+        # the derived id is sha256(repo|path|commit): refuse corpora whose
+        # rows carry NO identity (bare {"content": ...} JSONL fills all
+        # three with "") — every row would share one id, and the dedup
+        # anti-join would then erase the whole corpus on the first
+        # duplicated text
+        probe = ds.limit(1).take_all()
+        if probe and not any(
+            (probe[0].get(k) or "") for k in ("repo", "path", "commit")
+        ):
+            raise SystemExit(
+                "prep needs per-row identity to derive stable doc ids: "
+                "give the corpus repo/path/commit (or doc_id) columns — "
+                "bare content-only rows would all hash to one id"
+            )
 
     def add_id(batch: pa.Table) -> pa.Table:
         # deterministic 63-bit id from (repo|path|commit): stable across

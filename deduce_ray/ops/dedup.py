@@ -277,8 +277,6 @@ def collapse_exact_dups(ds, id_col: str, keyer, loser_broadcast_max: int = 50_00
     and ``edges_ds`` holds (rep, member) rows for every collapsed member
     of a non-skipped group, or ``None`` when the input had no exact dups
     (the common case: zero extra stages downstream)."""
-    import ray
-
     from deduce_ray.ops.agg import merge_shards
 
     n_shards = merge_shards()
@@ -337,21 +335,16 @@ def collapse_exact_dups(ds, id_col: str, keyer, loser_broadcast_max: int = 50_00
 
     # every member row is a loser id; pull them in bounded sorted chunks
     # (driver peak = one chunk) exactly like dedup_survivors
-    chunk_rows = max(int(loser_broadcast_max), 1_000_000)
-    refs, buf, buffered = [], [], 0
-    any_pair_edges = False
-    for b in edges.iter_batches(batch_format="pyarrow"):
-        if not b.num_rows:
-            continue
-        if not any_pair_edges and pc.any(b.column("pair_ok")).as_py():
-            any_pair_edges = True
-        buf.append(b.column("member").to_numpy(zero_copy_only=False))
-        buffered += b.num_rows
-        if buffered >= chunk_rows:
-            refs.append(ray.put(np.sort(np.concatenate(buf))))
-            buf, buffered = [], 0
-    if buf:
-        refs.append(ray.put(np.sort(np.concatenate(buf))))
+    flags = {"any_pair_edges": False}
+
+    def observe(b: pa.Table) -> None:
+        if not flags["any_pair_edges"] and pc.any(b.column("pair_ok")).as_py():
+            flags["any_pair_edges"] = True
+
+    refs = _chunked_id_refs(
+        edges, "member", loser_broadcast_max, on_batch=observe
+    )
+    any_pair_edges = flags["any_pair_edges"]
     if not refs:
         return ds, None
 
@@ -2353,22 +2346,36 @@ def dedup_survivors(
 
     # pull loser ids in bounded chunks (driver peak = one chunk), sort
     # each, ray.put each — the worker-side filter checks every chunk
-    chunk_rows = max(int(loser_broadcast_max), 1_000_000)
+    refs = _chunked_id_refs(losers, id_col, loser_broadcast_max)
+    if not refs:
+        return ds
+
+    return _drop_ids(ds, refs, id_col)
+
+
+def _chunked_id_refs(ds, col: str, chunk_rows: int, on_batch=None) -> list:
+    """Pull one int64 id column into bounded SORTED numpy chunks via
+    ray.put (driver peak = one chunk plus the buffer being built) — the
+    shared broadcast shape behind every loser/blocklist anti-join.
+    ``on_batch`` optionally observes each non-empty pyarrow batch so a
+    caller can derive flags in the same pass instead of re-reading."""
+    import ray
+
+    chunk_rows = max(int(chunk_rows), 1_000_000)
     refs, buf, buffered = [], [], 0
-    for b in losers.iter_batches(batch_format="pyarrow"):
+    for b in ds.iter_batches(batch_format="pyarrow"):
         if not b.num_rows:
             continue
-        buf.append(b.column(id_col).to_numpy(zero_copy_only=False))
+        if on_batch is not None:
+            on_batch(b)
+        buf.append(b.column(col).to_numpy(zero_copy_only=False))
         buffered += b.num_rows
         if buffered >= chunk_rows:
             refs.append(ray.put(np.sort(np.concatenate(buf))))
             buf, buffered = [], 0
     if buf:
         refs.append(ray.put(np.sort(np.concatenate(buf))))
-    if not refs:
-        return ds
-
-    return _drop_ids(ds, refs, id_col)
+    return refs
 
 
 def _drop_ids(ds, sorted_id_refs, id_col: str):

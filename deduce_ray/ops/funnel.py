@@ -2,56 +2,61 @@
 engine's operators as ONE streaming pipeline:
 
     corpus -> language filter -> quality filter -> exact dedup
-           -> MinHash near-dup removal -> surviving rows (+ funnel stats)
+           -> MinHash near-dup removal -> surviving rows
 
 Every stage is the already-oracled primitive (textstats heuristics,
 dedup_survivors' loser anti-join, minhash_lsh_pairs + neardup_clusters);
 this module only supplies the glue, filter predicates, and the near-dup
-loser selection.  No stage materializes the corpus: the language/quality
-filters are per-batch Arrow transforms, exact dedup ships int keys only,
-and near-dup losers ride the same bounded ray.put chunk broadcast as
-exact-dedup losers.
+loser selection.  No stage materializes the corpus, and because the lazy
+input pipeline is re-executed by the dedup passes, the EXPENSIVE
+language/quality predicate runs exactly once: its failing ids broadcast
+as bounded sorted chunks (the same ray.put shape as the dedup losers)
+and every pass applies only the cheap searchsorted anti-join.
 
 Cluster-loser semantics: within every near-dup cluster the MINIMUM doc id
-survives (matching dedup_survivors' min-id rule), all other members drop.
+survives (``neardup_clusters`` labels components by their min id, so a
+loser is simply a row whose id differs from its cluster id).
 """
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 
-def _lang_quality_filter(
+def _failing_ids_fn(
     text_col: str,
+    id_col: str,
     langs: tuple[str, ...] | None,
     min_chars: int,
     max_digit_ppm: int | None,
 ):
     from deduce_ray.ops.textstats import _DIGIT_RE, predict_lang
 
-    def keep(batch: pa.Table) -> pa.Table:
+    def failing(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         mask = []
         for t in texts:
             t = t or ""
             n = len(t)
             if n < min_chars:
-                mask.append(False)
+                mask.append(True)
                 continue
-            if max_digit_ppm is not None:
+            # n == 0 passes a min_chars <= 0 gate; treat its digit ratio
+            # as 0 (the same guard textstats.quality_batch applies)
+            if max_digit_ppm is not None and n:
                 d = len(_DIGIT_RE.findall(t))
                 if (d * 1_000_000) // n > max_digit_ppm:
-                    mask.append(False)
+                    mask.append(True)
                     continue
             if langs is not None and predict_lang(t) not in langs:
-                mask.append(False)
+                mask.append(True)
                 continue
-            mask.append(True)
-        return batch.filter(pa.array(mask, type=pa.bool_()))
+            mask.append(False)
+        return pa.table(
+            {id_col: batch.column(id_col).filter(pa.array(mask, type=pa.bool_()))}
+        )
 
-    return keep
+    return failing
 
 
 def _neardup_loser_refs(
@@ -61,13 +66,15 @@ def _neardup_loser_refs(
     minhash_threshold: float,
     loser_broadcast_max: int,
 ):
-    """(ray.put sorted-id chunk refs, n_losers): every near-dup cluster
-    member except its minimum id.  The clusters table is bounded by the
-    corpus's near-duplicate rows, so the per-cluster min and the loser
-    list are small relative to the corpus."""
-    import ray
-
-    from deduce_ray.ops.dedup import minhash_lsh_pairs, neardup_clusters
+    """ray.put sorted-id chunk refs for every near-dup cluster member
+    except its minimum id.  The clusters table is bounded by the corpus's
+    near-duplicate rows, so the loser list is small relative to the
+    corpus."""
+    from deduce_ray.ops.dedup import (
+        _chunked_id_refs,
+        minhash_lsh_pairs,
+        neardup_clusters,
+    )
 
     pairs = minhash_lsh_pairs(
         survivors,
@@ -77,28 +84,19 @@ def _neardup_loser_refs(
     )
     labels = neardup_clusters(pairs)
 
-    def losers_of(df):
-        keep = df.groupby("cluster_id")["doc_id"].transform("min")
-        out = df.loc[df["doc_id"] != keep, ["doc_id"]]
-        return out
+    def losers_of(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    loser_ds = labels.map_batches(
-        lambda df: losers_of(df), batch_format="pandas"
-    )
-    chunk_rows = max(int(loser_broadcast_max), 1_000_000)
-    refs, buf, buffered, total = [], [], 0, 0
-    for b in loser_ds.iter_batches(batch_format="pyarrow"):
-        if not b.num_rows:
-            continue
-        buf.append(b.column("doc_id").to_numpy(zero_copy_only=False))
-        buffered += b.num_rows
-        total += b.num_rows
-        if buffered >= chunk_rows:
-            refs.append(ray.put(np.sort(np.concatenate(buf))))
-            buf, buffered = [], 0
-    if buf:
-        refs.append(ray.put(np.sort(np.concatenate(buf))))
-    return refs, total
+        # cluster_id IS the component minimum, so the loser test is
+        # row-local — a per-batch groupby-min would be wrong whenever a
+        # cluster spans blocks (the distributed labels path shards by id)
+        keep = pc.equal(batch.column("doc_id"), batch.column("cluster_id"))
+        return pa.table(
+            {"doc_id": batch.column("doc_id").filter(pc.invert(keep))}
+        )
+
+    loser_ds = labels.map_batches(losers_of, batch_format="pyarrow")
+    return _chunked_id_refs(loser_ds, "doc_id", loser_broadcast_max)
 
 
 def prep_corpus(
@@ -119,12 +117,21 @@ def prep_corpus(
     ids) and be re-readable (it is consumed by multiple passes, like
     :func:`deduce_ray.ops.dedup.dedup_survivors`).
     """
-    from deduce_ray.ops.dedup import _drop_ids, dedup_survivors
-
-    filtered = ds.map_batches(
-        _lang_quality_filter(text_col, langs, min_chars, max_digit_ppm),
-        batch_format="pyarrow",
+    from deduce_ray.ops.dedup import (
+        _chunked_id_refs,
+        _drop_ids,
+        dedup_survivors,
     )
+
+    if langs is not None or min_chars > 1 or max_digit_ppm is not None:
+        fail_ds = ds.map_batches(
+            _failing_ids_fn(text_col, id_col, langs, min_chars, max_digit_ppm),
+            batch_format="pyarrow",
+        )
+        refs = _chunked_id_refs(fail_ds, id_col, loser_broadcast_max)
+        filtered = _drop_ids(ds, refs, id_col) if refs else ds
+    else:
+        filtered = ds
     survivors = dedup_survivors(
         filtered,
         text_col=text_col,
@@ -135,7 +142,7 @@ def prep_corpus(
         return survivors
     # near-dup pass runs over the exact-dedup SURVIVORS (collapse already
     # removed byte-identical copies, so LSH sees each distinct text once)
-    refs, n_losers = _neardup_loser_refs(
+    refs = _neardup_loser_refs(
         survivors, text_col, id_col, minhash_threshold, loser_broadcast_max
     )
     if not refs:
