@@ -255,6 +255,18 @@ def cmd_prep(args) -> int:
         max_digit_ppm=args.max_digit_ppm,
         minhash_threshold=threshold,
     )
+    if args.state_dir:
+        # cross-RUN dedup: drop funnel survivors already retained by a
+        # previous ingest, then remember the new ones.  Runs after the
+        # funnel so the store records only documents worth remembering.
+        from deduce_ray.state import incremental_dedup
+
+        out = incremental_dedup(
+            out,
+            args.state_dir,
+            args.state_label or out_dir.name,
+            text_col=text_col,
+        )
     out.write_parquet(args.output)
 
     import pyarrow.parquet as pq
@@ -266,6 +278,18 @@ def cmd_prep(args) -> int:
     )
     print(json.dumps({"survivors": survivors, "output": str(args.output)}))
     ray.shutdown()
+    return 0
+
+
+def cmd_dedup_state(args) -> int:
+    """Inspect (and optionally compact) an incremental dedup store.
+    Footer-metadata only — never opens data pages, needs no Ray."""
+    from deduce_ray.state import DedupStore
+
+    store = DedupStore.open(args.state_dir)
+    if args.compact:
+        store.compact()
+    print(json.dumps(store.stats()))
     return 0
 
 
@@ -404,8 +428,32 @@ def main() -> int:
         default=0.7,
         help="near-dup Jaccard threshold; <=0 disables the near-dup stage",
     )
+    p.add_argument(
+        "--state-dir",
+        help="incremental dedup store directory: drop documents already "
+        "retained by a previous prep run, then remember the new ones "
+        "(created on first use)",
+    )
+    p.add_argument(
+        "--state-label",
+        help="ingest label for --state-dir (default: the output dir name); "
+        "re-running a completed label is idempotent",
+    )
     p.add_argument("--num-cpus", type=int)
     p.set_defaults(fn=cmd_prep)
+
+    p = sub.add_parser(
+        "dedup-state",
+        help="incremental dedup store: stats (and optional compaction)",
+    )
+    p.add_argument("--state-dir", required=True)
+    p.add_argument(
+        "--compact",
+        action="store_true",
+        help="merge each shard's per-ingest files into one before printing "
+        "stats (single-writer maintenance; do not run during an ingest)",
+    )
+    p.set_defaults(fn=cmd_dedup_state)
 
     p = sub.add_parser("deidentify", help="one document -> annotations JSON")
     p.add_argument("--text", help="document text (default: stdin)")

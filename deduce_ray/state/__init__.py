@@ -1,0 +1,13 @@
+"""Persistent, shared state for multi-invocation pipelines.
+
+The modules here hold the state a single streaming Dataset pipeline
+cannot express: indexes that must survive across ingest runs (the
+incremental dedup store).  Everything is plain partitioned parquet on a
+directory the whole cluster can read — no actor holds the truth, so a
+driver crash never loses state and any number of read-only consumers can
+run concurrently.
+"""
+
+from deduce_ray.state.dedup_store import DedupStore, incremental_dedup
+
+__all__ = ["DedupStore", "incremental_dedup"]

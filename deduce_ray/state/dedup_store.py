@@ -1,0 +1,346 @@
+"""Incremental exact-dedup store: drop documents already seen by ANY
+previous ingest, then remember the new ones — the cross-run counterpart
+of :func:`deduce_ray.ops.dedup.dedup_survivors`.
+
+A 100-TB training corpus is not ingested once; it arrives in crawls,
+dumps, and backfills over months.  Within-run dedup cannot drop a
+document that duplicates last month's batch, so the seen-set must
+persist.  This store keeps it as hash-sharded, append-only parquet:
+
+    store_dir/
+      _meta.json                 {"version": 1, "n_shards": K}
+      _ingests/<label>.json      commit manifest per completed ingest
+      shard=K/<label>.parquet    (h_hi, h_lo) int64 pairs, lexsorted
+
+Scale shape:
+
+- The exchange carries only ``(doc_id, h_hi, h_lo, shard)`` int64 rows
+  (the full 128-bit md5 as two words — the same narrow-key convention as
+  ``dedup_survivors``); document payloads never shuffle.
+- One groupby on the PERSISTENT shard key co-locates each incoming hash
+  with the store partition that can answer "seen?".  Each per-shard task
+  reads only its own ``shard=K/`` directory — at any corpus size a task
+  touches 1/K of the store, and K is fixed at creation so every future
+  ingest reuses the same partitioning.
+- Dropped ids come back to the driver in bounded sorted chunks and the
+  corpus streams through the shared searchsorted anti-join
+  (:func:`~deduce_ray.ops.dedup._drop_ids`) — no full-row shuffle.
+- Store writes are per-shard single-writer (the shard is the group key),
+  written to a temp name and atomically renamed, so a killed run leaves
+  no partial file.  File contents are a deterministic function of (store
+  content, incoming batch), which makes re-running a failed ingest with
+  the SAME label idempotent: a task recomputes byte-identical files, and
+  membership checks exclude the running label's own files so a partial
+  previous attempt cannot eat its own documents.
+
+Concurrency contract: ONE ingest at a time (labels serialize the store's
+history); any number of concurrent readers.  On a real cluster
+``store_dir`` must live on storage every node mounts (NFS / object
+store via fsspec); in this sandbox it is a local path.
+
+Reference anchor: the reference engine has no cross-run state at all
+(/root/reference/deduce/deduce.py processes one text per call); this
+module is part of the target's training-data-pipeline surface, not a
+port.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_META = "_meta.json"
+_INGESTS = "_ingests"
+_VERSION = 1
+
+
+def _hash_pass(text_col: str, id_col: str, n_shards: int):
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        digests = [hashlib.md5((t or "").encode()).digest() for t in texts]
+        hi = np.array(
+            [int.from_bytes(d[:8], "big", signed=True) for d in digests],
+            dtype=np.int64,
+        )
+        lo = np.array(
+            [int.from_bytes(d[8:], "big", signed=True) for d in digests],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "__h_hi": pa.array(hi),
+                "__h_lo": pa.array(lo),
+                # np.mod follows the divisor's sign: non-negative here
+                "__shard": pa.array(np.mod(hi, n_shards)),
+            }
+        )
+
+    return hash_batch
+
+
+def _pairs_in_store(
+    hi_q: np.ndarray, lo_q: np.ndarray, hi_s: np.ndarray, lo_s: np.ndarray
+) -> np.ndarray:
+    """Membership of 128-bit (hi, lo) query pairs in a LEXSORTED store
+    array pair.  Vectorized equal-range on ``hi``; the lo check inside a
+    run is vectorized for the overwhelmingly-common run length 1 and
+    falls back to a per-query scan only when two distinct store hashes
+    share their top 64 bits (expected ~once per 4e9 store entries)."""
+    if not len(hi_s):
+        return np.zeros(len(hi_q), dtype=bool)
+    left = np.searchsorted(hi_s, hi_q, side="left")
+    right = np.searchsorted(hi_s, hi_q, side="right")
+    run = right - left
+    seen = np.zeros(len(hi_q), dtype=bool)
+    one = run == 1
+    if one.any():
+        seen[one] = lo_s[left[one]] == lo_q[one]
+    for i in np.nonzero(run > 1)[0]:
+        seen[i] = lo_q[i] in lo_s[left[i] : right[i]]
+    return seen
+
+
+def _read_shard(shard_dir: str, exclude_file: str) -> tuple[np.ndarray, np.ndarray]:
+    """All (hi, lo) pairs of one shard directory, lexsorted, excluding
+    ``exclude_file`` (the running label's own output from a previous
+    failed attempt)."""
+    his, los = [], []
+    if os.path.isdir(shard_dir):
+        for name in sorted(os.listdir(shard_dir)):
+            if not name.endswith(".parquet") or name == exclude_file:
+                continue
+            t = pq.read_table(
+                os.path.join(shard_dir, name), columns=["h_hi", "h_lo"]
+            )
+            his.append(t.column("h_hi").to_numpy(zero_copy_only=False))
+            los.append(t.column("h_lo").to_numpy(zero_copy_only=False))
+    if not his:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    hi = np.concatenate(his)
+    lo = np.concatenate(los)
+    order = np.lexsort((lo, hi))
+    return hi[order], lo[order]
+
+
+class DedupStore:
+    """Open with :meth:`create` or :meth:`open`; then :meth:`ingest`."""
+
+    def __init__(self, store_dir: str, n_shards: int) -> None:
+        self.store_dir = store_dir
+        self.n_shards = n_shards
+
+    # -- lifecycle ---------------------------------------------------------
+
+    @classmethod
+    def create(cls, store_dir: str, n_shards: int = 64) -> "DedupStore":
+        if n_shards < 1:
+            raise ValueError("n_shards must be >= 1")
+        meta_path = os.path.join(store_dir, _META)
+        if os.path.exists(meta_path):
+            raise ValueError(f"store already exists at {store_dir}")
+        os.makedirs(os.path.join(store_dir, _INGESTS), exist_ok=True)
+        with open(meta_path, "w") as f:
+            json.dump({"version": _VERSION, "n_shards": n_shards}, f)
+        return cls(store_dir, n_shards)
+
+    @classmethod
+    def open(cls, store_dir: str) -> "DedupStore":
+        with open(os.path.join(store_dir, _META)) as f:
+            meta = json.load(f)
+        if meta.get("version") != _VERSION:
+            raise ValueError(
+                f"store version {meta.get('version')} != supported {_VERSION}"
+            )
+        return cls(store_dir, int(meta["n_shards"]))
+
+    # -- introspection -----------------------------------------------------
+
+    def ingests(self) -> list[str]:
+        d = os.path.join(self.store_dir, _INGESTS)
+        if not os.path.isdir(d):
+            return []
+        return sorted(
+            name[: -len(".json")] for name in os.listdir(d) if name.endswith(".json")
+        )
+
+    def stats(self) -> dict[str, Any]:
+        """Footer-metadata only — opens no data pages."""
+        n_hashes = 0
+        n_files = 0
+        for k in range(self.n_shards):
+            shard_dir = os.path.join(self.store_dir, f"shard={k}")
+            if not os.path.isdir(shard_dir):
+                continue
+            for name in os.listdir(shard_dir):
+                if name.endswith(".parquet"):
+                    n_files += 1
+                    n_hashes += pq.ParquetFile(
+                        os.path.join(shard_dir, name)
+                    ).metadata.num_rows
+        return {
+            "n_shards": self.n_shards,
+            "n_hashes": n_hashes,
+            "n_files": n_files,
+            "ingests": self.ingests(),
+        }
+
+    # -- the operator ------------------------------------------------------
+
+    def ingest(
+        self,
+        ds,
+        label: str,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        loser_broadcast_max: int = 50_000_000,
+    ):
+        """Filter ``ds`` to rows never seen before (by this ingest OR any
+        prior one), remember the new hashes, and return the surviving
+        rows as a lazy Dataset.
+
+        Within the ingest the minimum-id row of every distinct text
+        survives (the ``dedup_survivors`` convention); a text already in
+        the store keeps NO row.  ``ds`` must satisfy the module-wide
+        doc-id contract (unique, non-null int64 ids) and be re-readable
+        (hash pass + filter pass).  Re-running a label that already
+        committed returns the same survivors without growing the store.
+        """
+        if not label or any(c in label for c in "/\\\0"):
+            raise ValueError(f"label must be a plain filename stem: {label!r}")
+
+        from deduce_ray.ops.dedup import _chunked_id_refs, _drop_ids
+
+        store_dir, n_shards = self.store_dir, self.n_shards
+        label_file = f"{label}.parquet"
+
+        def per_shard(tbl: pa.Table) -> pa.Table:
+            if not tbl.num_rows:
+                return tbl.select([id_col])
+            shard = tbl.column("__shard")[0].as_py()
+            tbl = tbl.sort_by(
+                [
+                    ("__h_hi", "ascending"),
+                    ("__h_lo", "ascending"),
+                    (id_col, "ascending"),
+                ]
+            )
+            hi = tbl.column("__h_hi").to_numpy(zero_copy_only=False)
+            lo = tbl.column("__h_lo").to_numpy(zero_copy_only=False)
+            ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+            first = np.ones(len(hi), dtype=bool)
+            first[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+
+            shard_dir = os.path.join(store_dir, f"shard={shard}")
+            hi_s, lo_s = _read_shard(shard_dir, exclude_file=label_file)
+            seen_first = _pairs_in_store(hi[first], lo[first], hi_s, lo_s)
+
+            # write the shard's NEW hashes (first occurrence, unseen),
+            # already (hi, lo)-sorted by construction
+            new_hi = hi[first][~seen_first]
+            if len(new_hi):
+                os.makedirs(shard_dir, exist_ok=True)
+                out = pa.table(
+                    {"h_hi": pa.array(new_hi), "h_lo": pa.array(lo[first][~seen_first])}
+                )
+                tmp = os.path.join(shard_dir, f".{label_file}.tmp-{os.getpid()}")
+                pq.write_table(out, tmp)
+                os.replace(tmp, os.path.join(shard_dir, label_file))
+
+            # losers: within-ingest non-firsts, plus every member of a
+            # store-seen hash run (propagate the run's seen flag)
+            drop = ~first | _propagate_runs(seen_first, first)
+            return pa.table({id_col: pa.array(ids[drop])})
+
+        hashes = ds.map_batches(
+            _hash_pass(text_col, id_col, n_shards),
+            batch_format="pyarrow",
+            batch_size=65536,
+            num_cpus=0.9,
+        )
+        losers = hashes.groupby("__shard").map_groups(
+            per_shard, batch_format="pyarrow"
+        )
+        # pulling the loser chunks FORCES the groupby, so every shard file
+        # is on disk before the manifest commits
+        refs = _chunked_id_refs(losers, id_col, loser_broadcast_max)
+        self._commit(label)
+        if not refs:
+            return ds
+        return _drop_ids(ds, refs, id_col)
+
+    def _commit(self, label: str) -> None:
+        d = os.path.join(self.store_dir, _INGESTS)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".{label}.json.tmp-{os.getpid()}")
+        with open(tmp, "w") as f:
+            json.dump({"label": label, "version": _VERSION}, f)
+        os.replace(tmp, os.path.join(d, f"{label}.json"))
+
+    def compact(self) -> None:
+        """Merge each shard's files into one (single-writer maintenance;
+        do not run concurrently with an ingest).  Membership is a set
+        union, so a crash mid-compact (new file written, old not yet
+        removed) leaves duplicate hashes that are harmless to readers and
+        removed by the next compact."""
+        n = len(self.ingests())
+        for k in range(self.n_shards):
+            shard_dir = os.path.join(self.store_dir, f"shard={k}")
+            if not os.path.isdir(shard_dir):
+                continue
+            names = sorted(
+                f for f in os.listdir(shard_dir) if f.endswith(".parquet")
+            )
+            if len(names) <= 1:
+                continue
+            hi, lo = _read_shard(shard_dir, exclude_file="")
+            # drop the harmless duplicates a previous crashed compact left
+            keep = np.ones(len(hi), dtype=bool)
+            keep[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
+            out = pa.table({"h_hi": pa.array(hi[keep]), "h_lo": pa.array(lo[keep])})
+            compact_file = f"compact-{n}-{k}.parquet"
+            tmp = os.path.join(shard_dir, f".{compact_file}.tmp-{os.getpid()}")
+            pq.write_table(out, tmp)
+            os.replace(tmp, os.path.join(shard_dir, compact_file))
+            for name in names:
+                if name != compact_file:
+                    os.remove(os.path.join(shard_dir, name))
+
+
+def _propagate_runs(seen_first: np.ndarray, first: np.ndarray) -> np.ndarray:
+    """Spread each hash-run's ``seen`` flag (one entry per run, in run
+    order) to every row of the run (rows are sorted so a run is
+    contiguous and starts where ``first`` is True)."""
+    run_idx = np.cumsum(first) - 1
+    return seen_first[run_idx]
+
+
+def incremental_dedup(
+    ds,
+    store_dir: str,
+    label: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    loser_broadcast_max: int = 50_000_000,
+):
+    """Convenience wrapper: open (or create) the store at ``store_dir``
+    and ingest ``ds`` under ``label``; returns the surviving Dataset."""
+    if os.path.exists(os.path.join(store_dir, _META)):
+        store = DedupStore.open(store_dir)
+    else:
+        store = DedupStore.create(store_dir, n_shards=n_shards)
+    return store.ingest(
+        ds,
+        label,
+        text_col=text_col,
+        id_col=id_col,
+        loser_broadcast_max=loser_broadcast_max,
+    )
