@@ -437,7 +437,8 @@ def main() -> int:
     p.add_argument(
         "--state-label",
         help="ingest label for --state-dir (default: the output dir name); "
-        "re-running a completed label is idempotent",
+        "must be fresh per batch — a crashed run's label can be re-run, a "
+        "committed one is refused",
     )
     p.add_argument("--num-cpus", type=int)
     p.set_defaults(fn=cmd_prep)

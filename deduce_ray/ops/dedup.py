@@ -79,6 +79,27 @@ def _stable_hash64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
 
 
+def _md5_words(texts) -> tuple[np.ndarray, np.ndarray]:
+    """The module-wide exact-dedup key: md5(text or "") as two SIGNED
+    int64 words (hi, lo).  Every consumer of the 128-bit content-hash
+    convention (``dedup_survivors``, the incremental
+    :mod:`deduce_ray.state.dedup_store`) must derive it here so the
+    within-run and cross-run notions of "duplicate" can never drift."""
+    n = len(texts)
+    digests = [hashlib.md5((t or "").encode()).digest() for t in texts]
+    hi = np.fromiter(
+        (int.from_bytes(d[:8], "big", signed=True) for d in digests),
+        dtype=np.int64,
+        count=n,
+    )
+    lo = np.fromiter(
+        (int.from_bytes(d[8:], "big", signed=True) for d in digests),
+        dtype=np.int64,
+        count=n,
+    )
+    return hi, lo
+
+
 # per-process word -> md5-64 memo: vocabulary is tiny relative to token
 # count, so this removes almost every md5 call from the shingle/simhash hot
 # loops; bounded so a pathological vocabulary cannot exhaust worker heap
@@ -2289,18 +2310,14 @@ def dedup_survivors(
         # the dedup key rides the shuffle as TWO int64s (the full 128-bit
         # md5), not the 32-char hex string — half the exchange bytes and
         # int sorts instead of string sorts in the loser groupby
-        texts = batch.column(text_col).to_pylist()
-        digests = [hashlib.md5((t or "").encode()).digest() for t in texts]
-        hi = [int.from_bytes(d[:8], "big", signed=True) for d in digests]
-        lo = [int.from_bytes(d[8:], "big", signed=True) for d in digests]
+        hi, lo = _md5_words(batch.column(text_col).to_pylist())
         return pa.table(
             {
                 id_col: batch.column(id_col),
-                "__h_hi": pa.array(hi, type=pa.int64()),
-                "__h_lo": pa.array(lo, type=pa.int64()),
-                "__shard": pa.array(
-                    [h % n_shards for h in hi], type=pa.int64()
-                ),
+                "__h_hi": pa.array(hi),
+                "__h_lo": pa.array(lo),
+                # np.mod follows the divisor's sign: non-negative here
+                "__shard": pa.array(np.mod(hi, n_shards)),
             }
         )
 

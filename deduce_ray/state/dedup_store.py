@@ -27,16 +27,25 @@ Scale shape:
   (:func:`~deduce_ray.ops.dedup._drop_ids`) — no full-row shuffle.
 - Store writes are per-shard single-writer (the shard is the group key),
   written to a temp name and atomically renamed, so a killed run leaves
-  no partial file.  File contents are a deterministic function of (store
-  content, incoming batch), which makes re-running a failed ingest with
-  the SAME label idempotent: a task recomputes byte-identical files, and
-  membership checks exclude the running label's own files so a partial
-  previous attempt cannot eat its own documents.
+  no partial file.
 
-Concurrency contract: ONE ingest at a time (labels serialize the store's
-history); any number of concurrent readers.  On a real cluster
-``store_dir`` must live on storage every node mounts (NFS / object
-store via fsspec); in this sandbox it is a local path.
+Crash safety hangs on the ``_ingests/`` manifests, not on filenames:
+membership counts ONLY files whose label has a commit manifest (plus
+``compact-*`` maintenance files), so a crashed ingest's partial shard
+files are invisible — they cannot eat the crashed label's own documents
+on resume, and they cannot eat a LATER label's documents if the crashed
+one is abandoned.  Re-running an uncommitted label recomputes
+byte-identical files (content is a deterministic function of committed
+store state + incoming batch) and commits; re-running a COMMITTED label
+is refused with ``ValueError`` — the repo-wide resume-refusal
+convention (cf. ``materialize_graph``), because after compaction the
+store can no longer reconstruct "the store as label X first saw it", so
+silent re-ingest could silently return zero survivors.
+
+Concurrency contract: ONE writer at a time (ingest or compact; labels
+serialize the store's history); any number of concurrent readers.  On a
+real cluster ``store_dir`` must live on storage every node mounts (NFS /
+object store via fsspec); in this sandbox it is a local path.
 
 Reference anchor: the reference engine has no cross-run state at all
 (/root/reference/deduce/deduce.py processes one text per call); this
@@ -46,7 +55,6 @@ port.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 from typing import Any
@@ -62,16 +70,11 @@ _VERSION = 1
 
 def _hash_pass(text_col: str, id_col: str, n_shards: int):
     def hash_batch(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        digests = [hashlib.md5((t or "").encode()).digest() for t in texts]
-        hi = np.array(
-            [int.from_bytes(d[:8], "big", signed=True) for d in digests],
-            dtype=np.int64,
-        )
-        lo = np.array(
-            [int.from_bytes(d[8:], "big", signed=True) for d in digests],
-            dtype=np.int64,
-        )
+        # the shared 128-bit content-hash convention (ops.dedup._md5_words)
+        # so cross-run and within-run "duplicate" can never disagree
+        from deduce_ray.ops.dedup import _md5_words
+
+        hi, lo = _md5_words(batch.column(text_col).to_pylist())
         return pa.table(
             {
                 id_col: batch.column(id_col),
@@ -107,14 +110,23 @@ def _pairs_in_store(
     return seen
 
 
-def _read_shard(shard_dir: str, exclude_file: str) -> tuple[np.ndarray, np.ndarray]:
-    """All (hi, lo) pairs of one shard directory, lexsorted, excluding
-    ``exclude_file`` (the running label's own output from a previous
-    failed attempt)."""
+def _is_committed_file(name: str, committed: frozenset[str]) -> bool:
+    stem = name[: -len(".parquet")]
+    return stem in committed or stem.startswith("compact-")
+
+
+def _read_shard(
+    shard_dir: str, committed: frozenset[str]
+) -> tuple[np.ndarray, np.ndarray]:
+    """The (hi, lo) pairs of one shard directory, lexsorted, counting
+    ONLY committed labels' files (and ``compact-*`` merges) — a crashed
+    ingest's partial output must not poison membership."""
     his, los = [], []
     if os.path.isdir(shard_dir):
         for name in sorted(os.listdir(shard_dir)):
-            if not name.endswith(".parquet") or name == exclude_file:
+            if not name.endswith(".parquet") or not _is_committed_file(
+                name, committed
+            ):
                 continue
             t = pq.read_table(
                 os.path.join(shard_dir, name), columns=["h_hi", "h_lo"]
@@ -147,8 +159,12 @@ class DedupStore:
         if os.path.exists(meta_path):
             raise ValueError(f"store already exists at {store_dir}")
         os.makedirs(os.path.join(store_dir, _INGESTS), exist_ok=True)
-        with open(meta_path, "w") as f:
+        # atomic like every other write here: a torn _meta.json would
+        # brick the store (open() fails, create() refuses)
+        tmp = meta_path + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump({"version": _VERSION, "n_shards": n_shards}, f)
+        os.replace(tmp, meta_path)
         return cls(store_dir, n_shards)
 
     @classmethod
@@ -172,24 +188,34 @@ class DedupStore:
         )
 
     def stats(self) -> dict[str, Any]:
-        """Footer-metadata only — opens no data pages."""
+        """Footer-metadata only — opens no data pages.  ``n_hashes`` /
+        ``n_files`` count COMMITTED membership (what ingests actually
+        check against); a crashed label's leftovers are reported
+        separately as ``n_uncommitted_files``."""
+        committed = frozenset(self.ingests())
         n_hashes = 0
         n_files = 0
+        n_uncommitted = 0
         for k in range(self.n_shards):
             shard_dir = os.path.join(self.store_dir, f"shard={k}")
             if not os.path.isdir(shard_dir):
                 continue
             for name in os.listdir(shard_dir):
-                if name.endswith(".parquet"):
-                    n_files += 1
-                    n_hashes += pq.ParquetFile(
-                        os.path.join(shard_dir, name)
-                    ).metadata.num_rows
+                if not name.endswith(".parquet"):
+                    continue
+                if not _is_committed_file(name, committed):
+                    n_uncommitted += 1
+                    continue
+                n_files += 1
+                n_hashes += pq.ParquetFile(
+                    os.path.join(shard_dir, name)
+                ).metadata.num_rows
         return {
             "n_shards": self.n_shards,
             "n_hashes": n_hashes,
             "n_files": n_files,
-            "ingests": self.ingests(),
+            "n_uncommitted_files": n_uncommitted,
+            "ingests": sorted(committed),
         }
 
     # -- the operator ------------------------------------------------------
@@ -210,11 +236,31 @@ class DedupStore:
         survives (the ``dedup_survivors`` convention); a text already in
         the store keeps NO row.  ``ds`` must satisfy the module-wide
         doc-id contract (unique, non-null int64 ids) and be re-readable
-        (hash pass + filter pass).  Re-running a label that already
-        committed returns the same survivors without growing the store.
+        (hash pass + filter pass).
+
+        Only COMMITTED ingests count as "seen", so re-running a label
+        whose previous attempt crashed resumes it exactly; a label that
+        already committed is refused (``ValueError``) — pick a new label
+        per batch (see the module docstring for why silent re-ingest
+        would be unsafe after compaction).
         """
-        if not label or any(c in label for c in "/\\\0"):
-            raise ValueError(f"label must be a plain filename stem: {label!r}")
+        if (
+            not label
+            or label.startswith((".", "compact-"))
+            or any(c in label for c in "/\\\0")
+        ):
+            raise ValueError(
+                f"label must be a plain filename stem not starting with "
+                f"'.' or 'compact-': {label!r}"
+            )
+        committed = frozenset(self.ingests())
+        if label in committed:
+            raise ValueError(
+                f"ingest label {label!r} already committed to this store; "
+                "each batch needs a fresh label (re-running is only "
+                "supported for a label whose previous attempt crashed "
+                "before commit)"
+            )
 
         from deduce_ray.ops.dedup import _chunked_id_refs, _drop_ids
 
@@ -239,7 +285,7 @@ class DedupStore:
             first[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
 
             shard_dir = os.path.join(store_dir, f"shard={shard}")
-            hi_s, lo_s = _read_shard(shard_dir, exclude_file=label_file)
+            hi_s, lo_s = _read_shard(shard_dir, committed)
             seen_first = _pairs_in_store(hi[first], lo[first], hi_s, lo_s)
 
             # write the shard's NEW hashes (first occurrence, unseen),
@@ -285,22 +331,28 @@ class DedupStore:
         os.replace(tmp, os.path.join(d, f"{label}.json"))
 
     def compact(self) -> None:
-        """Merge each shard's files into one (single-writer maintenance;
-        do not run concurrently with an ingest).  Membership is a set
-        union, so a crash mid-compact (new file written, old not yet
-        removed) leaves duplicate hashes that are harmless to readers and
-        removed by the next compact."""
-        n = len(self.ingests())
+        """Merge each shard's COMMITTED files into one (single-writer
+        maintenance; do not run concurrently with an ingest).  An
+        uncommitted label's partial files are left untouched — they
+        belong to a crashed ingest that may still resume, and folding
+        them into a compact file would wrongly promote them to committed
+        membership.  Membership is a set union, so a crash mid-compact
+        (new file written, old not yet removed) leaves duplicate hashes
+        that are harmless to readers and removed by the next compact."""
+        committed = frozenset(self.ingests())
+        n = len(committed)
         for k in range(self.n_shards):
             shard_dir = os.path.join(self.store_dir, f"shard={k}")
             if not os.path.isdir(shard_dir):
                 continue
             names = sorted(
-                f for f in os.listdir(shard_dir) if f.endswith(".parquet")
+                f
+                for f in os.listdir(shard_dir)
+                if f.endswith(".parquet") and _is_committed_file(f, committed)
             )
             if len(names) <= 1:
                 continue
-            hi, lo = _read_shard(shard_dir, exclude_file="")
+            hi, lo = _read_shard(shard_dir, committed)
             # drop the harmless duplicates a previous crashed compact left
             keep = np.ones(len(hi), dtype=bool)
             keep[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
@@ -332,7 +384,9 @@ def incremental_dedup(
     loser_broadcast_max: int = 50_000_000,
 ):
     """Convenience wrapper: open (or create) the store at ``store_dir``
-    and ingest ``ds`` under ``label``; returns the surviving Dataset."""
+    and ingest ``ds`` under ``label``; returns the surviving Dataset.
+    ``label`` must be fresh (or the uncommitted leftover of a crashed
+    run) — a committed label raises ``ValueError``."""
     if os.path.exists(os.path.join(store_dir, _META)):
         store = DedupStore.open(store_dir)
     else:

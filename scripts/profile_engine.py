@@ -34,6 +34,8 @@ def main() -> None:
         .column("text")
         .to_pylist()
     )
+    if not texts:
+        raise SystemExit(f"empty corpus: {sf_dir}/documents.parquet has no rows")
     reps = (n_docs + len(texts) - 1) // len(texts)
     texts = (texts * reps)[:n_docs]
 

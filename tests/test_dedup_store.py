@@ -45,15 +45,11 @@ class TestDedupStore:
         assert store.stats()["n_hashes"] == 3
         assert store.ingests() == ["b1", "b2"]
 
-    def test_reingest_same_label_idempotent(self, ray_session, tmp_path):
+    def test_reingest_committed_label_refused(self, ray_session, tmp_path):
         store = DedupStore.create(str(tmp_path / "s"), n_shards=4)
         store.ingest(_corpus([(1, "aa")]), "b1").materialize()
-        batch2 = [(10, "aa"), (11, "x"), (12, "x")]
-        first = _ids(store.ingest(_corpus(batch2), "b2"))
-        stats1 = store.stats()
-        again = _ids(store.ingest(_corpus(batch2), "b2"))
-        assert again == first == [11]
-        assert store.stats() == stats1
+        with pytest.raises(ValueError, match="already committed"):
+            store.ingest(_corpus([(2, "bb")]), "b1")
 
     def test_crash_before_commit_resumes(self, ray_session, tmp_path):
         """Shard files on disk but no manifest (the crash window): the
@@ -68,6 +64,19 @@ class TestDedupStore:
         redo = _ids(store.ingest(_corpus(batch), "b1"))
         assert redo == survivors == [1, 2]
         assert store.ingests() == ["b1"]
+
+    def test_abandoned_crashed_label_is_invisible(self, ray_session, tmp_path):
+        """A crashed (uncommitted) ingest's partial shard files must not
+        count as seen for a LATER label — its documents were never
+        retained by any completed run."""
+        store = DedupStore.create(str(tmp_path / "s"), n_shards=4)
+        store.ingest(_corpus([(1, "aa")]), "crashed").materialize()
+        os.remove(tmp_path / "s" / "_ingests" / "crashed.json")
+        out = store.ingest(_corpus([(5, "aa"), (6, "zz")]), "b2")
+        assert _ids(out) == [5, 6]
+        st = store.stats()
+        assert st["n_uncommitted_files"] == 1
+        assert st["ingests"] == ["b2"]
 
     def test_null_text_hashes_as_empty(self, ray_session, tmp_path):
         store = DedupStore.create(str(tmp_path / "s"), n_shards=2)
@@ -89,10 +98,27 @@ class TestDedupStore:
         )
         assert _ids(out) == [12]
 
+    def test_compact_skips_uncommitted_files(self, ray_session, tmp_path):
+        """Compaction must not fold a crashed label's partial files into
+        a compact-* file (that would promote them to committed)."""
+        store = DedupStore.create(str(tmp_path / "s"), n_shards=2)
+        store.ingest(_corpus([(1, "aa"), (2, "bb")]), "b1").materialize()
+        store.ingest(_corpus([(3, "cc")]), "crashed").materialize()
+        os.remove(tmp_path / "s" / "_ingests" / "crashed.json")
+        store.compact()
+        st = store.stats()
+        assert st["n_uncommitted_files"] == 1
+        # "cc" is still unseen after compaction
+        assert _ids(store.ingest(_corpus([(9, "cc")]), "b2")) == [9]
+        # resuming the crashed label now drops "cc" (b2 committed it)
+        assert _ids(store.ingest(_corpus([(3, "cc")]), "crashed")) == []
+
     def test_label_validation_and_lifecycle_errors(self, ray_session, tmp_path):
         store = DedupStore.create(str(tmp_path / "s"), n_shards=2)
         with pytest.raises(ValueError, match="label"):
             store.ingest(_corpus([(1, "a")]), "bad/label")
+        with pytest.raises(ValueError, match="label"):
+            store.ingest(_corpus([(1, "a")]), "compact-1")
         with pytest.raises(ValueError, match="already exists"):
             DedupStore.create(str(tmp_path / "s"))
         with pytest.raises(FileNotFoundError):
