@@ -266,6 +266,7 @@ def cmd_prep(args) -> int:
             args.state_dir,
             args.state_label or out_dir.name,
             text_col=text_col,
+            n_shards=args.state_shards,
         )
     out.write_parquet(args.output)
 
@@ -439,6 +440,14 @@ def main() -> int:
         help="ingest label for --state-dir (default: the output dir name); "
         "must be fresh per batch — a crashed run's label can be re-run, a "
         "committed one is refused",
+    )
+    p.add_argument(
+        "--state-shards",
+        type=int,
+        default=64,
+        help="shard count if --state-dir creates a new store (fixed for "
+        "its lifetime; size for the TARGET corpus: one membership task "
+        "holds total_hashes*16/K bytes)",
     )
     p.add_argument("--num-cpus", type=int)
     p.set_defaults(fn=cmd_prep)

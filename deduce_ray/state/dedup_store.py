@@ -22,6 +22,12 @@ Scale shape:
   reads only its own ``shard=K/`` directory — at any corpus size a task
   touches 1/K of the store, and K is fixed at creation so every future
   ingest reuses the same partitioning.
+- **Size K for the TARGET corpus, not the first batch**: a membership
+  task holds one shard in memory (16 bytes/hash), so K must keep
+  ``total_hashes * 16 / K`` under a worker's heap budget — e.g. 10^11
+  documents need K >= 4096 for <=400 MB/shard — and K also caps the
+  membership stage's parallelism.  The default 64 suits tests and
+  single-node runs; pass ``n_shards`` at creation for cluster scale.
 - Dropped ids come back to the driver in bounded sorted chunks and the
   corpus streams through the shared searchsorted anti-join
   (:func:`~deduce_ray.ops.dedup._drop_ids`) — no full-row shuffle.
