@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -268,6 +269,19 @@ def cmd_prep(args) -> int:
             text_col=text_col,
             n_shards=args.state_shards,
         )
+    if args.neardup_state_dir:
+        # cross-RUN near-dup (SimHash Hamming <= 3): runs after exact
+        # cross-run dedup so byte-identical repeats never reach the
+        # near-dup index
+        from deduce_ray.state import incremental_neardup
+
+        out = incremental_neardup(
+            out,
+            args.neardup_state_dir,
+            args.state_label or out_dir.name,
+            text_col=text_col,
+            n_shards=args.state_shards,
+        )
     out.write_parquet(args.output)
 
     import pyarrow.parquet as pq
@@ -283,11 +297,16 @@ def cmd_prep(args) -> int:
 
 
 def cmd_dedup_state(args) -> int:
-    """Inspect (and optionally compact) an incremental dedup store.
-    Footer-metadata only — never opens data pages, needs no Ray."""
-    from deduce_ray.state import DedupStore
+    """Inspect (and optionally compact) an incremental dedup/near-dup
+    store of either kind.  Stats are footer-metadata only — never opens
+    data pages, needs no Ray."""
+    from deduce_ray.state import DedupStore, SimHashStore
+    from deduce_ray.state.base import META_FILE
 
-    store = DedupStore.open(args.state_dir)
+    with open(os.path.join(args.state_dir, META_FILE)) as f:
+        kind = json.load(f).get("kind", DedupStore.KIND)
+    cls = SimHashStore if kind == SimHashStore.KIND else DedupStore
+    store = cls.open(args.state_dir)
     if args.compact:
         store.compact()
     print(json.dumps(store.stats()))
@@ -448,6 +467,13 @@ def main() -> int:
         help="shard count if --state-dir creates a new store (fixed for "
         "its lifetime; size for the TARGET corpus: one membership task "
         "holds total_hashes*16/K bytes)",
+    )
+    p.add_argument(
+        "--neardup-state-dir",
+        help="incremental NEAR-dup store (SimHash, Hamming <= 3): drop "
+        "documents near-duplicate of any previous ingest's survivors; "
+        "applied after --state-dir's exact pass; shares --state-label "
+        "and --state-shards",
     )
     p.add_argument("--num-cpus", type=int)
     p.set_defaults(fn=cmd_prep)

@@ -9,5 +9,11 @@ run concurrently.
 """
 
 from deduce_ray.state.dedup_store import DedupStore, incremental_dedup
+from deduce_ray.state.simhash_store import SimHashStore, incremental_neardup
 
-__all__ = ["DedupStore", "incremental_dedup"]
+__all__ = [
+    "DedupStore",
+    "SimHashStore",
+    "incremental_dedup",
+    "incremental_neardup",
+]

@@ -61,7 +61,6 @@ port.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Any
 
@@ -69,9 +68,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-_META = "_meta.json"
-_INGESTS = "_ingests"
-_VERSION = 1
+from deduce_ray.state.base import (
+    META_FILE,
+    StoreBase,
+    atomic_write_parquet,
+    is_committed_file,
+)
 
 
 def _hash_pass(text_col: str, id_col: str, n_shards: int):
@@ -116,11 +118,6 @@ def _pairs_in_store(
     return seen
 
 
-def _is_committed_file(name: str, committed: frozenset[str]) -> bool:
-    stem = name[: -len(".parquet")]
-    return stem in committed or stem.startswith("compact-")
-
-
 def _read_shard(
     shard_dir: str, committed: frozenset[str]
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -130,7 +127,7 @@ def _read_shard(
     his, los = [], []
     if os.path.isdir(shard_dir):
         for name in sorted(os.listdir(shard_dir)):
-            if not name.endswith(".parquet") or not _is_committed_file(
+            if not name.endswith(".parquet") or not is_committed_file(
                 name, committed
             ):
                 continue
@@ -148,81 +145,24 @@ def _read_shard(
     return hi[order], lo[order]
 
 
-class DedupStore:
+class DedupStore(StoreBase):
     """Open with :meth:`create` or :meth:`open`; then :meth:`ingest`."""
 
-    def __init__(self, store_dir: str, n_shards: int) -> None:
-        self.store_dir = store_dir
-        self.n_shards = n_shards
+    KIND = "exact"
 
     # -- lifecycle ---------------------------------------------------------
 
     @classmethod
     def create(cls, store_dir: str, n_shards: int = 64) -> "DedupStore":
-        if n_shards < 1:
-            raise ValueError("n_shards must be >= 1")
-        meta_path = os.path.join(store_dir, _META)
-        if os.path.exists(meta_path):
-            raise ValueError(f"store already exists at {store_dir}")
-        os.makedirs(os.path.join(store_dir, _INGESTS), exist_ok=True)
-        # atomic like every other write here: a torn _meta.json would
-        # brick the store (open() fails, create() refuses)
-        tmp = meta_path + f".tmp-{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump({"version": _VERSION, "n_shards": n_shards}, f)
-        os.replace(tmp, meta_path)
-        return cls(store_dir, n_shards)
-
-    @classmethod
-    def open(cls, store_dir: str) -> "DedupStore":
-        with open(os.path.join(store_dir, _META)) as f:
-            meta = json.load(f)
-        if meta.get("version") != _VERSION:
-            raise ValueError(
-                f"store version {meta.get('version')} != supported {_VERSION}"
-            )
-        return cls(store_dir, int(meta["n_shards"]))
-
-    # -- introspection -----------------------------------------------------
-
-    def ingests(self) -> list[str]:
-        d = os.path.join(self.store_dir, _INGESTS)
-        if not os.path.isdir(d):
-            return []
-        return sorted(
-            name[: -len(".json")] for name in os.listdir(d) if name.endswith(".json")
-        )
+        return cls._create(store_dir, {"n_shards": n_shards})
 
     def stats(self) -> dict[str, Any]:
-        """Footer-metadata only — opens no data pages.  ``n_hashes`` /
-        ``n_files`` count COMMITTED membership (what ingests actually
-        check against); a crashed label's leftovers are reported
-        separately as ``n_uncommitted_files``."""
-        committed = frozenset(self.ingests())
-        n_hashes = 0
-        n_files = 0
-        n_uncommitted = 0
-        for k in range(self.n_shards):
-            shard_dir = os.path.join(self.store_dir, f"shard={k}")
-            if not os.path.isdir(shard_dir):
-                continue
-            for name in os.listdir(shard_dir):
-                if not name.endswith(".parquet"):
-                    continue
-                if not _is_committed_file(name, committed):
-                    n_uncommitted += 1
-                    continue
-                n_files += 1
-                n_hashes += pq.ParquetFile(
-                    os.path.join(shard_dir, name)
-                ).metadata.num_rows
-        return {
-            "n_shards": self.n_shards,
-            "n_hashes": n_hashes,
-            "n_files": n_files,
-            "n_uncommitted_files": n_uncommitted,
-            "ingests": sorted(committed),
-        }
+        """Footer-metadata only; one store row = one seen hash, reported
+        as ``n_hashes`` (see :meth:`StoreBase.stats` for the committed /
+        uncommitted split)."""
+        st = super().stats()
+        st["n_hashes"] = st.pop("n_rows")
+        return st
 
     # -- the operator ------------------------------------------------------
 
@@ -250,23 +190,7 @@ class DedupStore:
         per batch (see the module docstring for why silent re-ingest
         would be unsafe after compaction).
         """
-        if (
-            not label
-            or label.startswith((".", "compact-"))
-            or any(c in label for c in "/\\\0")
-        ):
-            raise ValueError(
-                f"label must be a plain filename stem not starting with "
-                f"'.' or 'compact-': {label!r}"
-            )
-        committed = frozenset(self.ingests())
-        if label in committed:
-            raise ValueError(
-                f"ingest label {label!r} already committed to this store; "
-                "each batch needs a fresh label (re-running is only "
-                "supported for a label whose previous attempt crashed "
-                "before commit)"
-            )
+        committed = self._check_label(label)
 
         from deduce_ray.ops.dedup import _chunked_id_refs, _drop_ids
 
@@ -298,13 +222,10 @@ class DedupStore:
             # already (hi, lo)-sorted by construction
             new_hi = hi[first][~seen_first]
             if len(new_hi):
-                os.makedirs(shard_dir, exist_ok=True)
                 out = pa.table(
                     {"h_hi": pa.array(new_hi), "h_lo": pa.array(lo[first][~seen_first])}
                 )
-                tmp = os.path.join(shard_dir, f".{label_file}.tmp-{os.getpid()}")
-                pq.write_table(out, tmp)
-                os.replace(tmp, os.path.join(shard_dir, label_file))
+                atomic_write_parquet(out, os.path.join(shard_dir, label_file))
 
             # losers: within-ingest non-firsts, plus every member of a
             # store-seen hash run (propagate the run's seen flag)
@@ -328,14 +249,6 @@ class DedupStore:
             return ds
         return _drop_ids(ds, refs, id_col)
 
-    def _commit(self, label: str) -> None:
-        d = os.path.join(self.store_dir, _INGESTS)
-        os.makedirs(d, exist_ok=True)
-        tmp = os.path.join(d, f".{label}.json.tmp-{os.getpid()}")
-        with open(tmp, "w") as f:
-            json.dump({"label": label, "version": _VERSION}, f)
-        os.replace(tmp, os.path.join(d, f"{label}.json"))
-
     def compact(self) -> None:
         """Merge each shard's COMMITTED files into one (single-writer
         maintenance; do not run concurrently with an ingest).  An
@@ -354,7 +267,7 @@ class DedupStore:
             names = sorted(
                 f
                 for f in os.listdir(shard_dir)
-                if f.endswith(".parquet") and _is_committed_file(f, committed)
+                if f.endswith(".parquet") and is_committed_file(f, committed)
             )
             if len(names) <= 1:
                 continue
@@ -364,9 +277,7 @@ class DedupStore:
             keep[1:] = (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])
             out = pa.table({"h_hi": pa.array(hi[keep]), "h_lo": pa.array(lo[keep])})
             compact_file = f"compact-{n}-{k}.parquet"
-            tmp = os.path.join(shard_dir, f".{compact_file}.tmp-{os.getpid()}")
-            pq.write_table(out, tmp)
-            os.replace(tmp, os.path.join(shard_dir, compact_file))
+            atomic_write_parquet(out, os.path.join(shard_dir, compact_file))
             for name in names:
                 if name != compact_file:
                     os.remove(os.path.join(shard_dir, name))
@@ -393,7 +304,7 @@ def incremental_dedup(
     and ingest ``ds`` under ``label``; returns the surviving Dataset.
     ``label`` must be fresh (or the uncommitted leftover of a crashed
     run) — a committed label raises ``ValueError``."""
-    if os.path.exists(os.path.join(store_dir, _META)):
+    if os.path.exists(os.path.join(store_dir, META_FILE)):
         store = DedupStore.open(store_dir)
     else:
         store = DedupStore.create(store_dir, n_shards=n_shards)
