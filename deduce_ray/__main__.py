@@ -256,33 +256,45 @@ def cmd_prep(args) -> int:
         max_digit_ppm=args.max_digit_ppm,
         minhash_threshold=threshold,
     )
+    # store commits are DEFERRED until the survivors are safely written:
+    # a crash anywhere before write_parquet completes leaves every store
+    # label uncommitted (resumable with the same label), never a
+    # committed batch whose output was lost
+    commits = []
+    label = args.state_label or out_dir.name
     if args.state_dir:
         # cross-RUN dedup: drop funnel survivors already retained by a
         # previous ingest, then remember the new ones.  Runs after the
         # funnel so the store records only documents worth remembering.
         from deduce_ray.state import incremental_dedup
 
-        out = incremental_dedup(
+        out, commit = incremental_dedup(
             out,
             args.state_dir,
-            args.state_label or out_dir.name,
+            label,
             text_col=text_col,
             n_shards=args.state_shards,
+            defer_commit=True,
         )
+        commits.append(commit)
     if args.neardup_state_dir:
         # cross-RUN near-dup (SimHash Hamming <= 3): runs after exact
         # cross-run dedup so byte-identical repeats never reach the
         # near-dup index
         from deduce_ray.state import incremental_neardup
 
-        out = incremental_neardup(
+        out, commit = incremental_neardup(
             out,
             args.neardup_state_dir,
-            args.state_label or out_dir.name,
+            label,
             text_col=text_col,
             n_shards=args.state_shards,
+            defer_commit=True,
         )
+        commits.append(commit)
     out.write_parquet(args.output)
+    for commit in commits:
+        commit()
 
     import pyarrow.parquet as pq
     from pathlib import Path

@@ -1709,6 +1709,32 @@ def simhash64(text: str) -> int:
     return _simhash_from_words(words)
 
 
+def simhash_band_rows(
+    ids, texts, n_shards: int
+) -> tuple[list, list, list, list]:
+    """(shard, bucket, id, sig) row lists for the 4x16-bit SimHash band
+    decomposition — the recall-critical banding, shared by
+    :func:`simhash_pairs` and the incremental SimHash store
+    (:mod:`deduce_ray.state.simhash_store`) so the two can never drift.
+    Word-less documents are skipped: they all hash to 0 and would form
+    one bogus hamming-0 mega-bucket."""
+    from deduce_ray.ops.textstats import split_words
+
+    out_shard, out_bucket, out_id, out_sig = [], [], [], []
+    for i, t in zip(ids, texts):
+        words = split_words(t or "")
+        if not words:
+            continue
+        h = _simhash_from_words(words)
+        for band in range(4):
+            bucket = band * 65536 + ((h >> (band * 16)) & 0xFFFF)
+            out_shard.append(bucket % n_shards)
+            out_bucket.append(bucket)
+            out_id.append(i)
+            out_sig.append(h)
+    return out_shard, out_bucket, out_id, out_sig
+
+
 def simhash_pairs(
     ds,
     text_col: str = "text",
@@ -1735,33 +1761,19 @@ def simhash_pairs(
     n_shards = merge_shards()
 
     def signatures(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        out = {"shard": [], "bucket": [], id_col: [], "simhash": []}
-        from deduce_ray.ops.textstats import split_words
-
-        for i, t in zip(ids, texts):
-            words = split_words(t or "")
-            if not words:
-                # word-less docs all hash to simhash 0: emitting them would
-                # form one O(m^2) bucket of bogus hamming-0 pairs (see the
-                # matching guard in minhash_lsh_pairs)
-                continue
-            h = _simhash_from_words(words)
-            for band in range(4):
-                chunk = (h >> (band * 16)) & 0xFFFF
-                out["shard"].append((band * 65536 + chunk) % n_shards)
-                out["bucket"].append(f"{band}:{chunk:04x}")
-                out[id_col].append(i)
-                out["simhash"].append(h)
+        shard, bucket, ids, sigs = simhash_band_rows(
+            batch.column(id_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+            n_shards,
+        )
+        # explicit types: an all-skipped batch (word-less docs) must not
+        # emit null columns, or block schemas diverge
         return pa.table(
             {
-                "shard": pa.array(out["shard"], type=pa.int32()),
-                # explicit type: an all-skipped batch (word-less docs) must
-                # emit string, not null, or block schemas diverge
-                "bucket": pa.array(out["bucket"], type=pa.string()),
-                id_col: pa.array(out[id_col], type=pa.int64()),
-                "simhash": pa.array(out["simhash"], type=pa.uint64()),
+                "shard": pa.array(shard, type=pa.int32()),
+                "bucket": pa.array(bucket, type=pa.int32()),
+                id_col: pa.array(ids, type=pa.int64()),
+                "simhash": pa.array(sigs, type=pa.uint64()),
             }
         )
 

@@ -27,6 +27,7 @@ import pyarrow.parquet as pq
 META_FILE = "_meta.json"
 INGESTS_DIR = "_ingests"
 VERSION = 1
+LEGACY_KIND = "exact"  # the only store kind that predates the meta field
 
 
 def is_committed_file(name: str, committed: frozenset[str]) -> bool:
@@ -80,10 +81,13 @@ class StoreBase:
             raise ValueError(
                 f"store version {meta.get('version')} != supported {VERSION}"
             )
-        if meta.get("kind", cls.KIND) != cls.KIND:
+        # stores created before the 'kind' field are all exact dedup
+        # stores — defaulting to the OPENER's kind would let SimHashStore
+        # silently adopt (and then corrupt) a legacy exact store
+        kind = meta.get("kind", LEGACY_KIND)
+        if kind != cls.KIND:
             raise ValueError(
-                f"store at {store_dir} is kind {meta.get('kind')!r}, "
-                f"not {cls.KIND!r}"
+                f"store at {store_dir} is kind {kind!r}, not {cls.KIND!r}"
             )
         return cls(store_dir, meta)
 
@@ -132,6 +136,20 @@ class StoreBase:
 
     def _shard_dir(self, k: int) -> str:
         return os.path.join(self.store_dir, f"shard={k}")
+
+    def _clean_label_files(self, label: str) -> None:
+        """Remove a label's uncommitted shard files before re-ingesting
+        it.  A crashed attempt's files were computed against the
+        committed set AS OF that attempt; if other labels committed in
+        between, a shard that now has nothing new to write would leave
+        the STALE file visible at commit — recording rows for documents
+        this attempt no longer retains (harmless duplicate hashes for
+        the exact store, but wrong membership for signature stores)."""
+        name = f"{label}.parquet"
+        for k in range(self.n_shards):
+            path = os.path.join(self._shard_dir(k), name)
+            if os.path.exists(path):
+                os.remove(path)
 
     @staticmethod
     def _committed_files(shard_dir: str, committed: frozenset[str]) -> list[str]:

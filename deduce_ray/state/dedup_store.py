@@ -173,6 +173,7 @@ class DedupStore(StoreBase):
         text_col: str = "text",
         id_col: str = "doc_id",
         loser_broadcast_max: int = 50_000_000,
+        defer_commit: bool = False,
     ):
         """Filter ``ds`` to rows never seen before (by this ingest OR any
         prior one), remember the new hashes, and return the surviving
@@ -189,8 +190,18 @@ class DedupStore(StoreBase):
         already committed is refused (``ValueError``) — pick a new label
         per batch (see the module docstring for why silent re-ingest
         would be unsafe after compaction).
+
+        ``defer_commit=True`` returns ``(survivors, commit)`` instead:
+        the shard files are on disk but invisible until the caller
+        invokes ``commit()`` — write the survivors to their destination
+        FIRST, then commit, so a crash in between leaves a resumable
+        uncommitted label instead of a committed batch whose output was
+        never written.
         """
         committed = self._check_label(label)
+        # a crashed attempt's leftovers were computed against an older
+        # committed set; recompute from scratch
+        self._clean_label_files(label)
 
         from deduce_ray.ops.dedup import _chunked_id_refs, _drop_ids
 
@@ -244,10 +255,11 @@ class DedupStore(StoreBase):
         # pulling the loser chunks FORCES the groupby, so every shard file
         # is on disk before the manifest commits
         refs = _chunked_id_refs(losers, id_col, loser_broadcast_max)
+        survivors = _drop_ids(ds, refs, id_col) if refs else ds
+        if defer_commit:
+            return survivors, lambda: self._commit(label)
         self._commit(label)
-        if not refs:
-            return ds
-        return _drop_ids(ds, refs, id_col)
+        return survivors
 
     def compact(self) -> None:
         """Merge each shard's COMMITTED files into one (single-writer
@@ -299,11 +311,13 @@ def incremental_dedup(
     id_col: str = "doc_id",
     n_shards: int = 64,
     loser_broadcast_max: int = 50_000_000,
+    defer_commit: bool = False,
 ):
     """Convenience wrapper: open (or create) the store at ``store_dir``
-    and ingest ``ds`` under ``label``; returns the surviving Dataset.
-    ``label`` must be fresh (or the uncommitted leftover of a crashed
-    run) — a committed label raises ``ValueError``."""
+    and ingest ``ds`` under ``label``; returns the surviving Dataset (or
+    ``(survivors, commit)`` with ``defer_commit=True``).  ``label`` must
+    be fresh (or the uncommitted leftover of a crashed run) — a
+    committed label raises ``ValueError``."""
     if os.path.exists(os.path.join(store_dir, META_FILE)):
         store = DedupStore.open(store_dir)
     else:
@@ -314,4 +328,5 @@ def incremental_dedup(
         text_col=text_col,
         id_col=id_col,
         loser_broadcast_max=loser_broadcast_max,
+        defer_commit=defer_commit,
     )

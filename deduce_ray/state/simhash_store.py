@@ -81,32 +81,24 @@ logger = logging.getLogger(__name__)
 
 
 def _band_pass(text_col: str, id_col: str, n_shards: int):
-    """4 band rows per doc: (shard, bucket, doc_id, sig)."""
+    """4 band rows per doc: (shard, bucket, doc_id, sig) — the banding
+    itself comes from :func:`deduce_ray.ops.dedup.simhash_band_rows`, the
+    single source of the recall-critical decomposition."""
 
     def bands(batch: pa.Table) -> pa.Table:
-        from deduce_ray.ops.dedup import _simhash_from_words
-        from deduce_ray.ops.textstats import split_words
+        from deduce_ray.ops.dedup import simhash_band_rows
 
-        ids = batch.column(id_col).to_pylist()
-        texts = batch.column(text_col).to_pylist()
-        out_shard, out_bucket, out_id, out_sig = [], [], [], []
-        for i, t in zip(ids, texts):
-            words = split_words(t or "")
-            if not words:
-                continue
-            h = _simhash_from_words(words)
-            for band in range(4):
-                bucket = band * 65536 + ((h >> (band * 16)) & 0xFFFF)
-                out_shard.append(bucket % n_shards)
-                out_bucket.append(bucket)
-                out_id.append(i)
-                out_sig.append(h)
+        shard, bucket, ids, sigs = simhash_band_rows(
+            batch.column(id_col).to_pylist(),
+            batch.column(text_col).to_pylist(),
+            n_shards,
+        )
         return pa.table(
             {
-                "__shard": pa.array(out_shard, type=pa.int32()),
-                "bucket": pa.array(out_bucket, type=pa.int32()),
-                id_col: pa.array(out_id, type=pa.int64()),
-                "sig": pa.array(out_sig, type=pa.uint64()),
+                "__shard": pa.array(shard, type=pa.int32()),
+                "bucket": pa.array(bucket, type=pa.int32()),
+                id_col: pa.array(ids, type=pa.int64()),
+                "sig": pa.array(sigs, type=pa.uint64()),
             }
         )
 
@@ -176,7 +168,8 @@ class SimHashStore(StoreBase):
         text_col: str = "text",
         id_col: str = "doc_id",
         loser_broadcast_max: int = 50_000_000,
-        max_candidates_per_doc: int | None = None,
+        max_candidates_per_band: int | None = None,
+        defer_commit: bool = False,
     ):
         """Filter ``ds`` to rows NOT near-duplicate (Hamming <=
         ``max_hamming``) of any previously-retained document, remember
@@ -185,9 +178,22 @@ class SimHashStore(StoreBase):
         ``ds`` must satisfy the doc-id contract (unique, non-null int64
         ids) and be re-readable (signature pass + filter pass).  Labels
         follow the store protocol: fresh per batch, crashed-label re-runs
-        resume, committed-label re-runs are refused.
+        resume (stale partials are recomputed — signatures of
+        since-dropped docs must not linger), committed-label re-runs are
+        refused.  ``max_candidates_per_band`` caps verification fan-out
+        per incoming BAND ROW (a doc has 4, so up to 4x the cap per doc)
+        against a pathologically hot stored bucket, with a logged drop —
+        recall, not precision, degrades.  ``defer_commit=True`` returns
+        ``(survivors, commit)``: write the survivors to their destination
+        first, then call ``commit()`` (see ``DedupStore.ingest``).
         """
         committed = self._check_label(label)
+        # recompute a crashed attempt from scratch: its leftover files
+        # may hold signatures of docs that a LATER committed ingest now
+        # near-duplicates — committing them would record never-retained
+        # docs and wrongly drop their future neighbors (hamming is not
+        # transitive)
+        self._clean_label_files(label)
 
         from deduce_ray.ops.dedup import _chunked_id_refs, _drop_ids
 
@@ -210,8 +216,8 @@ class SimHashStore(StoreBase):
             left = np.searchsorted(b_s, b_q, side="left")
             right = np.searchsorted(b_s, b_q, side="right")
             runs = right - left
-            if max_candidates_per_doc is not None:
-                over = runs > max_candidates_per_doc
+            if max_candidates_per_band is not None:
+                over = runs > max_candidates_per_band
                 if over.any():
                     logger.warning(
                         "simhash store shard %d: capping %d band rows at "
@@ -219,9 +225,9 @@ class SimHashStore(StoreBase):
                         "may drop)",
                         shard,
                         int(over.sum()),
-                        max_candidates_per_doc,
+                        max_candidates_per_band,
                     )
-                    runs = np.minimum(runs, max_candidates_per_doc)
+                    runs = np.minimum(runs, max_candidates_per_band)
             total = int(runs.sum())
             if not total:
                 return pa.table({id_col: pa.array([], type=pa.int64())})
@@ -242,8 +248,15 @@ class SimHashStore(StoreBase):
             n = tbl.num_rows
             if n:
                 shard = tbl.column("__shard")[0].as_py()
-                out = tbl.select(["bucket", id_col, "sig"]).sort_by(
-                    [("bucket", "ascending"), (id_col, "ascending")]
+                # canonical column names on disk regardless of the
+                # caller's id_col — compact() and future readers depend
+                # on (bucket, doc_id, sig)
+                out = (
+                    tbl.select(["bucket", id_col, "sig"])
+                    .rename_columns(["bucket", "doc_id", "sig"])
+                    .sort_by(
+                        [("bucket", "ascending"), ("doc_id", "ascending")]
+                    )
                 )
                 atomic_write_parquet(
                     out,
@@ -268,11 +281,12 @@ class SimHashStore(StoreBase):
         survivors_bands.groupby("__shard").map_groups(
             write_shard, batch_format="pyarrow"
         ).count()
-        self._commit(label)
 
-        if not refs:
-            return ds
-        return _drop_ids(ds, refs, id_col)
+        survivors = _drop_ids(ds, refs, id_col) if refs else ds
+        if defer_commit:
+            return survivors, lambda: self._commit(label)
+        self._commit(label)
+        return survivors
 
     def compact(self) -> None:
         """Merge each shard's COMMITTED files (single-writer maintenance;
@@ -290,11 +304,13 @@ class SimHashStore(StoreBase):
             t = t.sort_by(
                 [("bucket", "ascending"), ("doc_id", "ascending")]
             )
-            df = t.to_pandas()
-            df = df.drop_duplicates(ignore_index=True)
-            out = pa.Table.from_pandas(df, preserve_index=False).cast(
-                t.schema
-            )
+            # consecutive-duplicate mask (the DedupStore.compact pattern):
+            # equal (bucket, doc_id) rows necessarily carry the same sig
+            b = t.column("bucket").to_numpy(zero_copy_only=False)
+            d = t.column("doc_id").to_numpy(zero_copy_only=False)
+            keep = np.ones(len(b), dtype=bool)
+            keep[1:] = (b[1:] != b[:-1]) | (d[1:] != d[:-1])
+            out = t.filter(pa.array(keep))
             compact_file = f"compact-{n}-{k}.parquet"
             path = os.path.join(shard_dir, compact_file)
             atomic_write_parquet(out, path)
@@ -312,10 +328,13 @@ def incremental_neardup(
     n_shards: int = 64,
     max_hamming: int = 3,
     loser_broadcast_max: int = 50_000_000,
+    max_candidates_per_band: int | None = None,
+    defer_commit: bool = False,
 ):
     """Convenience wrapper: open (or create) the simhash store at
     ``store_dir`` and ingest ``ds`` under ``label``; returns the
-    surviving Dataset.  ``label`` must be fresh (or the uncommitted
+    surviving Dataset (or ``(survivors, commit)`` with
+    ``defer_commit=True``).  ``label`` must be fresh (or the uncommitted
     leftover of a crashed run)."""
     if os.path.exists(os.path.join(store_dir, META_FILE)):
         store = SimHashStore.open(store_dir)
@@ -326,6 +345,8 @@ def incremental_neardup(
     return store.ingest(
         ds,
         label,
+        max_candidates_per_band=max_candidates_per_band,
+        defer_commit=defer_commit,
         text_col=text_col,
         id_col=id_col,
         loser_broadcast_max=loser_broadcast_max,

@@ -111,6 +111,82 @@ class TestSimHashStore:
         with pytest.raises(ValueError, match="max_hamming"):
             SimHashStore.create(str(tmp_path / "s"), max_hamming=4)
 
+    def test_legacy_meta_without_kind_is_exact_only(self, tmp_path):
+        """A pre-'kind' _meta.json is an exact store: SimHashStore must
+        refuse it (adopting it would write bucket/sig rows into an
+        exact store's shards)."""
+        import json
+        import os
+
+        from deduce_ray.state import DedupStore
+
+        d = str(tmp_path / "legacy")
+        os.makedirs(d)
+        with open(os.path.join(d, "_meta.json"), "w") as f:
+            json.dump({"version": 1, "n_shards": 4}, f)
+        assert DedupStore.open(d).n_shards == 4
+        with pytest.raises(ValueError, match="kind"):
+            SimHashStore.open(d)
+
+    def test_stale_crashed_files_recomputed_on_resume(self, ray_session, tmp_path):
+        """Crash -> another label commits a near-dup of a crashed doc ->
+        resume: the crashed label must NOT commit its stale file, or the
+        store would record a document that was never retained."""
+        import pyarrow.parquet as pq
+
+        store = SimHashStore.create(str(tmp_path / "s"), n_shards=4)
+        near = _near_text(BASE)
+        # b2's first attempt retains doc 20 (store empty), then crashes
+        store.ingest(_corpus([(20, near)]), "b2").materialize()
+        os.remove(tmp_path / "s" / "_ingests" / "b2.json")
+        # b3 commits BASE — which is near doc 20's text
+        store.ingest(_corpus([(30, BASE)]), "b3").materialize()
+        # resume b2: doc 20 is now near a retained doc and must drop
+        assert _ids(store.ingest(_corpus([(20, near)]), "b2")) == []
+        st = store.stats()
+        assert st["n_docs"] == 1  # only doc 30
+        recorded = set()
+        for k in range(store.n_shards):
+            sd = tmp_path / "s" / f"shard={k}"
+            if sd.is_dir():
+                for f in sd.glob("*.parquet"):
+                    recorded |= set(
+                        pq.read_table(str(f), columns=["doc_id"])
+                        .column("doc_id")
+                        .to_pylist()
+                    )
+        assert 20 not in recorded
+
+    def test_defer_commit(self, ray_session, tmp_path):
+        store = SimHashStore.create(str(tmp_path / "s"), n_shards=2)
+        survivors, commit = store.ingest(
+            _corpus([(1, BASE)]), "b1", defer_commit=True
+        )
+        assert _ids(survivors) == [1]
+        assert store.ingests() == []  # files invisible until commit
+        assert store.stats()["n_docs"] == 0
+        commit()
+        assert store.ingests() == ["b1"]
+        assert store.stats()["n_docs"] == 1
+
+    def test_custom_id_col_and_compact(self, ray_session, tmp_path):
+        """Store files carry the canonical doc_id column regardless of
+        the caller's id_col, so compact() works on any store."""
+        import ray
+
+        store = SimHashStore.create(str(tmp_path / "s"), n_shards=2)
+        ds1 = ray.data.from_items([{"my_id": 1, "body": BASE}])
+        ds2 = ray.data.from_items([{"my_id": 2, "body": OTHER}])
+        store.ingest(ds1, "b1", text_col="body", id_col="my_id").materialize()
+        store.ingest(ds2, "b2", text_col="body", id_col="my_id").materialize()
+        store.compact()
+        assert store.stats()["n_docs"] == 2
+        ds3 = ray.data.from_items(
+            [{"my_id": 9, "body": BASE}, {"my_id": 10, "body": "x " * 40}]
+        )
+        out = store.ingest(ds3, "b3", text_col="body", id_col="my_id")
+        assert sorted(r["my_id"] for r in out.take_all()) == [10]
+
     def test_wrapper_creates_store(self, ray_session, tmp_path):
         path = str(tmp_path / "auto")
         out = incremental_neardup(_corpus([(1, BASE)]), path, "b1")
