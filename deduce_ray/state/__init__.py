@@ -9,11 +9,17 @@ run concurrently.
 """
 
 from deduce_ray.state.dedup_store import DedupStore, incremental_dedup
+from deduce_ray.state.embedding_store import (
+    EmbeddingLSHStore,
+    incremental_embedding_neardup,
+)
 from deduce_ray.state.simhash_store import SimHashStore, incremental_neardup
 
 __all__ = [
     "DedupStore",
+    "EmbeddingLSHStore",
     "SimHashStore",
     "incremental_dedup",
+    "incremental_embedding_neardup",
     "incremental_neardup",
 ]

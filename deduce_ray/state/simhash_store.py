@@ -161,6 +161,13 @@ class SimHashStore(StoreBase):
         st["n_docs"] = st["n_rows"] // 4
         return st
 
+    def _band_pass(self, col: str, id_col: str):
+        """The (shard, bucket, id, sig) row generator — subclasses swap
+        the signature source (text SimHash here, embedding hyperplane
+        bits in :class:`~deduce_ray.state.embedding_store.EmbeddingLSHStore`)
+        while keeping the whole band/membership/commit machinery."""
+        return _band_pass(col, id_col, self.n_shards)
+
     def ingest(
         self,
         ds,
@@ -187,6 +194,26 @@ class SimHashStore(StoreBase):
         ``(survivors, commit)``: write the survivors to their destination
         first, then call ``commit()`` (see ``DedupStore.ingest``).
         """
+        return self._ingest_impl(
+            ds,
+            label,
+            text_col,
+            id_col,
+            loser_broadcast_max,
+            max_candidates_per_band,
+            defer_commit,
+        )
+
+    def _ingest_impl(
+        self,
+        ds,
+        label: str,
+        col: str,
+        id_col: str,
+        loser_broadcast_max: int,
+        max_candidates_per_band: int | None,
+        defer_commit: bool,
+    ):
         committed = self._check_label(label)
         # recompute a crashed attempt from scratch: its leftover files
         # may hold signatures of docs that a LATER committed ingest now
@@ -265,7 +292,7 @@ class SimHashStore(StoreBase):
             return pa.table({"rows": pa.array([n], type=pa.int64())})
 
         bands = ds.map_batches(
-            _band_pass(text_col, id_col, n_shards),
+            self._band_pass(col, id_col),
             batch_format="pyarrow",
             batch_size=65536,
             num_cpus=0.9,
