@@ -1709,30 +1709,42 @@ def simhash64(text: str) -> int:
     return _simhash_from_words(words)
 
 
+def sig_band_rows(
+    sigs: np.ndarray, n_shards: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized 4x16-bit band decomposition of 64-bit signatures — THE
+    single source of the recall-critical banding arithmetic (pigeonhole:
+    Hamming <= 3 pairs agree exactly on >= 1 band).  Returns band-major
+    ``(shard, bucket)`` int64 arrays of length ``4 * len(sigs)``; pair
+    them with ``np.tile(ids, 4)`` / ``np.tile(sigs, 4)``."""
+    s = np.asarray(sigs, dtype=np.uint64)
+    bands = np.arange(4, dtype=np.uint64)
+    chunks = (s[None, :] >> (bands[:, None] * np.uint64(16))) & np.uint64(0xFFFF)
+    bucket = (bands[:, None] * np.uint64(65536) + chunks).astype(np.int64)
+    return (bucket % n_shards).ravel(), bucket.ravel()
+
+
 def simhash_band_rows(
     ids, texts, n_shards: int
-) -> tuple[list, list, list, list]:
-    """(shard, bucket, id, sig) row lists for the 4x16-bit SimHash band
-    decomposition — the recall-critical banding, shared by
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(shard, bucket, id, sig) row arrays for the SimHash band
+    decomposition (:func:`sig_band_rows`) — shared by
     :func:`simhash_pairs` and the incremental SimHash store
     (:mod:`deduce_ray.state.simhash_store`) so the two can never drift.
     Word-less documents are skipped: they all hash to 0 and would form
     one bogus hamming-0 mega-bucket."""
     from deduce_ray.ops.textstats import split_words
 
-    out_shard, out_bucket, out_id, out_sig = [], [], [], []
+    kept_ids, kept_sigs = [], []
     for i, t in zip(ids, texts):
         words = split_words(t or "")
-        if not words:
-            continue
-        h = _simhash_from_words(words)
-        for band in range(4):
-            bucket = band * 65536 + ((h >> (band * 16)) & 0xFFFF)
-            out_shard.append(bucket % n_shards)
-            out_bucket.append(bucket)
-            out_id.append(i)
-            out_sig.append(h)
-    return out_shard, out_bucket, out_id, out_sig
+        if words:
+            kept_ids.append(i)
+            kept_sigs.append(_simhash_from_words(words))
+    ids_arr = np.asarray(kept_ids, dtype=np.int64)
+    sigs_arr = np.asarray(kept_sigs, dtype=np.uint64)
+    shard, bucket = sig_band_rows(sigs_arr, n_shards)
+    return shard, bucket, np.tile(ids_arr, 4), np.tile(sigs_arr, 4)
 
 
 def simhash_pairs(

@@ -34,47 +34,41 @@ from deduce_ray.state.simhash_store import SimHashStore
 import os
 
 
-def _embedding_band_pass(vec_col: str, id_col: str, n_shards: int, dim: int):
+def _embedding_band_pass(
+    vec_col: str, id_col: str, n_shards: int, dim: int, planes: np.ndarray
+):
+    # ``planes`` is the PERSISTED (dim, 64) matrix from the store dir —
+    # captured in the closure, so the ~8 KB ships once with the task
     def bands(batch: pa.Table) -> pa.Table:
-        from deduce_ray.ops.dedup import _lsh_planes, _vec_matrix
+        from deduce_ray.ops.dedup import _vec_matrix, sig_band_rows
 
         mat = _vec_matrix(batch.column(vec_col))
-        if mat.shape[0] and mat.shape[1] != dim:
-            raise ValueError(
-                f"embedding dim {mat.shape[1]} != store dim {dim}"
-            )
+        if mat.shape[0]:
+            if mat.ndim != 2:
+                raise ValueError(
+                    f"embedding column {vec_col!r} has null or ragged "
+                    "rows — the store indexes fixed-dim vectors only"
+                )
+            if mat.shape[1] != dim:
+                raise ValueError(
+                    f"embedding dim {mat.shape[1]} != store dim {dim}"
+                )
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         norms = np.linalg.norm(mat, axis=1) if mat.shape[0] else np.empty(0)
         keep = norms > 0  # zero vectors: like word-less docs, never indexed
-        mat, ids = mat[keep], ids[keep]
-        out_shard, out_bucket, out_id, out_sig = [], [], [], []
+        mat, ids = mat[keep], ids[keep].astype(np.int64)
         if len(ids):
-            planes = _lsh_planes(dim, 64, 1)[0]  # (dim, 64), seeded
             bits = (mat @ planes) > 0  # (n, 64)
             sigs = np.packbits(bits, axis=1).view(">u8").ravel().astype(np.uint64)
-            for band in range(4):
-                chunk = (sigs >> np.uint64(band * 16)) & np.uint64(0xFFFF)
-                bucket = (band * 65536 + chunk.astype(np.int64)).astype(np.int64)
-                out_shard.append(bucket % n_shards)
-                out_bucket.append(bucket)
-                out_id.append(ids.astype(np.int64))
-                out_sig.append(sigs)
-        if out_shard:
-            shard = np.concatenate(out_shard)
-            bucket = np.concatenate(out_bucket)
-            rid = np.concatenate(out_id)
-            sig = np.concatenate(out_sig)
         else:
-            shard = np.empty(0, dtype=np.int64)
-            bucket = np.empty(0, dtype=np.int64)
-            rid = np.empty(0, dtype=np.int64)
-            sig = np.empty(0, dtype=np.uint64)
+            sigs = np.empty(0, dtype=np.uint64)
+        shard, bucket = sig_band_rows(sigs, n_shards)
         return pa.table(
             {
                 "__shard": pa.array(shard.astype(np.int32)),
                 "bucket": pa.array(bucket.astype(np.int32)),
-                id_col: pa.array(rid),
-                "sig": pa.array(sig),
+                id_col: pa.array(np.tile(ids, 4)),
+                "sig": pa.array(np.tile(sigs, 4)),
             }
         )
 
@@ -86,6 +80,8 @@ class EmbeddingLSHStore(SimHashStore):
     (pass ``text_col`` as the embedding list<float> column name)."""
 
     KIND = "embedding_lsh"
+
+    PLANES_FILE = "_planes.npy"
 
     @classmethod
     def create(
@@ -99,14 +95,32 @@ class EmbeddingLSHStore(SimHashStore):
             raise ValueError("dim must be >= 1")
         if not 0 <= max_hamming <= 3:
             raise ValueError("max_hamming must be in [0, 3]")
-        return cls._create(
+        store = cls._create(
             store_dir,
             {"n_shards": n_shards, "max_hamming": max_hamming, "dim": dim},
+        )
+        # PERSIST the hyperplanes: NumPy does not guarantee Generator
+        # streams across versions (NEP 19), so regenerating them per run
+        # could silently change every signature and collapse recall to
+        # ~0 against the stored ones.  ~8 KB, written once, atomic.
+        from deduce_ray.ops.dedup import _lsh_planes
+
+        planes = np.ascontiguousarray(_lsh_planes(dim, 64, 1)[0])
+        path = os.path.join(store_dir, cls.PLANES_FILE)
+        tmp = path + f".tmp-{os.getpid()}"
+        np.save(tmp, planes, allow_pickle=False)
+        os.replace(tmp + ".npy", path)
+        return store
+
+    def planes(self) -> np.ndarray:
+        return np.load(
+            os.path.join(self.store_dir, self.PLANES_FILE),
+            allow_pickle=False,
         )
 
     def _band_pass(self, col: str, id_col: str):
         return _embedding_band_pass(
-            col, id_col, self.n_shards, int(self.meta["dim"])
+            col, id_col, self.n_shards, int(self.meta["dim"]), self.planes()
         )
 
     def ingest(
@@ -145,6 +159,7 @@ def incremental_embedding_neardup(
     n_shards: int = 64,
     max_hamming: int = 3,
     loser_broadcast_max: int = 50_000_000,
+    max_candidates_per_band: int | None = None,
     defer_commit: bool = False,
 ):
     """Convenience wrapper mirroring :func:`incremental_neardup` for the
@@ -161,5 +176,6 @@ def incremental_embedding_neardup(
         text_col=vec_col,
         id_col=id_col,
         loser_broadcast_max=loser_broadcast_max,
+        max_candidates_per_band=max_candidates_per_band,
         defer_commit=defer_commit,
     )

@@ -193,27 +193,11 @@ class SimHashStore(StoreBase):
         recall, not precision, degrades.  ``defer_commit=True`` returns
         ``(survivors, commit)``: write the survivors to their destination
         first, then call ``commit()`` (see ``DedupStore.ingest``).
-        """
-        return self._ingest_impl(
-            ds,
-            label,
-            text_col,
-            id_col,
-            loser_broadcast_max,
-            max_candidates_per_band,
-            defer_commit,
-        )
 
-    def _ingest_impl(
-        self,
-        ds,
-        label: str,
-        col: str,
-        id_col: str,
-        loser_broadcast_max: int,
-        max_candidates_per_band: int | None,
-        defer_commit: bool,
-    ):
+        Subclasses reinterpret ``text_col`` as their signature-source
+        column (the embedding store passes its vector column) and swap
+        :meth:`_band_pass`; everything below is shared.
+        """
         committed = self._check_label(label)
         # recompute a crashed attempt from scratch: its leftover files
         # may hold signatures of docs that a LATER committed ingest now
@@ -224,7 +208,7 @@ class SimHashStore(StoreBase):
 
         from deduce_ray.ops.dedup import _chunked_id_refs, _drop_ids
 
-        store_dir, n_shards = self.store_dir, self.n_shards
+        store_dir = self.store_dir
         max_hamming = int(self.meta["max_hamming"])
         label_file = f"{label}.parquet"
 
@@ -292,7 +276,7 @@ class SimHashStore(StoreBase):
             return pa.table({"rows": pa.array([n], type=pa.int64())})
 
         bands = ds.map_batches(
-            self._band_pass(col, id_col),
+            self._band_pass(text_col, id_col),
             batch_format="pyarrow",
             batch_size=65536,
             num_cpus=0.9,

@@ -88,6 +88,27 @@ class TestEmbeddingLSHStore:
         with pytest.raises(ValueError, match="kind"):
             SimHashStore.open(str(tmp_path / "s"))
 
+    def test_planes_persisted_not_regenerated(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        """Signatures must come from the PERSISTED hyperplanes (NumPy
+        Generator streams are not stable across versions): after
+        creation, ingest must work even if the plane factory is gone."""
+        from deduce_ray.ops.dedup import _lsh_planes
+
+        store = EmbeddingLSHStore.create(str(tmp_path / "s"), dim=DIM, n_shards=2)
+        assert np.array_equal(store.planes(), _lsh_planes(DIM, 64, 1)[0])
+
+        import deduce_ray.ops.dedup as dedup_mod
+
+        def boom(*a, **k):
+            raise AssertionError("planes must load from the store dir")
+
+        monkeypatch.setattr(dedup_mod, "_lsh_planes", boom)
+        v = np.random.default_rng(5).standard_normal(DIM)
+        assert _ids(store.ingest(_corpus([(1, v)]), "b1")) == [1]
+        assert _ids(store.ingest(_corpus([(2, v)]), "b2")) == []
+
     def test_wrapper(self, ray_session, tmp_path):
         rng = np.random.default_rng(3)
         a, b = rng.standard_normal(DIM), rng.standard_normal(DIM)
