@@ -336,3 +336,34 @@ def test_doc_bucket_total_and_deterministic(doc_id, n):
     b = _doc_bucket(doc_id, n)
     assert 0 <= b < n
     assert b == _doc_bucket(doc_id, n)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(0, 2**64 - 1),
+    st.lists(st.integers(0, 63), min_size=0, max_size=3, unique=True),
+    st.integers(2, 512),
+)
+def test_sig_band_rows_pigeonhole_recall(sig, flip_bits, n_shards):
+    """The 4x16 band decomposition's recall guarantee: two 64-bit
+    signatures within Hamming distance 3 MUST share at least one
+    (bucket, shard) band row — the invariant both simhash_pairs and the
+    incremental stores rely on for candidate generation."""
+    import numpy as np
+
+    from deduce_ray.ops.dedup import sig_band_rows
+
+    other = sig
+    for b in flip_bits:
+        other ^= 1 << b
+    s1 = np.array([sig], dtype=np.uint64)
+    s2 = np.array([other], dtype=np.uint64)
+    shard1, bucket1 = sig_band_rows(s1, n_shards)
+    shard2, bucket2 = sig_band_rows(s2, n_shards)
+    assert len(bucket1) == len(bucket2) == 4
+    shared = set(zip(shard1.tolist(), bucket1.tolist())) & set(
+        zip(shard2.tolist(), bucket2.tolist())
+    )
+    assert shared, "hamming<=3 pair lost by the banding"
+    # and shards are consistent with buckets
+    assert (shard1 == bucket1 % n_shards).all()
