@@ -23,4 +23,29 @@ eng = DeduceEngine()
 import time; t0=time.time()
 doc = eng.deidentify("gezien door F. " + "Jansen " * 2500)
 print(f"long-chain: {len(doc.annotations)} annotations in {time.time()-t0:.1f}s, no recursion error", flush=True)
+
+# data-prep funnel + incremental stores: two overlapping mini-ingests
+import shutil, tempfile
+from deduce_ray.ops.funnel import prep_corpus
+from deduce_ray.state import incremental_dedup, incremental_neardup
+work = tempfile.mkdtemp(prefix="drive_smoke_state_")
+long1 = " ".join(f"woord{i}" for i in range(60))
+long2 = " ".join(f"ander{i}" for i in range(60))
+b1 = ray.data.from_items([{"doc_id": 1, "text": long1}, {"doc_id": 2, "text": long2}])
+from deduce_ray.ops.dedup import simhash64
+near2 = next(  # deterministic suffix within 3 signature bits of long2
+    c for c in (f"{long2} tail{i}" for i in range(500))
+    if bin(simhash64(long2) ^ simhash64(c)).count("1") <= 3
+)
+b2 = ray.data.from_items([
+    {"doc_id": 10, "text": long1},   # exact repeat -> exact store drops
+    {"doc_id": 11, "text": near2},   # near repeat -> simhash store drops
+    {"doc_id": 12, "text": " ".join(f"vers{i}" for i in range(60))},
+])
+for label, batch in (("b1", b1), ("b2", b2)):
+    out = prep_corpus(batch, min_chars=10, minhash_threshold=None)
+    out = incremental_dedup(out, f"{work}/exact", label)
+    out = incremental_neardup(out, f"{work}/near", label)
+    print(f"prep+stores {label}: survivors {sorted(r['doc_id'] for r in out.take_all())}", flush=True)
+shutil.rmtree(work, ignore_errors=True)
 ray.shutdown()
