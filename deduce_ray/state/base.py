@@ -103,12 +103,25 @@ class StoreBase:
             if name.endswith(".json")
         )
 
-    def _commit(self, label: str) -> None:
+    def ingest_info(self, label: str) -> dict:
+        """The commit manifest of one completed ingest (label, kind,
+        and operational counters like ``n_dropped``)."""
+        with open(
+            os.path.join(self.store_dir, INGESTS_DIR, f"{label}.json")
+        ) as f:
+            return json.load(f)
+
+    def _commit(self, label: str, extra: dict | None = None) -> None:
         d = os.path.join(self.store_dir, INGESTS_DIR)
         os.makedirs(d, exist_ok=True)
         atomic_write_json(
             os.path.join(d, f"{label}.json"),
-            {"label": label, "version": VERSION, "kind": self.KIND},
+            {
+                "label": label,
+                "version": VERSION,
+                "kind": self.KIND,
+                **(extra or {}),
+            },
         )
 
     def _check_label(self, label: str) -> frozenset[str]:

@@ -255,10 +255,15 @@ class DedupStore(StoreBase):
         # pulling the loser chunks FORCES the groupby, so every shard file
         # is on disk before the manifest commits
         refs = _chunked_id_refs(losers, id_col, loser_broadcast_max)
+        import ray
+
+        # zero-copy plasma reads; records the drop count in the manifest
+        n_dropped = sum(len(ray.get(r)) for r in refs)
         survivors = _drop_ids(ds, refs, id_col) if refs else ds
+        commit = lambda: self._commit(label, {"n_dropped": n_dropped})
         if defer_commit:
-            return survivors, lambda: self._commit(label)
-        self._commit(label)
+            return survivors, commit
+        commit()
         return survivors
 
     def compact(self) -> None:

@@ -124,6 +124,15 @@ class TestDedupStore:
         with pytest.raises(FileNotFoundError):
             DedupStore.open(str(tmp_path / "missing"))
 
+    def test_manifest_records_drop_count(self, ray_session, tmp_path):
+        store = DedupStore.create(str(tmp_path / "s"), n_shards=4)
+        store.ingest(_corpus([(1, "aa"), (2, "aa"), (3, "bb")]), "b1").materialize()
+        info = store.ingest_info("b1")
+        assert info["label"] == "b1" and info["kind"] == "exact"
+        assert info["n_dropped"] == 1  # the within-ingest dup
+        store.ingest(_corpus([(9, "aa"), (10, "cc")]), "b2").materialize()
+        assert store.ingest_info("b2")["n_dropped"] == 1  # the seen "aa"
+
     def test_incremental_dedup_wrapper_creates_store(self, ray_session, tmp_path):
         path = str(tmp_path / "auto")
         out = incremental_dedup(_corpus([(1, "aa"), (2, "aa")]), path, "b1")
