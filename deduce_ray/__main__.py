@@ -317,11 +317,21 @@ def cmd_dedup_state(args) -> int:
 
     with open(os.path.join(args.state_dir, META_FILE)) as f:
         kind = json.load(f).get("kind", DedupStore.KIND)
-    cls = SimHashStore if kind == SimHashStore.KIND else DedupStore
+    from deduce_ray.state import EmbeddingLSHStore
+
+    cls = {
+        SimHashStore.KIND: SimHashStore,
+        EmbeddingLSHStore.KIND: EmbeddingLSHStore,
+    }.get(kind, DedupStore)
     store = cls.open(args.state_dir)
     if args.compact:
         store.compact()
-    print(json.dumps(store.stats()))
+    st = store.stats()
+    # per-ingest counters (bounded: manifests are one tiny json each)
+    st["ingest_details"] = {
+        label: store.ingest_info(label) for label in st["ingests"][:100]
+    }
+    print(json.dumps(st))
     return 0
 
 
