@@ -222,6 +222,37 @@ def _q_doc_sample(sf_dir: str):
     )
 
 
+_MIX_BUDGETS = {"en": 6000, "de": 2000, "es": 4500}
+
+
+def _q_corpus_mix(sf_dir: str):
+    """Corpus mixing: cut each language to a token budget along the
+    deterministic md5(doc_id) order (en/de budgets bisect their groups,
+    es exceeds its total -> include-all path, fr/zh unlisted -> dropped).
+    Value-checked against a DuckDB window-function cumulative sum."""
+    from deduce_ray.ops.mixing import sample_to_token_budget
+    from deduce_ray.ops.textstats import token_count_batch
+
+    ds = read_parquet_sliced(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    picked = sample_to_token_budget(ds, _MIX_BUDGETS, group_col="lang")
+
+    def project(batch):
+        import pyarrow as pa
+
+        counted = token_count_batch(batch)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "n_ws_tokens": counted.column("n_ws_tokens"),
+            }
+        )
+
+    return picked.map_batches(project, batch_format="pyarrow")
+
+
 def _q_events_user_sketch(sf_dir: str):
     """HyperLogLog distinct users per event type — approximate (sketch),
     so no exact SQL oracle; accuracy is unit-tested against exact counts
@@ -609,6 +640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": _q_doc_langid,
         "top_terms": _q_top_terms,
         "doc_sample": _q_doc_sample,
+        "corpus_mix": _q_corpus_mix,
         # --- dedup family (value-checked) ---
         "exact_dedup": _q_exact_dedup,
         "dedup_survivors": _q_dedup_survivors,
@@ -643,9 +675,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ================= rows-only queries below this line ===============
         # --- KG construction pipeline, full rule engine (lexicon tries,
         # context fixpoints, fuzzy matching: not SQL-expressible; the same
-        # machinery is value-checked by the *_sqlpreds family above) ---
+        # machinery is value-checked by the *_sqlpreds family above).
+        # ``kg_graph`` (rows-only) was retired for the oracled
+        # ``corpus_mix``: its dedup/groupby machinery is value-checked by
+        # kg_graph_sqlpreds and its full-engine inputs by kg_triples,
+        # which stays registered. ---
         "kg_triples": _q_kg_triples,
-        "kg_graph": _q_kg_graph,
         "kg_entities": _q_kg_entities,
         # --- sketches ---
         "events_user_sketch": _q_events_user_sketch,
@@ -717,6 +752,26 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": """
             SELECT doc_id FROM documents
             WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        """,
+        "corpus_mix": f"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     CAST(length(regexp_extract_all(coalesce(text, ''),
+                          '{words}')) AS BIGINT) AS n_ws_tokens,
+                     md5(CAST(doc_id AS VARCHAR)) AS h
+              FROM documents
+            ), c AS (
+              SELECT doc_id, lang, n_ws_tokens,
+                     SUM(n_ws_tokens) OVER (
+                       PARTITION BY lang ORDER BY h, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t
+            )
+            SELECT doc_id, lang, n_ws_tokens FROM c
+            WHERE {" OR ".join(
+                f"(lang = '{g}' AND cum <= {b})"
+                for g, b in sorted(_MIX_BUDGETS.items())
+            )}
         """,
         "minhash_pairs_exact": oracles.jaccard_pairs_sql(),
         "minhash_clusters": oracles.neardup_clusters_sql(),
