@@ -76,10 +76,14 @@ def sample_to_token_budget(
             slot[0] += len(split_words(t or ""))
             slot[1] += 1
         keys = sorted(agg)
+        # explicit types: an all-unbudgeted batch must emit string, not
+        # null, or block schemas diverge across the groupby
         return pa.table(
             {
-                "__gb": pa.array([f"{g}\x00{b}" for g, b in keys]),
-                "grp": pa.array([g for g, _ in keys]),
+                "__gb": pa.array(
+                    [f"{g}\x00{b}" for g, b in keys], type=pa.string()
+                ),
+                "grp": pa.array([g for g, _ in keys], type=pa.string()),
                 "bucket": pa.array([b for _, b in keys], type=pa.int64()),
                 "tokens": pa.array([agg[k][0] for k in keys], type=pa.int64()),
                 "docs": pa.array([agg[k][1] for k in keys], type=pa.int64()),
@@ -172,7 +176,11 @@ def sample_to_token_budget(
                 {
                     "grp": pa.array(out["grp"], type=pa.string()),
                     "h": pa.array(out["h"], type=pa.string()),
-                    id_col: pa.array(out[id_col]),
+                    # type from the source column: an all-miss batch must
+                    # not emit a null-typed id column
+                    id_col: pa.array(
+                        out[id_col], type=batch.schema.field(id_col).type
+                    ),
                     "tokens": pa.array(out["tokens"], type=pa.int64()),
                 }
             )

@@ -17,6 +17,10 @@ def _corpus(rows):
 
 
 def _brute(rows, budgets):
+    # the PRODUCT's word class, not str.split(): they differ on non-ASCII
+    # whitespace, and the brute force must encode the same rule
+    from deduce_ray.ops.textstats import split_words
+
     picked = []
     for g in {r[2] for r in rows}:
         if g not in budgets:
@@ -27,7 +31,7 @@ def _brute(rows, budgets):
         )
         cum = 0
         for i, t, _ in grp:
-            n = len((t or "").split())
+            n = len(split_words(t or ""))
             if cum + n > budgets[g]:
                 break
             cum += n
