@@ -224,6 +224,35 @@ def _q_doc_sample(sf_dir: str):
 
 _MIX_BUDGETS = {"en": 6000, "de": 2000, "es": 4500}
 
+_DECON_N = 4  # sf0.01's synthetic docs share real 4-grams across docs
+# (13-gram overlap only exists between exact duplicates there); the
+# library default stays the published 13
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: ids of documents sharing any word
+    4-gram with the seed set (doc_id % 97 == 0 — a stand-in benchmark
+    drawn from the corpus itself so the oracle can reproduce it).
+    Value-checked against a DuckDB n-gram equality join."""
+    import numpy as np
+    import pyarrow as pa
+
+    from deduce_ray.ops.decontaminate import benchmark_grams, contaminated_ids
+
+    ds = read_parquet_sliced(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def seed_rows(batch):
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(np.mod(ids, 97) == 0))
+
+    # the benchmark side is small by construction; collecting it to the
+    # driver is the broadcast pattern, not a corpus materialization
+    seeds = ds.map_batches(seed_rows, batch_format="pyarrow").take_all()
+    grams = benchmark_grams((r["text"] for r in seeds), n=_DECON_N)
+    return contaminated_ids(ds, grams, n=_DECON_N)
+
 
 def _q_corpus_mix(sf_dir: str):
     """Corpus mixing: cut each language to a token budget along the
@@ -641,6 +670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms": _q_top_terms,
         "doc_sample": _q_doc_sample,
         "corpus_mix": _q_corpus_mix,
+        "decontaminate": _q_decontaminate,
         # --- dedup family (value-checked) ---
         "exact_dedup": _q_exact_dedup,
         "dedup_survivors": _q_dedup_survivors,
@@ -679,9 +709,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ``kg_graph`` (rows-only) was retired for the oracled
         # ``corpus_mix``: its dedup/groupby machinery is value-checked by
         # kg_graph_sqlpreds and its full-engine inputs by kg_triples,
-        # which stays registered. ---
+        # which stays registered.  ``kg_entities`` (rows-only) was then
+        # retired for the oracled ``decontaminate``: its distributed path
+        # is value-checked end-to-end by kg_entities_sqlpreds AND
+        # kg_entities_canonical_sqlpreds, and the full-lexicon run stays
+        # covered by tests/test_ray_pipeline.py. ---
         "kg_triples": _q_kg_triples,
-        "kg_entities": _q_kg_entities,
         # --- sketches ---
         "events_user_sketch": _q_events_user_sketch,
         # --- multimodal plumbing ---
@@ -752,6 +785,23 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": """
             SELECT doc_id FROM documents
             WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        """,
+        "decontaminate": f"""
+            WITH norm AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''), '{words}') AS w
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                     array_to_string(w[i:i+{_DECON_N - 1}], ' ') AS g
+              FROM norm, UNNEST(generate_series(1, len(w) - {_DECON_N - 1}))
+                   AS t(i)
+              WHERE len(w) >= {_DECON_N}
+            ), seed_grams AS (
+              SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+            )
+            SELECT DISTINCT grams.doc_id
+            FROM grams JOIN seed_grams USING (g)
         """,
         "corpus_mix": f"""
             WITH t AS (

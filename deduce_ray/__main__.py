@@ -256,6 +256,15 @@ def cmd_prep(args) -> int:
         max_digit_ppm=args.max_digit_ppm,
         minhash_threshold=threshold,
     )
+    if args.decontaminate:
+        # benchmark file: one document per line; the small side of the
+        # broadcast, read on the driver by design
+        from deduce_ray.ops.decontaminate import benchmark_grams, decontaminate
+
+        with open(args.decontaminate, encoding="utf-8") as f:
+            grams = benchmark_grams(f, n=args.decontaminate_n)
+        out = decontaminate(out, grams, n=args.decontaminate_n, text_col=text_col)
+
     # store commits are DEFERRED until the survivors are safely written:
     # a crash anywhere before write_parquet completes leaves every store
     # label uncommitted (resumable with the same label), never a
@@ -489,6 +498,18 @@ def main() -> int:
         help="shard count if --state-dir creates a new store (fixed for "
         "its lifetime; size for the TARGET corpus: one membership task "
         "holds total_hashes*16/K bytes)",
+    )
+    p.add_argument(
+        "--decontaminate",
+        help="benchmark file (one document per line): drop documents "
+        "sharing any word n-gram with it (runs after the funnel, before "
+        "the state stores)",
+    )
+    p.add_argument(
+        "--decontaminate-n",
+        type=int,
+        default=13,
+        help="n-gram length for --decontaminate (default 13)",
     )
     p.add_argument(
         "--neardup-state-dir",
