@@ -265,11 +265,11 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     extras["kg_docs_per_sec"] = head["docs_per_sec"]
 
     queries = entry.queries()
-    # kg_graph was retired from the 50-query registry (corpus_mix took
-    # its slot) but stays the bench headline for cross-round comparison —
-    # call its implementation directly
+    # kg_graph and kg_entities were retired from the 50-query registry
+    # (corpus_mix / decontaminate took their slots) but stay bench lines
+    # for cross-round comparison — call the implementations directly
     timed("kg_graph", lambda: entry._q_kg_graph(sf_dir))
-    timed("kg_entities", lambda: queries["kg_entities"](sf_dir))
+    timed("kg_entities", lambda: entry._q_kg_entities(sf_dir))
     timed("pricing_summary", lambda: queries["pricing_summary"](sf_dir))
     timed("top_customers", lambda: queries["top_customers"](sf_dir))
     timed("exact_dedup", lambda: queries["exact_dedup"](sf_dir))

@@ -106,3 +106,20 @@ def test_entry_runs(ray_session, entrymod):
     result = entrymod.entry()
     assert result.count() > 0
     assert "doc_id" in result.columns()
+
+
+def test_bench_references_resolve(entrymod):
+    """Every ``queries["name"]`` subscript and every ``entry._q_*`` direct
+    call in bench.py must resolve — a registry reshuffle (the 50-cap
+    retires rows-only entries when a new oracled query lands) must not be
+    able to crash the benchmark at driver time (regression: kg_entities
+    was retired by the decontaminate query and bench.py kept subscripting
+    the registry)."""
+    import re
+
+    src = open(os.path.join(os.path.dirname(__file__), "..", "bench.py")).read()
+    qs = entrymod.queries()
+    for name in set(re.findall(r'queries\["([a-z_]+)"\]', src)):
+        assert name in qs, f"bench.py subscripts retired query {name!r}"
+    for attr in set(re.findall(r"entry\.(_q_[a-z_]+)", src)):
+        assert hasattr(entrymod, attr), f"bench.py calls missing {attr}"
