@@ -299,6 +299,21 @@ def _q_events_user_sketch(sf_dir: str):
     )
 
 
+def _q_dup_spans(sf_dir: str):
+    """Cross-document duplicated 13-gram spans (substring-level dedup,
+    Lee et al. 2021): one row per maximal word interval shared verbatim
+    by >= 2 documents.  Value-checked against a DuckDB n-gram
+    equality-join + gaps-and-islands oracle."""
+    from deduce_ray.ops.substring import duplicated_ngram_spans
+
+    return duplicated_ngram_spans(
+        read_parquet_sliced(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        n=13,
+    )
+
+
 def _q_exact_dedup(sf_dir: str):
     import ray.data
 
@@ -673,6 +688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _q_decontaminate,
         # --- dedup family (value-checked) ---
         "exact_dedup": _q_exact_dedup,
+        "dup_spans": _q_dup_spans,
         "dedup_survivors": _q_dedup_survivors,
         "docs_not_blocklisted": _q_docs_not_blocklisted,
         "minhash_pairs_exact": _q_minhash_pairs_exact,
@@ -717,9 +733,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _q_kg_triples,
         # --- sketches ---
         "events_user_sketch": _q_events_user_sketch,
-        # --- multimodal plumbing ---
+        # --- multimodal plumbing (``media_resized`` was retired for the
+        # oracled ``dup_spans``: the resize stage stays covered by
+        # tests/test_ray_pipeline.py and the decode machinery by the
+        # registered media_features) ---
         "media_features": _q_media_features,
-        "media_resized": _q_media_resized,
     }
 
 
@@ -824,6 +842,7 @@ def oracle_sql() -> dict[str, str]:
             )}
         """,
         "minhash_pairs_exact": oracles.jaccard_pairs_sql(),
+        "dup_spans": oracles.dup_spans_sql(),
         "minhash_clusters": oracles.neardup_clusters_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),
         "kg_emails": _mention_oracle(_EMAIL_RE_SQL),

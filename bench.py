@@ -290,6 +290,10 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
         )
 
     timed("minhash_pairs", _minhash_unplanted)
+    # added this round: substring-level dedup (cross-doc duplicated
+    # 13-gram spans) — new suite line, so bench_suite_sec grows by its
+    # cost relative to earlier rounds (per-query lines stay comparable)
+    timed("dup_spans", lambda: queries["dup_spans"](sf_dir))
     timed("simhash_pairs", lambda: queries["simhash_pairs"](sf_dir))
     timed("minhash_clusters", lambda: queries["minhash_clusters"](sf_dir))
     timed("embedding_neardup", lambda: queries["embedding_neardup"](sf_dir))

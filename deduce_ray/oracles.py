@@ -525,3 +525,44 @@ def minhash_planted_pairs_sql(
           AND len(regexp_extract_all(coalesce(text, ''),
                   '{WORD_CLASS_SQL}')) > 0
     """
+
+
+def dup_spans_sql(n: int = 13, min_docs: int = 2) -> str:
+    """Oracle for cross-document duplicated n-gram spans
+    (:func:`deduce_ray.ops.substring.duplicated_ngram_spans`): unnest
+    every n-word window, keep windows whose exact word sequence occurs
+    in >= ``min_docs`` distinct documents, and merge chained windows
+    (starts <= n apart) into maximal intervals with the classic
+    gaps-and-islands window pattern."""
+    return f"""
+        WITH words AS (
+          SELECT doc_id,
+                 regexp_extract_all(coalesce(text, ''),
+                                    '{WORD_CLASS_SQL}') AS w
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, pos, array_to_string(w[pos+1:pos+{n}], ' ') AS g
+          FROM (SELECT doc_id, w, unnest(range(len(w)-{n}+1)) AS pos
+                FROM words WHERE len(w) >= {n})
+        ),
+        dup AS (
+          SELECT g FROM grams GROUP BY g
+          HAVING count(DISTINCT doc_id) >= {min_docs}
+        ),
+        hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+        islands AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                ORDER BY pos) <= {n}
+                      THEN 0 ELSE 1 END AS brk
+          FROM hits
+        ),
+        grp AS (
+          SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+          FROM islands
+        )
+        SELECT doc_id, min(pos) AS start_word, max(pos) + {n} AS end_word
+        FROM grp GROUP BY doc_id, gid
+    """
