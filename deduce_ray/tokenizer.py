@@ -104,12 +104,14 @@ class TokenList:
         """utf-8 token texts, computed once and shared by all lexicon
         probes over this document."""
         if self._encoded is None:
-            self._encoded = [t.encode("utf-8") for t in self.texts()]
+            # bare encode() defaults to utf-8 without the per-call codec
+            # argument lookup; map() keeps the loop in C
+            self._encoded = list(map(str.encode, self.texts()))
         return self._encoded
 
     def encoded_lower(self) -> list[bytes]:
         if self._encoded_lower is None:
-            self._encoded_lower = [t.lower().encode("utf-8") for t in self.texts()]
+            self._encoded_lower = [t.lower().encode() for t in self.texts()]
         return self._encoded_lower
 
     def _word_index(self, pipeline_key: tuple, pipeline: Sequence) -> dict:
@@ -251,21 +253,34 @@ class WordTokenizer:
             self._merge_trie = trie
 
     def tokenize(self, text: str) -> TokenList:
-        raw: list[Token] = [
-            Token(m.group(0), m.start(), m.end()) for m in TOKEN_RE.finditer(text)
-        ]
+        # one pass builds tokens AND their text list (the text list would
+        # otherwise be rebuilt by _merge and again by TokenList.texts();
+        # m.span() + a slice is one C call cheaper than group/start/end)
+        raw: list[Token] = []
+        texts: list[str] = []
+        t_append = raw.append
+        x_append = texts.append
+        for m in TOKEN_RE.finditer(text):
+            s, e = m.span()
+            t = text[s:e]
+            x_append(t)
+            t_append(Token(t, s, e))
 
         if self._merge_trie is not None and raw:
-            raw = self._merge(text, raw)
+            raw, texts = self._merge(text, raw, texts)
 
         for i, tok in enumerate(raw):
             tok._tokens = raw
             tok._i = i
-        return TokenList(raw)
+        tlist = TokenList(raw)
+        tlist._texts = texts
+        return tlist
 
-    def _merge(self, text: str, tokens: list[Token]) -> list[Token]:
-        texts = [t.text for t in tokens]
+    def _merge(
+        self, text: str, tokens: list[Token], texts: list[str]
+    ) -> tuple[list[Token], list[str]]:
         out: list[Token] = []
+        out_texts: list[str] = []
         i = 0
         n = len(tokens)
         start_words = self._merge_start_words
@@ -273,20 +288,20 @@ class WordTokenizer:
         while i < n:
             if texts[i] not in start_words:
                 out.append(tokens[i])
+                out_texts.append(texts[i])
                 i += 1
                 continue
             span = trie.longest_matching_prefix(texts, start_i=i)
             if span <= 1:
                 out.append(tokens[i])
+                out_texts.append(texts[i])
                 i += 1
             else:
                 first, last = tokens[i], tokens[i + span - 1]
+                merged = text[first.start_char : last.end_char]
                 out.append(
-                    Token(
-                        text[first.start_char : last.end_char],
-                        first.start_char,
-                        last.end_char,
-                    )
+                    Token(merged, first.start_char, last.end_char)
                 )
+                out_texts.append(merged)
                 i += span
-        return out
+        return out, out_texts
