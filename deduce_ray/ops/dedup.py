@@ -122,29 +122,40 @@ def _word_hashes(words: list[str]) -> np.ndarray:
     return out
 
 
+def gram_hash_array(words: list[str], n: int) -> np.ndarray:
+    """uint64 hash of each n-gram window of ``words`` (index = start
+    position; empty when fewer than ``n`` words).  Word hashes are
+    memoized md5; a window hash is the vectorized polynomial combine
+    sum_j h[i+j] * P^(n-1-j) mod 2^64 — order-sensitive and
+    deterministic, with no per-window digest calls.  The single
+    positional core shared by the MinHash shingle stage and substring
+    dedup (:mod:`deduce_ray.ops.substring`) so the two families can
+    never drift."""
+    m = len(words)
+    if m < n:
+        return np.empty(0, dtype=np.uint64)
+    h = _word_hashes(words)
+    with np.errstate(over="ignore"):
+        acc = h[: m - n + 1].copy()
+        for j in range(1, n):
+            acc *= _SHINGLE_P
+            acc += h[j : m - n + 1 + j]
+    return acc
+
+
 def word_shingles(text: str, k: int = 3) -> np.ndarray:
     """Distinct 64-bit hashes of word k-shingles (sorted uint64 array).
 
-    Word hashes are memoized md5; a shingle hash is the vectorized
-    polynomial combine sum_j h[i+j] * P^(k-1-j) mod 2^64 — order-sensitive
-    and deterministic, with no per-shingle digest calls.  Words come from
-    the shared explicit-class splitter so the SQL oracles match exactly.
+    Windows shorter than ``k`` fall back to one whole-text shingle.
+    Words come from the shared explicit-class splitter so the SQL
+    oracles match exactly.
     """
     from deduce_ray.ops.textstats import split_words
 
     words = split_words(text)
     if not words:
         return np.empty(0, dtype=np.uint64)
-    h = _word_hashes(words)
-    n = len(words)
-    if n < k:
-        k = n
-    with np.errstate(over="ignore"):
-        acc = h[: n - k + 1].copy()
-        for j in range(1, k):
-            acc *= _SHINGLE_P
-            acc += h[j : n - k + 1 + j]
-    return np.unique(acc)
+    return np.unique(gram_hash_array(words, min(k, len(words))))
 
 
 def _minhash_params(n_perm: int) -> tuple[np.ndarray, np.ndarray]:

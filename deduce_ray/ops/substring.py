@@ -46,23 +46,9 @@ import pandas as pd
 import pyarrow as pa
 
 
-def gram_hash_array(words: list[str], n: int) -> np.ndarray:
-    """uint64 hash of each n-gram window of ``words`` (index = start
-    position).  Same polynomial combine as
-    :func:`deduce_ray.ops.dedup.word_shingles`, but positional: no
-    dedup, no sort."""
-    from deduce_ray.ops.dedup import _SHINGLE_P, _word_hashes
-
-    m = len(words)
-    if m < n:
-        return np.empty(0, dtype=np.uint64)
-    h = _word_hashes(words)
-    with np.errstate(over="ignore"):
-        acc = h[: m - n + 1].copy()
-        for j in range(1, n):
-            acc *= _SHINGLE_P
-            acc += h[j : m - n + 1 + j]
-    return acc
+# single positional rolling-hash core, shared with the MinHash shingle
+# stage so the gram identity can never drift between the two families
+from deduce_ray.ops.dedup import gram_hash_array  # noqa: F401  (re-export)
 
 
 def duplicated_ngram_spans(
@@ -114,16 +100,20 @@ def duplicated_ngram_spans(
 
     def dup_hits(df: pd.DataFrame) -> pd.DataFrame:
         # vectorized within the shard: a gram is duplicated iff its
-        # positions span >= min_docs distinct documents
+        # positions span >= min_docs distinct documents.  The next
+        # shuffle's key is emitted here too (one stage fewer over the
+        # hits dataset).
         ndocs = df.groupby("gram_hash", sort=False)[id_col].transform("nunique")
-        hits = df.loc[ndocs >= min_docs, [id_col, "pos"]]
+        hits = df.loc[ndocs >= min_docs, [id_col, "pos"]].copy()
         if hits.empty:
             return pd.DataFrame(
                 {
                     id_col: pd.Series(dtype="int64"),
                     "pos": pd.Series(dtype="int64"),
+                    "doc_shard": pd.Series(dtype="int64"),
                 }
             )
+        hits["doc_shard"] = hits[id_col].to_numpy() % n_shards
         return hits
 
     def merge_intervals(df: pd.DataFrame) -> pd.DataFrame:
@@ -136,11 +126,9 @@ def duplicated_ngram_spans(
         )
         if df.empty:
             return empty
-        # a gram hit by several partner docs appears once per (doc, pos)
-        # pair only if the emitter produced it once — it did — but the
-        # dup_hits stage can emit the same (doc, pos) from within-doc
-        # repeats of the same gram; positions are unique per doc by
-        # construction, so no dedup is needed here
+        # (doc, pos) rows are unique by construction: the emitter
+        # produces each document position exactly once, and dup_hits
+        # only filters — so no dedup before the interval merge
         df = df.sort_values([id_col, "pos"], kind="mergesort")
         doc = df[id_col].to_numpy()
         pos = df["pos"].to_numpy()
@@ -163,16 +151,6 @@ def duplicated_ngram_spans(
 
     grams = ds.map_batches(emit_grams, batch_format="pyarrow", num_cpus=0.9)
     hits = grams.groupby("gram_shard").map_groups(dup_hits, batch_format="pandas")
-    hits = hits.map_batches(
-        lambda t: t.append_column(
-            "doc_shard",
-            pa.array(
-                (t.column(id_col).to_numpy(zero_copy_only=False) % n_shards),
-                type=pa.int64(),
-            ),
-        ),
-        batch_format="pyarrow",
-    )
     spans = hits.groupby("doc_shard").map_groups(
         merge_intervals, batch_format="pandas"
     )
@@ -222,7 +200,9 @@ def strip_dup_spans(
             ds, n=n, text_col=text_col, id_col=id_col, min_docs=min_docs
         )
 
-    chunk_rows = max(int(chunk_rows), 1_000_000)
+    # respect the caller's chunk size (tests exercise the multi-chunk
+    # merge path with tiny chunks); the 50M default bounds driver peak
+    chunk_rows = max(int(chunk_rows), 1)
     refs, bufs, buffered = [], [], 0
 
     def _flush():

@@ -133,3 +133,22 @@ class TestStripDupSpans:
         )
         assert out[1] == ""
         assert out[2] == "tail"
+
+    def test_strip_multi_chunk_broadcast(self, ray_session):
+        # tiny chunk_rows forces one span per broadcast chunk, so the
+        # rewrite must merge intervals for one document ACROSS chunks
+        from deduce_ray.ops.substring import strip_dup_spans
+
+        a = " ".join(f"a{i}" for i in range(13))
+        b = " ".join(f"b{i}" for i in range(13))
+        gap = " ".join(f"g{i}" for i in range(20))
+        docs = [(1, a + " " + gap + " " + b), (2, a), (3, b)]
+        ds = ray.data.from_items([{"doc_id": i, "text": t} for i, t in docs])
+        out = (
+            strip_dup_spans(ds, n=13, chunk_rows=1)
+            .to_pandas()
+            .set_index("doc_id")["text"]
+            .to_dict()
+        )
+        assert out[1] == gap
+        assert out[2] == "" and out[3] == ""
