@@ -256,6 +256,14 @@ def cmd_prep(args) -> int:
         max_digit_ppm=args.max_digit_ppm,
         minhash_threshold=threshold,
     )
+    if args.strip_dup_ngrams:
+        # substring-level dedup over the SURVIVORS: spans shared by >= 2
+        # surviving documents are stripped from all of them (detection
+        # pass + rewrite pass over the re-executable pipeline; the span
+        # side rides the bounded sorted-chunk broadcast)
+        from deduce_ray.ops.substring import strip_dup_spans
+
+        out = strip_dup_spans(out, n=args.strip_dup_ngrams, text_col=text_col)
     if args.decontaminate:
         # benchmark file: one document per line; the small side of the
         # broadcast, read on the driver by design
@@ -498,6 +506,15 @@ def main() -> int:
         help="shard count if --state-dir creates a new store (fixed for "
         "its lifetime; size for the TARGET corpus: one membership task "
         "holds total_hashes*16/K bytes)",
+    )
+    p.add_argument(
+        "--strip-dup-ngrams",
+        type=int,
+        default=0,
+        help="substring-level dedup: rewrite surviving documents with "
+        "every word span shared verbatim by >= 2 survivors removed "
+        "(this value is the n-gram window, e.g. 13; 0 disables; runs "
+        "after the funnel, before --decontaminate)",
     )
     p.add_argument(
         "--decontaminate",

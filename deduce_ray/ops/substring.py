@@ -175,7 +175,8 @@ def strip_dup_spans(
     A document containing duplicated spans is rebuilt as its surviving
     words joined by single spaces (word-level semantics, matching the
     detector); documents with no duplicated span keep their original
-    text byte-for-byte.
+    text byte-for-byte.  All other columns pass through unchanged, so
+    the op composes inside a wider pipeline (the prep funnel).
 
     Scale shape: the corpus STREAMS (one map_batches, no full-row
     shuffle); the span side — output of
@@ -246,7 +247,7 @@ def strip_dup_spans(
                     )
                 )
         if not intervals:
-            return batch.select([id_col, text_col])
+            return batch
         texts = batch.column(text_col).to_pylist()
         out = []
         for i, t in zip(ids.tolist(), texts):
@@ -259,11 +260,11 @@ def strip_dup_spans(
             for s, e in spans_i:
                 keep[s:e] = False
             out.append(" ".join(w for w, k in zip(words, keep) if k))
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                text_col: pa.array(out, type=pa.string()),
-            }
+        # replace the text column in place: every other column passes
+        # through untouched
+        idx = batch.schema.get_field_index(text_col)
+        return batch.set_column(
+            idx, text_col, pa.array(out, type=pa.string())
         )
 
     return ds.map_batches(rewrite, batch_format="pyarrow", num_cpus=0.9)

@@ -152,3 +152,20 @@ class TestStripDupSpans:
         )
         assert out[1] == gap
         assert out[2] == "" and out[3] == ""
+
+    def test_strip_preserves_other_columns(self, ray_session):
+        from deduce_ray.ops.substring import strip_dup_spans
+
+        g = " ".join(f"p{i}" for i in range(13))
+        ds = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": g, "lang": "en", "n": 7},
+                {"doc_id": 2, "text": g + " tail", "lang": "de", "n": 8},
+                {"doc_id": 3, "text": "nothing shared here at all", "lang": "fr", "n": 9},
+            ]
+        )
+        df = strip_dup_spans(ds, n=13).to_pandas().sort_values("doc_id")
+        assert list(df.columns) == ["doc_id", "text", "lang", "n"]
+        assert df["lang"].tolist() == ["en", "de", "fr"]
+        assert df["n"].tolist() == [7, 8, 9]
+        assert df["text"].tolist() == ["", "tail", "nothing shared here at all"]
