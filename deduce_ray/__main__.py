@@ -255,15 +255,8 @@ def cmd_prep(args) -> int:
         min_chars=args.min_chars,
         max_digit_ppm=args.max_digit_ppm,
         minhash_threshold=threshold,
+        strip_dup_ngrams=args.strip_dup_ngrams or None,
     )
-    if args.strip_dup_ngrams:
-        # substring-level dedup over the SURVIVORS: spans shared by >= 2
-        # surviving documents are stripped from all of them (detection
-        # pass + rewrite pass over the re-executable pipeline; the span
-        # side rides the bounded sorted-chunk broadcast)
-        from deduce_ray.ops.substring import strip_dup_spans
-
-        out = strip_dup_spans(out, n=args.strip_dup_ngrams, text_col=text_col)
     if args.decontaminate:
         # benchmark file: one document per line; the small side of the
         # broadcast, read on the driver by design
@@ -514,7 +507,8 @@ def main() -> int:
         help="substring-level dedup: rewrite surviving documents with "
         "every word span shared verbatim by >= 2 survivors removed "
         "(this value is the n-gram window, e.g. 13; 0 disables; runs "
-        "after the funnel, before --decontaminate)",
+        "between the exact and near-dup passes so shared boilerplate "
+        "cannot blow up the MinHash buckets)",
     )
     p.add_argument(
         "--decontaminate",

@@ -2,7 +2,19 @@
 engine's operators as ONE streaming pipeline:
 
     corpus -> language filter -> quality filter -> exact dedup
-           -> MinHash near-dup removal -> surviving rows
+           -> substring strip (optional) -> MinHash near-dup removal
+           -> surviving rows
+
+Substring stripping runs BEFORE the MinHash pass on purpose: shared
+boilerplate (license headers, navigation chrome) that is large enough
+to collide LSH band buckets but below the Jaccard threshold creates
+quadratic candidate blowup in the verify stage (measured: 20k docs
+sharing a 40-word header among 100k docs runs for >10 minutes);
+stripping the duplicated spans first removes the shared mass, so the
+buckets reflect the documents' real bodies.  The funnel's near-dup pass
+additionally caps bucket membership (``max_bucket``, logged drops) as a
+safety net — the library op stays exact by default, the funnel is the
+opinionated production path.
 
 Every stage is the already-oracled primitive (textstats heuristics,
 dedup_survivors' loser anti-join, minhash_lsh_pairs + neardup_clusters);
@@ -65,6 +77,7 @@ def _neardup_loser_refs(
     id_col: str,
     minhash_threshold: float,
     loser_broadcast_max: int,
+    max_bucket: int | None = None,
 ):
     """ray.put sorted-id chunk refs for every near-dup cluster member
     except its minimum id.  The clusters table is bounded by the corpus's
@@ -81,6 +94,7 @@ def _neardup_loser_refs(
         text_col=text_col,
         id_col=id_col,
         threshold=minhash_threshold,
+        max_bucket=max_bucket,
     )
     labels = neardup_clusters(pairs)
 
@@ -107,14 +121,35 @@ def prep_corpus(
     min_chars: int = 1,
     max_digit_ppm: int | None = None,
     minhash_threshold: float | None = 0.7,
+    strip_dup_ngrams: int | None = None,
+    max_bucket: int | None = 4096,
+    checkpoint: bool = True,
     loser_broadcast_max: int = 50_000_000,
 ):
     """Run the funnel; returns the surviving corpus Dataset.
 
+    ``checkpoint`` (default on) materializes the survivor set into the
+    object store after the exact-dedup and strip stages.  The funnel's
+    later passes each re-execute their input pipeline; without a
+    checkpoint that means re-reading and re-filtering the raw corpus
+    ~6x (measured on a 1M-doc boilerplate corpus: 253 s lazy vs 89 s
+    checkpointed).  Materialized blocks spill to disk under memory
+    pressure, so this holds at corpus sizes beyond RAM; pass False to
+    trade recompute for zero object-store footprint.
+
     ``langs=None`` / ``max_digit_ppm=None`` / ``minhash_threshold=None``
-    disable the corresponding stage.  The input must satisfy the
-    module-wide doc-id contract (unique, non-null, non-negative int64
-    ids) and be re-readable (it is consumed by multiple passes, like
+    disable the corresponding stage.  ``strip_dup_ngrams`` (e.g. 13)
+    enables substring-level dedup between the exact and near-dup passes:
+    word spans shared verbatim by >= 2 exact-dedup survivors are
+    stripped from all of them BEFORE MinHash (see the module docstring
+    for why the order matters).  ``max_bucket`` caps LSH bucket
+    membership in the near-dup pass (logged drops — the funnel default
+    trades bounded recall loss on pathological boilerplate for bounded
+    compute; pass None for the library op's exact behavior).
+
+    The input must satisfy the module-wide doc-id contract (unique,
+    non-null, non-negative int64 ids) and be re-readable (it is consumed
+    by multiple passes, like
     :func:`deduce_ray.ops.dedup.dedup_survivors`).
     """
     from deduce_ray.ops.dedup import (
@@ -130,6 +165,10 @@ def prep_corpus(
         )
         refs = _chunked_id_refs(fail_ds, id_col, loser_broadcast_max)
         filtered = _drop_ids(ds, refs, id_col) if refs else ds
+        if checkpoint:
+            # dedup_survivors consumes its input twice; without this the
+            # raw read + filter re-executes for each pass
+            filtered = filtered.materialize()
     else:
         filtered = ds
     survivors = dedup_survivors(
@@ -138,12 +177,33 @@ def prep_corpus(
         id_col=id_col,
         loser_broadcast_max=loser_broadcast_max,
     )
+    if checkpoint and (strip_dup_ngrams or minhash_threshold is not None):
+        survivors = survivors.materialize()
+    if strip_dup_ngrams:
+        from deduce_ray.ops.substring import strip_dup_spans
+
+        survivors = strip_dup_spans(
+            survivors,
+            n=strip_dup_ngrams,
+            text_col=text_col,
+            id_col=id_col,
+            chunk_rows=loser_broadcast_max,
+        )
+        if checkpoint and minhash_threshold is not None:
+            survivors = survivors.materialize()
     if minhash_threshold is None:
         return survivors
-    # near-dup pass runs over the exact-dedup SURVIVORS (collapse already
-    # removed byte-identical copies, so LSH sees each distinct text once)
+    # near-dup pass runs over the exact-dedup (and, when enabled,
+    # substring-stripped) SURVIVORS: collapse already removed
+    # byte-identical copies and the strip removed shared boilerplate, so
+    # LSH buckets reflect each document's real body
     refs = _neardup_loser_refs(
-        survivors, text_col, id_col, minhash_threshold, loser_broadcast_max
+        survivors,
+        text_col,
+        id_col,
+        minhash_threshold,
+        loser_broadcast_max,
+        max_bucket=max_bucket,
     )
     if not refs:
         return survivors
