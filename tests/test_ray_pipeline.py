@@ -1809,6 +1809,38 @@ class TestPrepFunnel:
         )
         assert sorted(r["doc_id"] for r in out.take_all()) == [1]
 
+    def test_strip_runs_before_neardup(self, ray_session):
+        # docs share a 13-word header but have DISTINCT bodies: with the
+        # strip stage on, the header is removed before MinHash, so the
+        # docs are not near-duplicates of each other and all survive —
+        # with their bodies intact and the header gone
+        import ray.data
+
+        from deduce_ray.ops.funnel import prep_corpus
+
+        # 26-word header + 6-word distinct body: 3-shingle jaccard
+        # = 24 shared / 36 union ~ 0.67 > 0.6 without the strip
+        header = " ".join(f"hdr{i}" for i in range(26))
+        rows = [
+            {"doc_id": i, "text": header + " " + " ".join(f"b{i}x{j}" for j in range(6))}
+            for i in range(1, 5)
+        ]
+        out = prep_corpus(
+            ray.data.from_items(rows),
+            minhash_threshold=0.6,
+            strip_dup_ngrams=13,
+        )
+        got = {r["doc_id"]: r["text"] for r in out.take_all()}
+        assert sorted(got) == [1, 2, 3, 4]
+        for i, t in got.items():
+            assert t == " ".join(f"b{i}x{j}" for j in range(6))
+        # control: WITHOUT the strip the shared header dominates the
+        # signatures (jaccard ~0.68 > 0.6) and only the min id survives
+        out2 = prep_corpus(
+            ray.data.from_items(rows), minhash_threshold=0.6
+        )
+        assert sorted(r["doc_id"] for r in out2.take_all()) == [1]
+
 
 class TestCooccurrence:
     def test_edges_and_weights(self, ray_session):
