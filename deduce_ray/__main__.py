@@ -318,6 +318,19 @@ def cmd_prep(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    import ray
+
+    from deduce_ray.ops.textstats import corpus_report
+
+    _init_ray(args.num_cpus)
+    ds = _read_corpus(args)
+    text_col = "content" if "content" in set(ds.schema().names) else "text"
+    print(json.dumps(corpus_report(ds, text_col=text_col)))
+    ray.shutdown()
+    return 0
+
+
 def cmd_dedup_state(args) -> int:
     """Inspect (and optionally compact) an incremental dedup/near-dup
     store of either kind.  Stats are footer-metadata only — never opens
@@ -544,6 +557,29 @@ def main() -> int:
         "stats (single-writer maintenance; do not run during an ingest)",
     )
     p.set_defaults(fn=cmd_dedup_state)
+
+    p = sub.add_parser(
+        "report",
+        help="streaming corpus statistics: docs/words/chars, language "
+        "mix, approximate exact-dup rate (HLL) — one pass, no shuffle",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument(
+        "--format",
+        choices=["parquet", "jsonl", "csv", "orc", "text-tree"],
+        help="input format (default: inferred from the path)",
+    )
+    p.add_argument(
+        "--text-key",
+        default="content",
+        help="jsonl/csv column holding the document text",
+    )
+    p.add_argument("--extensions")
+    p.add_argument(
+        "--on-decode-error", choices=["raise", "skip"], default="raise"
+    )
+    p.add_argument("--num-cpus", type=int)
+    p.set_defaults(fn=cmd_report)
 
     p = sub.add_parser("deidentify", help="one document -> annotations JSON")
     p.add_argument("--text", help="document text (default: stdin)")

@@ -228,3 +228,83 @@ def doc_sample(ds, threshold_hex: str = "1a", id_col: str = "doc_id"):
         return batch.filter(mask)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def corpus_report(ds, text_col: str = "text") -> dict:
+    """Streaming corpus statistics: one map_batches pass emits per-batch
+    per-language partial rows (docs/words/chars/digits/empty — tiny: one
+    row per (block, language)), summed on the driver; distinct-text
+    count rides the mergeable HyperLogLog sketch (no exact-distinct
+    shuffle).  Nothing materializes the corpus; the driver pull is
+    O(blocks x languages)."""
+    from deduce_ray.ops.agg import approx_distinct
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        rows: dict[str, list[int]] = {}
+        for t in texts:
+            t = t or ""
+            lang = predict_lang(t) if t else ""
+            r = rows.get(lang)
+            if r is None:
+                r = rows[lang] = [0, 0, 0, 0, 0]
+            r[0] += 1
+            r[1] += len(split_words(t))
+            r[2] += len(t)
+            r[3] += len(_DIGIT_RE.findall(t))
+            r[4] += 0 if t else 1
+        langs = sorted(rows)
+        cols = list(zip(*(rows[k] for k in langs))) or [[]] * 5
+        return pa.table(
+            {
+                "lang": pa.array(langs, type=pa.string()),
+                "docs": pa.array(cols[0], type=pa.int64()),
+                "words": pa.array(cols[1], type=pa.int64()),
+                "chars": pa.array(cols[2], type=pa.int64()),
+                "digit_chars": pa.array(cols[3], type=pa.int64()),
+                "empty_docs": pa.array(cols[4], type=pa.int64()),
+            }
+        )
+
+    per_lang = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("lang", sort=True)
+        .sum()
+    )
+    totals = per_lang.sum()
+    docs = int(totals["docs"]) if len(per_lang) else 0
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "corpus", pa.array(["all"] * batch.num_rows, type=pa.string())
+        )
+
+    distinct_rows = approx_distinct(
+        ds.map_batches(tag, batch_format="pyarrow"),
+        keys=["corpus"],
+        value_col=text_col,
+    ).take_all()
+    distinct = int(distinct_rows[0]["approx_distinct"]) if distinct_rows else 0
+
+    return {
+        "docs": docs,
+        "empty_docs": int(totals["empty_docs"]) if docs else 0,
+        "words": int(totals["words"]) if docs else 0,
+        "chars": int(totals["chars"]) if docs else 0,
+        "words_per_doc": round(totals["words"] / docs, 2) if docs else 0.0,
+        "digit_ppm": (
+            int(totals["digit_chars"] * 1_000_000 // totals["chars"])
+            if docs and totals["chars"]
+            else 0
+        ),
+        "approx_distinct_texts": distinct,
+        # HLL standard error ~1.6% at p=12: tiny negative rates are
+        # estimator noise, clamp to 0
+        "approx_exact_dup_pct": (
+            round(max(0.0, 100.0 * (1 - distinct / docs)), 2) if docs else 0.0
+        ),
+        "langs": {
+            str(lang): int(row["docs"]) for lang, row in per_lang.iterrows()
+        },
+    }

@@ -2134,3 +2134,28 @@ class TestTimeBudgetStage:
             time_budget_s=0.5,
         ).take_all()
         assert any(r["pred"] == "_budget_exhausted" for r in out)
+
+
+class TestCorpusReport:
+    def test_report_counts_and_langs(self, ray_session):
+        import ray.data
+
+        from deduce_ray.ops.textstats import corpus_report
+
+        rows = [
+            {"doc_id": 1, "text": "the cat is in the hat for it"},
+            {"doc_id": 2, "text": "the cat is in the hat for it"},  # dup
+            {"doc_id": 3, "text": "de kat is niet met de hond op pad"},
+            {"doc_id": 4, "text": ""},
+            {"doc_id": 5, "text": "digits 123 456"},
+        ]
+        rep = corpus_report(ray.data.from_items(rows))
+        assert rep["docs"] == 5
+        assert rep["empty_docs"] == 1
+        assert rep["words"] == 8 + 8 + 9 + 0 + 3
+        assert rep["langs"]["en"] == 2
+        assert rep["langs"]["nl"] == 1
+        assert rep["langs"][""] == 1  # the empty doc
+        # 4 distinct non-... texts: HLL at this cardinality is exact
+        assert rep["approx_distinct_texts"] == 4
+        assert rep["approx_exact_dup_pct"] == 20.0
