@@ -283,9 +283,12 @@ def _q_corpus_mix(sf_dir: str):
 
 
 def _q_events_user_sketch(sf_dir: str):
-    """HyperLogLog distinct users per event type — approximate (sketch),
-    so no exact SQL oracle; accuracy is unit-tested against exact counts
-    (~1.6% standard error at p=12)."""
+    """HyperLogLog distinct users per event type.  The DuckDB oracle
+    reproduces the SKETCH itself bit-for-bit (same md5-64 hash, bucket,
+    rank, registers, bias-corrected estimate —
+    oracles.hll_distinct_sql), so the approximate op is value-checked
+    exactly; accuracy vs exact counts is separately unit-tested (~1.6%
+    standard error at p=12)."""
     import ray.data
 
     from deduce_ray.ops.agg import approx_distinct
@@ -718,6 +721,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "click_attribution": rel.click_attribution,
         "events_value_quantiles": rel.events_value_quantiles,
         "campaign_attribution": rel.campaign_attribution,
+        # --- sketches (the oracle reproduces the HLL estimator itself,
+        # bit for bit — see oracles.hll_distinct_sql) ---
+        "events_user_sketch": _q_events_user_sketch,
         # ================= rows-only queries below this line ===============
         # --- KG construction pipeline, full rule engine (lexicon tries,
         # context fixpoints, fuzzy matching: not SQL-expressible; the same
@@ -731,8 +737,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # kg_entities_canonical_sqlpreds, and the full-lexicon run stays
         # covered by tests/test_ray_pipeline.py. ---
         "kg_triples": _q_kg_triples,
-        # --- sketches ---
-        "events_user_sketch": _q_events_user_sketch,
         # --- multimodal plumbing (``media_resized`` was retired for the
         # oracled ``dup_spans``: the resize stage stays covered by
         # tests/test_ray_pipeline.py and the decode machinery by the
@@ -843,6 +847,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_pairs_exact": oracles.jaccard_pairs_sql(),
         "dup_spans": oracles.dup_spans_sql(),
+        "events_user_sketch": oracles.hll_distinct_sql(),
         "minhash_clusters": oracles.neardup_clusters_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),
         "kg_emails": _mention_oracle(_EMAIL_RE_SQL),

@@ -566,3 +566,66 @@ def dup_spans_sql(n: int = 13, min_docs: int = 2) -> str:
         SELECT doc_id, min(pos) AS start_word, max(pos) + {n} AS end_word
         FROM grp GROUP BY doc_id, gid
     """
+
+
+def hll_distinct_sql(
+    table: str = "events",
+    key: str = "event_type",
+    value_col: str = "user_id",
+    p: int = 12,
+) -> str:
+    """Reproduce the HyperLogLog sketch of
+    :func:`deduce_ray.ops.agg.approx_distinct` EXACTLY in SQL — not an
+    exact-distinct comparison but the same estimator, bit for bit:
+
+    - hash = big-endian first 8 bytes of md5(str(value)), which DuckDB
+      yields as ``('0x' || substring(md5(v), 1, 16))::UBIGINT``;
+    - bucket = top ``p`` bits; rank = (64-p) - bit_length(rest) + 1,
+      expressed with floor(log2(rest)) (exact for rest < 2^53);
+    - registers = max rank per bucket; empty buckets contribute
+      2^0 = 1 to the harmonic sum and count as zeros;
+    - bias-corrected estimate with the small-range linear-counting
+      correction (Flajolet et al. 2007), rounded to BIGINT.
+
+    Python rounds half-to-even and SQL half-away-from-zero: a mismatch
+    needs the float estimate to land on an exact .5 — negligible.
+    """
+    m = 1 << p
+    rest_bits = 64 - p
+    return f"""
+        WITH vals AS (
+          SELECT {key},
+                 ('0x' || substring(md5(CAST({value_col} AS VARCHAR)),
+                                    1, 16))::UBIGINT AS h
+          FROM {table}
+          WHERE {value_col} IS NOT NULL
+        ),
+        buckets AS (
+          SELECT {key},
+                 CAST(h >> {rest_bits} AS BIGINT) AS idx,
+                 CAST(h & ((1::UBIGINT << {rest_bits}) - 1) AS BIGINT)
+                   AS rest
+          FROM vals
+        ),
+        ranks AS (
+          SELECT {key}, idx,
+                 MAX(CASE WHEN rest = 0 THEN {rest_bits + 1}
+                          ELSE {rest_bits}
+                               - CAST(floor(log2(CAST(rest AS DOUBLE)))
+                                      AS BIGINT)
+                     END) AS rnk
+          FROM buckets GROUP BY {key}, idx
+        ),
+        est AS (
+          SELECT {key},
+                 (0.7213 / (1 + 1.079/{m})) * {m}.0 * {m}.0 /
+                   (SUM(power(2.0, -rnk)) + ({m} - COUNT(*))) AS raw,
+                 {m} - COUNT(*) AS zeros
+          FROM ranks GROUP BY {key}
+        )
+        SELECT {key},
+               CAST(round(CASE WHEN raw <= 2.5*{m} AND zeros > 0
+                               THEN {m}.0 * ln({m}.0 / zeros) ELSE raw END)
+                    AS BIGINT) AS approx_distinct
+        FROM est
+    """
