@@ -132,13 +132,20 @@ def approx_distinct(
     m = 1 << p
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
-        df = batch.select(keys + [value_col]).to_pandas()
+        df = batch.select(keys).to_pandas()
+        # values come from Arrow, NOT the pandas frame: an int64 column
+        # containing any null widens to float64 under to_pandas, so its
+        # non-null values would hash as "123.0" instead of "123" — a
+        # different sketch for the same logical data (and a mismatch vs
+        # the SQL oracle's CAST(v AS VARCHAR))
+        values = batch.column(value_col).to_pylist()
         out_keys: list[tuple] = []
         regs: list[bytes] = []
         for kv, grp in df.groupby(keys, sort=False, dropna=False):
             key_tuple = kv if isinstance(kv, tuple) else (kv,)
             reg = np.zeros(m, dtype=np.uint8)
-            for v in grp[value_col]:
+            for i in grp.index:
+                v = values[i]
                 if v is None or v != v:
                     continue  # COUNT(DISTINCT) ignores nulls
                 h = int.from_bytes(

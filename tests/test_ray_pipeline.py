@@ -949,6 +949,27 @@ class TestSimilarity:
         null_keys = [k for k in got if k is None or k != k]
         assert len(null_keys) == 1 and got[null_keys[0]] == 1
 
+    def test_hll_nulls_do_not_change_int_hashing(self, ray_session):
+        """An int64 value column containing ANY null used to widen to
+        float64 under to_pandas, hashing survivors as '123.0' instead of
+        '123' — a different sketch for the same logical data.  The
+        estimate over ints-with-nulls must equal the estimate over the
+        same ints without nulls (and thereby the SQL oracle's
+        CAST(v AS VARCHAR))."""
+        import ray.data
+
+        from deduce_ray.ops.agg import approx_distinct
+
+        ints = [{"g": "a", "v": i % 500} for i in range(2000)]
+        with_nulls = ints + [{"g": "a", "v": None}] * 100
+
+        def est(rows):
+            return approx_distinct(
+                ray.data.from_items(rows), keys=["g"], value_col="v"
+            ).take_all()[0]["approx_distinct"]
+
+        assert est(ints) == est(with_nulls)
+
     def test_click_attribution_inner_semantics(self, ray_session):
         """Clicks with no prior view are dropped (inner as-of join)."""
         import pandas as pd
