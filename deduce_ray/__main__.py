@@ -109,7 +109,14 @@ def _infer_format(path: str) -> str:
     return "text-tree"
 
 
-def _read_corpus(args):
+def _read_corpus(args, decorate: bool = True):
+    """``decorate`` applies the deterministic repo-table synthesis
+    (deduce_ray.corpus.decorate_batch: repo/path/commit columns +
+    PHI-snippet-decorated ``content``) to a bare (doc_id, text, lang)
+    parquet — the KG-extraction demo input per the driver contract.
+    ONLY the extract command wants that; prep and report must see the
+    corpus bytes untouched (decoration appends synthetic snippets,
+    which would corrupt dedup/statistics semantics)."""
     from deduce_ray.corpus import decorate_batch, read_parquet_sliced
     from deduce_ray.sources import (
         read_csv_corpus,
@@ -134,9 +141,14 @@ def _read_corpus(args):
         )
     ds = read_parquet_sliced(args.input)
     names = set(ds.schema().names)
-    if "content" not in names and "text" in names:
+    if decorate and "content" not in names and "text" in names:
         ds = ds.map_batches(decorate_batch, batch_format="pyarrow")
     return ds
+
+
+def _corpus_text_col(ds) -> str:
+    """The corpus text-column convention, shared by prep and report."""
+    return "content" if "content" in set(ds.schema().names) else "text"
 
 
 def cmd_extract(args) -> int:
@@ -205,9 +217,10 @@ def cmd_prep(args) -> int:
         )
 
     _init_ray(args.num_cpus)
-    ds = _read_corpus(args)
+    # no decoration: prep must dedup/filter the corpus bytes as given
+    ds = _read_corpus(args, decorate=False)
 
-    text_col = "content" if "content" in set(ds.schema().names) else "text"
+    text_col = _corpus_text_col(ds)
 
     names = set(ds.schema().names)
     if "doc_id" not in names and {"repo", "path", "commit"} <= names:
@@ -256,6 +269,7 @@ def cmd_prep(args) -> int:
         max_digit_ppm=args.max_digit_ppm,
         minhash_threshold=threshold,
         strip_dup_ngrams=args.strip_dup_ngrams or None,
+        max_bucket=args.minhash_max_bucket or None,
     )
     if args.decontaminate:
         # benchmark file: one document per line; the small side of the
@@ -324,9 +338,9 @@ def cmd_report(args) -> int:
     from deduce_ray.ops.textstats import corpus_report
 
     _init_ray(args.num_cpus)
-    ds = _read_corpus(args)
-    text_col = "content" if "content" in set(ds.schema().names) else "text"
-    print(json.dumps(corpus_report(ds, text_col=text_col)))
+    # no decoration: statistics must describe the corpus bytes as given
+    ds = _read_corpus(args, decorate=False)
+    print(json.dumps(corpus_report(ds, text_col=_corpus_text_col(ds))))
     ray.shutdown()
     return 0
 
@@ -512,6 +526,16 @@ def main() -> int:
         help="shard count if --state-dir creates a new store (fixed for "
         "its lifetime; size for the TARGET corpus: one membership task "
         "holds total_hashes*16/K bytes)",
+    )
+    p.add_argument(
+        "--minhash-max-bucket",
+        type=int,
+        default=4096,
+        help="cap LSH bucket membership in the near-dup pass at this "
+        "many distinct texts (drops beyond the cap are LOGGED; bounded "
+        "recall loss on pathological boilerplate in exchange for "
+        "bounded compute — the library default is uncapped/exact; "
+        "0 disables the cap)",
     )
     p.add_argument(
         "--strip-dup-ngrams",

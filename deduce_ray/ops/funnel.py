@@ -11,19 +11,23 @@ to collide LSH band buckets but below the Jaccard threshold creates
 quadratic candidate blowup in the verify stage (measured: 20k docs
 sharing a 40-word header among 100k docs runs for >10 minutes);
 stripping the duplicated spans first removes the shared mass, so the
-buckets reflect the documents' real bodies.  The funnel's near-dup pass
-additionally caps bucket membership (``max_bucket``, logged drops) as a
-safety net — the library op stays exact by default, the funnel is the
-opinionated production path.
+buckets reflect the documents' real bodies.  ``max_bucket`` (off by
+default, like every output-changing cap in this repo) is the residual
+safety net for boilerplate the strip cannot see (shared runs shorter
+than the n-gram window); the prep CLI enables it at 4096 as its
+disclosed production default.
 
 Every stage is the already-oracled primitive (textstats heuristics,
 dedup_survivors' loser anti-join, minhash_lsh_pairs + neardup_clusters);
 this module only supplies the glue, filter predicates, and the near-dup
-loser selection.  No stage materializes the corpus, and because the lazy
-input pipeline is re-executed by the dedup passes, the EXPENSIVE
-language/quality predicate runs exactly once: its failing ids broadcast
-as bounded sorted chunks (the same ray.put shape as the dedup losers)
-and every pass applies only the cheap searchsorted anti-join.
+loser selection.  The EXPENSIVE language/quality predicate runs exactly
+once: its failing ids broadcast as bounded sorted chunks (the same
+ray.put shape as the dedup losers) and every pass applies only the
+cheap searchsorted anti-join.  With the default ``checkpoint=True`` the
+filtered/survivor sets are materialized into the (spill-backed) object
+store between the multi-consume stages — at beyond-RAM corpus sizes
+that is object-store spill, not heap; ``checkpoint=False`` keeps every
+stage a lazy re-execution instead.
 
 Cluster-loser semantics: within every near-dup cluster the MINIMUM doc id
 survives (``neardup_clusters`` labels components by their min id, so a
@@ -122,7 +126,7 @@ def prep_corpus(
     max_digit_ppm: int | None = None,
     minhash_threshold: float | None = 0.7,
     strip_dup_ngrams: int | None = None,
-    max_bucket: int | None = 4096,
+    max_bucket: int | None = None,
     checkpoint: bool = True,
     loser_broadcast_max: int = 50_000_000,
 ):
@@ -143,9 +147,11 @@ def prep_corpus(
     word spans shared verbatim by >= 2 exact-dedup survivors are
     stripped from all of them BEFORE MinHash (see the module docstring
     for why the order matters).  ``max_bucket`` caps LSH bucket
-    membership in the near-dup pass (logged drops — the funnel default
-    trades bounded recall loss on pathological boilerplate for bounded
-    compute; pass None for the library op's exact behavior).
+    membership in the near-dup pass (logged drops) — like every
+    output-changing cap in this repo it is OFF by default so results
+    stay exact; boilerplate-heavy corpora should set it (the prep CLI
+    defaults to 4096, disclosed in its --help) or enable
+    ``strip_dup_ngrams``, which removes the shared mass before LSH.
 
     The input must satisfy the module-wide doc-id contract (unique,
     non-null, non-negative int64 ids) and be re-readable (it is consumed

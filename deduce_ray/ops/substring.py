@@ -170,7 +170,7 @@ def strip_dup_spans(
     step of substring dedup (Lee et al. 2021 strip the repeated
     substring from all but one occurrence; this removes it from every
     document, the symmetric variant that needs no global occurrence
-    ordering).  Returns ``(id_col, text_col)`` rows.
+    ordering).  Returns the input rows with ``text_col`` rewritten.
 
     A document containing duplicated spans is rebuilt as its surviving
     words joined by single spaces (word-level semantics, matching the

@@ -230,29 +230,47 @@ def doc_sample(ds, threshold_hex: str = "1a", id_col: str = "doc_id"):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
-def corpus_report(ds, text_col: str = "text") -> dict:
-    """Streaming corpus statistics: one map_batches pass emits per-batch
-    per-language partial rows (docs/words/chars/digits/empty — tiny: one
-    row per (block, language)), summed on the driver; distinct-text
-    count rides the mergeable HyperLogLog sketch (no exact-distinct
-    shuffle).  Nothing materializes the corpus; the driver pull is
-    O(blocks x languages)."""
-    from deduce_ray.ops.agg import approx_distinct
+def corpus_report(ds, text_col: str = "text", p: int = 12) -> dict:
+    """Streaming corpus statistics in ONE pass, no shuffle: a single
+    map_batches emits per-(block, language) partial rows carrying
+    docs/words/chars/digits/empty counts AND a per-language HyperLogLog
+    register blob (2^p bytes); the driver max-merges the registers and
+    sums the counts — pull is O(blocks x languages), the corpus is
+    never re-read and never materializes.  Distinct-text estimates use
+    the same md5-64 sketch convention as
+    :func:`deduce_ray.ops.agg.approx_distinct` (null texts skipped,
+    empty string is a value)."""
+    import numpy as np
+
+    from deduce_ray.ops.agg import _hll_estimate
+
+    m = 1 << p
 
     def partial(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         rows: dict[str, list[int]] = {}
-        for t in texts:
-            t = t or ""
+        regs: dict[str, np.ndarray] = {}
+        for raw_t in texts:
+            t = raw_t or ""
             lang = predict_lang(t) if t else ""
             r = rows.get(lang)
             if r is None:
                 r = rows[lang] = [0, 0, 0, 0, 0]
+                regs[lang] = np.zeros(m, dtype=np.uint8)
             r[0] += 1
             r[1] += len(split_words(t))
             r[2] += len(t)
             r[3] += len(_DIGIT_RE.findall(t))
             r[4] += 0 if t else 1
+            if raw_t is not None:  # COUNT(DISTINCT) skips nulls only
+                h = int.from_bytes(
+                    hashlib.md5(str(raw_t).encode()).digest()[:8], "big"
+                )
+                idx = h >> (64 - p)
+                rest = h & ((1 << (64 - p)) - 1)
+                rank = (64 - p) - rest.bit_length() + 1
+                if rank > regs[lang][idx]:
+                    regs[lang][idx] = rank
         langs = sorted(rows)
         cols = list(zip(*(rows[k] for k in langs))) or [[]] * 5
         return pa.table(
@@ -263,29 +281,30 @@ def corpus_report(ds, text_col: str = "text") -> dict:
                 "chars": pa.array(cols[2], type=pa.int64()),
                 "digit_chars": pa.array(cols[3], type=pa.int64()),
                 "empty_docs": pa.array(cols[4], type=pa.int64()),
+                "registers": pa.array(
+                    [regs[k].tobytes() for k in langs], type=pa.binary()
+                ),
             }
         )
 
-    per_lang = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .to_pandas()
-        .groupby("lang", sort=True)
-        .sum()
-    )
+    frame = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(frame):
+        per_lang = frame.groupby("lang", sort=True).agg(
+            docs=("docs", "sum"),
+            words=("words", "sum"),
+            chars=("chars", "sum"),
+            digit_chars=("digit_chars", "sum"),
+            empty_docs=("empty_docs", "sum"),
+        )
+    else:
+        per_lang = frame.set_index("lang") if "lang" in frame else frame
     totals = per_lang.sum()
     docs = int(totals["docs"]) if len(per_lang) else 0
 
-    def tag(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "corpus", pa.array(["all"] * batch.num_rows, type=pa.string())
-        )
-
-    distinct_rows = approx_distinct(
-        ds.map_batches(tag, batch_format="pyarrow"),
-        keys=["corpus"],
-        value_col=text_col,
-    ).take_all()
-    distinct = int(distinct_rows[0]["approx_distinct"]) if distinct_rows else 0
+    merged = np.zeros(m, dtype=np.uint8)
+    for blob in frame["registers"] if len(frame) else ():
+        np.maximum(merged, np.frombuffer(blob, dtype=np.uint8), out=merged)
+    distinct = _hll_estimate(merged) if docs else 0
 
     return {
         "docs": docs,

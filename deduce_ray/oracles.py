@@ -581,9 +581,15 @@ def hll_distinct_sql(
     - hash = big-endian first 8 bytes of md5(str(value)), which DuckDB
       yields as ``('0x' || substring(md5(v), 1, 16))::UBIGINT``;
     - bucket = top ``p`` bits; rank = (64-p) - bit_length(rest) + 1,
-      expressed with floor(log2(rest)) (exact for rest < 2^53);
+      with bit_length taken EXACTLY as length(bin(rest)) — a
+      floor(log2()) formulation is off by one for rest values just
+      below a power of two above 2^49 (float rounding), which would
+      break the bit-for-bit claim on ~19 of the 2^52 rest values;
     - registers = max rank per bucket; empty buckets contribute
       2^0 = 1 to the harmonic sum and count as zeros;
+    - key groups whose values are ALL NULL survive (SQL GROUP BY
+      semantics, matching the op) with an all-zero register array,
+      estimating 0 through the linear-counting branch;
     - bias-corrected estimate with the small-range linear-counting
       correction (Flajolet et al. 2007), rounded to BIGINT.
 
@@ -593,7 +599,10 @@ def hll_distinct_sql(
     m = 1 << p
     rest_bits = 64 - p
     return f"""
-        WITH vals AS (
+        WITH all_keys AS (
+          SELECT DISTINCT {key} FROM {table}
+        ),
+        vals AS (
           SELECT {key},
                  ('0x' || substring(md5(CAST({value_col} AS VARCHAR)),
                                     1, 16))::UBIGINT AS h
@@ -610,18 +619,19 @@ def hll_distinct_sql(
         ranks AS (
           SELECT {key}, idx,
                  MAX(CASE WHEN rest = 0 THEN {rest_bits + 1}
-                          ELSE {rest_bits}
-                               - CAST(floor(log2(CAST(rest AS DOUBLE)))
-                                      AS BIGINT)
+                          ELSE {rest_bits + 1} - length(bin(rest))
                      END) AS rnk
           FROM buckets GROUP BY {key}, idx
         ),
         est AS (
-          SELECT {key},
+          SELECT k.{key},
                  (0.7213 / (1 + 1.079/{m})) * {m}.0 * {m}.0 /
-                   (SUM(power(2.0, -rnk)) + ({m} - COUNT(*))) AS raw,
-                 {m} - COUNT(*) AS zeros
-          FROM ranks GROUP BY {key}
+                   (coalesce(SUM(power(2.0, -r.rnk)), 0)
+                    + ({m} - COUNT(r.idx))) AS raw,
+                 {m} - COUNT(r.idx) AS zeros
+          FROM all_keys k LEFT JOIN ranks r
+            ON r.{key} IS NOT DISTINCT FROM k.{key}
+          GROUP BY k.{key}
         )
         SELECT {key},
                CAST(round(CASE WHEN raw <= 2.5*{m} AND zeros > 0
