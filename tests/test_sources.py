@@ -540,3 +540,47 @@ class TestJsonlSink:
             {"doc_id": "a", "pred": "bsn", "obj": "111222333"},
             {"doc_id": "b", "pred": "datum", "obj": "14-03-2021"},
         ]
+
+
+class TestReadCorpusDecoration:
+    def test_prep_and_report_see_raw_bytes(self, ray_session, tmp_path):
+        """Regression: prep/report previously routed a bare (doc_id,
+        text, lang) parquet through the KG-demo repo-table synthesis,
+        which appends a synthetic PHI snippet per doc — byte-identical
+        texts became distinct (breaking dedup) and statistics described
+        mutated text.  decorate=False must return the corpus bytes
+        untouched; the default (extract path) still decorates."""
+        import argparse
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        from deduce_ray.__main__ import _corpus_text_col, _read_corpus
+
+        f = tmp_path / "docs.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2], type=pa.int64()),
+                    "text": pa.array(["same text", "same text"]),
+                    "lang": pa.array(["en", "en"]),
+                }
+            ),
+            f,
+        )
+        args = argparse.Namespace(
+            input=str(f), format=None, text_key="content",
+            extensions=None, on_decode_error="raise",
+        )
+        raw = _read_corpus(args, decorate=False)
+        assert _corpus_text_col(raw) == "text"
+        texts = {r["text"] for r in raw.take_all()}
+        assert texts == {"same text"}  # identical bytes stay identical
+
+        decorated = _read_corpus(args)  # extract default
+        rows = decorated.take_all()
+        assert {"repo", "path", "commit", "content"} <= set(rows[0])
+        # decoration appends per-doc snippets: contents now differ
+        assert len({r["content"] for r in rows}) == 2
