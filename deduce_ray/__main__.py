@@ -345,6 +345,60 @@ def cmd_report(args) -> int:
     return 0
 
 
+def cmd_ann(args) -> int:
+    """Build / search the partitioned on-disk IVF index.
+
+    build: one streaming pass over the embeddings parquet — assign each
+    vector a coarse list, write hive-partitioned parquet (one directory
+    per list) + a tiny centroid table.  search: query vectors come from
+    rows of the same-schema parquet given by --queries (pruned read);
+    only the probed list DIRECTORIES are opened."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+
+    from deduce_ray.corpus import read_parquet_sliced
+    from deduce_ray.ops.similarity import ivf_build, ivf_search
+
+    _init_ray(args.num_cpus)
+    if args.build:
+        ds = read_parquet_sliced(
+            args.input, columns=[args.id_col, args.vec_col]
+        )
+        ivf_build(
+            ds,
+            args.index_dir,
+            n_lists=args.n_lists,
+            vec_col=args.vec_col,
+        )
+        n_lists = len(
+            pq.read_table(f"{args.index_dir}/_centroids").column("list_id")
+        )
+        print(json.dumps({"index_dir": args.index_dir, "n_lists": n_lists}))
+    else:
+        if not args.queries:
+            raise SystemExit("search needs --queries (a parquet of vectors)")
+        qt = pq.read_table(
+            args.queries, columns=[args.id_col, args.vec_col]
+        )
+        qids = qt.column(args.id_col).to_pylist()
+        qmat = np.asarray(qt.column(args.vec_col).to_pylist(), dtype=np.float64)
+        hits = ivf_search(
+            args.index_dir,
+            qmat,
+            k=args.k,
+            n_probe=args.n_probe,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+        ).take_all()
+        # ivf_search numbers queries by row position; map back to ids
+        for h in hits:
+            h["query_id"] = qids[h["query_id"]]
+        print(json.dumps({"hits": hits}, default=str))
+    ray.shutdown()
+    return 0
+
+
 def cmd_dedup_state(args) -> int:
     """Inspect (and optionally compact) an incremental dedup/near-dup
     store of either kind.  Stats are footer-metadata only — never opens
@@ -581,6 +635,24 @@ def main() -> int:
         "stats (single-writer maintenance; do not run during an ingest)",
     )
     p.set_defaults(fn=cmd_dedup_state)
+
+    p = sub.add_parser(
+        "ann",
+        help="partitioned on-disk IVF index over an embeddings parquet: "
+        "--build writes hive list_id partitions + centroids; otherwise "
+        "searches, opening ONLY the probed list directories",
+    )
+    p.add_argument("--input", help="embeddings parquet (build)")
+    p.add_argument("--index-dir", required=True)
+    p.add_argument("--build", action="store_true")
+    p.add_argument("--queries", help="parquet of query vectors (search)")
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--n-lists", type=int, default=16)
+    p.add_argument("--n-probe", type=int, default=4)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--num-cpus", type=int)
+    p.set_defaults(fn=cmd_ann)
 
     p = sub.add_parser(
         "report",
