@@ -113,6 +113,73 @@ def _replicated_repo_table(sf_dir: str, replicate: int, rows_per_block: int = 62
     return ray.data.from_arrow(blocks)
 
 
+def _replicated_documents_salted(
+    sf_dir: str, replicate: int, rows_per_block: int = 625
+):
+    """documents table replicated with per-replica WORD salting (every
+    word prefixed ``r<i>x``), so replicas share no n-grams: the dup_spans
+    scaling job then measures the real workload shape (each replica's
+    internal duplicate structure) instead of a degenerate corpus where
+    every document duplicates every replica of itself.  Salting is one
+    C-level regex substitution per replica, applied driver-side once —
+    the timed pipeline consumes pre-built blocks."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    full = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    n = full.num_rows
+    texts = pd.Series(full.column("text").to_pandas()).fillna("")
+    ids = full.column("doc_id").to_numpy(zero_copy_only=False)
+    blocks = []
+    for r in range(replicate):
+        salted = texts.str.replace(
+            r"(\S+)", rf"r{r}x\1", regex=True
+        )
+        replica = pa.table(
+            {
+                "doc_id": pa.array(ids + r * 100_000_000, type=pa.int64()),
+                "text": pa.array(salted.tolist(), type=pa.string()),
+            }
+        )
+        for i in range(0, n, rows_per_block):
+            blocks.append(replica.slice(i, rows_per_block))
+    return ray.data.from_arrow(blocks)
+
+
+def dup_spans_headline(sf_dir: str, num_cpus: int, replicate: int) -> dict:
+    """Substring-dedup scaling job: the (gram_hash, doc, pos) exchange +
+    two sharded groupbys over a word-salted replicated corpus — scaling
+    evidence for the constant-width all-to-all half of the dedup family
+    (kg_graph_e2e covers the (repo,lang) merge; this covers a
+    corpus-wide hash exchange whose payload is ~24 B x corpus words)."""
+    import pyarrow.parquet as pq
+
+    from deduce_ray.ops.substring import duplicated_ngram_spans
+
+    n_docs = (
+        pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+        * replicate
+    )
+    docs = _replicated_documents_salted(sf_dir, replicate)
+    # warm pass on one replica so worker spawn is outside the timing
+    duplicated_ngram_spans(
+        _replicated_documents_salted(sf_dir, 1), n=13
+    ).count()
+    t0 = time.time()
+    n_spans = duplicated_ngram_spans(docs, n=13).count()
+    elapsed = time.time() - t0
+    return {
+        "docs": n_docs,
+        "spans": n_spans,
+        "sec": round(elapsed, 3),
+        "docs_per_sec": round(n_docs / elapsed, 1),
+    }
+
+
 def _warm_pool(num_cpus: int) -> None:
     """Spawn the FULL Ray worker pool (and its numpy/pandas/deduce_ray
     imports) with one trivial wide stage before any timed query.
@@ -311,15 +378,18 @@ def main() -> None:
     parser.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     parser.add_argument("--kg-only", action="store_true")
     parser.add_argument("--graph-only", action="store_true")
+    parser.add_argument("--dupspans-only", action="store_true")
     parser.add_argument("--scaling", action="store_true")
     parser.add_argument(
         "--scaling-job",
-        choices=("annotate", "graph"),
+        choices=("annotate", "graph", "dupspans"),
         default="annotate",
         help="which headline the --scaling pair measures: the "
-        "embarrassingly-parallel annotate stage, or the end-to-end graph "
+        "embarrassingly-parallel annotate stage, the end-to-end graph "
         "job (annotate -> combiner -> (repo,lang) merge shuffle -> "
-        "partitioned sink) whose exchange is the skeptics' question",
+        "partitioned sink) whose exchange is the skeptics' question, or "
+        "the substring-dedup job (corpus-wide constant-width gram "
+        "exchange + two sharded groupbys)",
     )
     args = parser.parse_args()
 
@@ -340,8 +410,13 @@ def main() -> None:
         )
     tune_data_context()
 
-    if args.kg_only or args.graph_only:
-        headline = kg_graph_headline if args.graph_only else kg_headline
+    if args.kg_only or args.graph_only or args.dupspans_only:
+        if args.dupspans_only:
+            headline = dup_spans_headline
+        elif args.graph_only:
+            headline = kg_graph_headline
+        else:
+            headline = kg_headline
         _warm_pool(args.cpus)
         ticks0 = _cpu_ticks()
         result = headline(args.sf_dir, args.cpus, KG_REPLICATE)
@@ -408,8 +483,13 @@ def run_scaling(args) -> None:
     job = getattr(args, "scaling_job", "annotate")
     if "KG_REPLICATE" not in os.environ:
         # the graph job runs the full annotate + shuffle + sink chain, so
-        # a smaller corpus reaches the same wall-time per leg
-        os.environ["KG_REPLICATE"] = "160" if job == "annotate" else "64"
+        # a smaller corpus reaches the same wall-time per leg; the
+        # dupspans exchange is cheaper per doc, so it replicates more
+        os.environ["KG_REPLICATE"] = {
+            "annotate": "160",
+            "graph": "64",
+            "dupspans": "192",
+        }[job]
     trials = int(os.environ.get("SCALE_TRIALS", "2"))
 
     def one_run(cpus: int) -> dict:
@@ -417,7 +497,11 @@ def run_scaling(args) -> None:
             [
                 sys.executable,
                 __file__,
-                "--graph-only" if job == "graph" else "--kg-only",
+                {
+                    "annotate": "--kg-only",
+                    "graph": "--graph-only",
+                    "dupspans": "--dupspans-only",
+                }[job],
                 "--sf-dir",
                 args.sf_dir,
                 "--cpus",
@@ -443,7 +527,11 @@ def run_scaling(args) -> None:
     tput_lo = results[lo]["docs_per_sec"]
     tput_hi = results[hi]["docs_per_sec"]
     efficiency = round(tput_hi / ((hi / lo) * tput_lo), 3)
-    stage = "kg_annotate" if job == "annotate" else "kg_graph_e2e"
+    stage = {
+        "annotate": "kg_annotate",
+        "graph": "kg_graph_e2e",
+        "dupspans": "dup_spans",
+    }[job]
     out = {
         "metric": f"{stage}_scaling_efficiency",
         "value": efficiency,

@@ -149,7 +149,13 @@ def duplicated_ngram_spans(
         agg["end_word"] += n
         return agg.reset_index(drop=True)
 
-    grams = ds.map_batches(emit_grams, batch_format="pyarrow", num_cpus=0.9)
+    # large batch_size COALESCES small input blocks before the sort
+    # exchange: shuffle metadata scales with blocks x shard partitions,
+    # and a many-tiny-blocks corpus otherwise pays tens of seconds of
+    # pure scheduling (the repo-wide pre-shuffle coalescing pattern)
+    grams = ds.map_batches(
+        emit_grams, batch_format="pyarrow", batch_size=8192, num_cpus=0.9
+    )
     hits = grams.groupby("gram_shard").map_groups(dup_hits, batch_format="pandas")
     spans = hits.groupby("doc_shard").map_groups(
         merge_intervals, batch_format="pandas"
