@@ -44,6 +44,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 # single positional rolling-hash core, shared with the MinHash shingle
@@ -57,6 +58,7 @@ def duplicated_ngram_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_docs: int = 2,
+    n_shards: int | None = None,
 ):
     """Dataset of ``(doc_id, start_word, end_word)`` — one row per
     maximal duplicated span per document, where a span is the union of
@@ -66,7 +68,8 @@ def duplicated_ngram_spans(
     from deduce_ray.ops.agg import merge_shards
     from deduce_ray.ops.textstats import split_words
 
-    n_shards = merge_shards()
+    if n_shards is None:
+        n_shards = merge_shards()
 
     def emit_grams(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -82,39 +85,95 @@ def duplicated_ngram_spans(
         if not hash_parts:
             return pa.table(
                 {
-                    "gram_shard": pa.array([], type=pa.int64()),
                     "gram_hash": pa.array([], type=pa.int64()),
                     id_col: pa.array([], type=pa.int64()),
                     "pos": pa.array([], type=pa.int64()),
                 }
             )
-        gh = np.concatenate(hash_parts)
         return pa.table(
             {
-                "gram_shard": (gh.view(np.uint64) % n_shards).astype(np.int64),
-                "gram_hash": gh,
+                "gram_hash": np.concatenate(hash_parts),
                 id_col: np.concatenate(id_parts),
                 "pos": np.concatenate(pos_parts),
             }
         )
 
-    def dup_hits(df: pd.DataFrame) -> pd.DataFrame:
-        # vectorized within the shard: a gram is duplicated iff its
-        # positions span >= min_docs distinct documents.  The next
-        # shuffle's key is emitted here too (one stage fewer over the
-        # hits dataset).
-        ndocs = df.groupby("gram_hash", sort=False)[id_col].transform("nunique")
-        hits = df.loc[ndocs >= min_docs, [id_col, "pos"]].copy()
-        if hits.empty:
-            return pd.DataFrame(
-                {
-                    id_col: pd.Series(dtype="int64"),
-                    "pos": pd.Series(dtype="int64"),
-                    "doc_shard": pd.Series(dtype="int64"),
-                }
-            )
-        hits["doc_shard"] = hits[id_col].to_numpy() % n_shards
-        return hits
+    def _ndocs_per_run(run_id: np.ndarray, docs: np.ndarray) -> np.ndarray:
+        """Distinct-doc count per dense run id, fully vectorized: one
+        C-level lexsort groups (run, doc) pairs, a first-occurrence mask
+        marks each distinct pair once, and a bincount over marked runs
+        yields the counts.  Replaces pandas ``transform('nunique')``,
+        which hashed per group and dominated the 16-CPU leg (measured
+        at 162M gram rows: local_runs 72 s -> the lexsort path is the
+        block's sort cost only, ~6x less)."""
+        order = np.lexsort((docs, run_id))
+        r2 = run_id[order]
+        d2 = docs[order]
+        first = np.ones(len(r2), dtype=bool)
+        if len(r2) > 1:
+            first[1:] = (r2[1:] != r2[:-1]) | (d2[1:] != d2[:-1])
+        counts = np.bincount(
+            r2[first], minlength=int(run_id[-1]) + 1 if len(run_id) else 0
+        )
+        return counts[run_id]
+
+    def local_runs(batch: pa.Table) -> pa.Table:
+        """One sorted block: decide every INTERIOR hash run locally
+        (all rows of a hash strictly between the block's min and max
+        hashes are provably in this block), flag min/max-hash runs as
+        boundary — they may continue in neighbouring blocks and are
+        re-decided globally on the (tiny) boundary subset."""
+        empty = pa.table(
+            {
+                "gram_hash": pa.array([], type=pa.int64()),
+                id_col: pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
+                "boundary": pa.array([], type=pa.bool_()),
+            }
+        )
+        if not batch.num_rows:
+            return empty
+        h = batch.column("gram_hash").to_numpy(zero_copy_only=False)
+        docs = batch.column(id_col).to_numpy(zero_copy_only=False)
+        pos = batch.column("pos").to_numpy(zero_copy_only=False)
+        run_id = np.zeros(len(h), dtype=np.int64)
+        if len(h) > 1:
+            run_id[1:] = np.cumsum(h[1:] != h[:-1])
+        ndocs = _ndocs_per_run(run_id, docs)
+        boundary = (h == h[0]) | (h == h[-1])
+        keep = boundary | (ndocs >= min_docs)
+        return pa.table(
+            {
+                "gram_hash": h[keep],
+                id_col: docs[keep],
+                "pos": pos[keep],
+                "boundary": boundary[keep],
+            }
+        )
+
+    def boundary_hits(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: pd.Series(dtype="int64"),
+                "pos": pd.Series(dtype="int64"),
+            }
+        )
+        if df.empty:
+            return empty
+        h = df["gram_hash"].to_numpy()
+        docs = df[id_col].to_numpy()
+        pos = df["pos"].to_numpy()
+        # same vectorized distinct count as local_runs: sort by hash to
+        # form dense runs first (map_groups hands the shard unsorted)
+        order = np.argsort(h, kind="mergesort")
+        h, docs, pos = h[order], docs[order], pos[order]
+        run_id = np.zeros(len(h), dtype=np.int64)
+        if len(h) > 1:
+            run_id[1:] = np.cumsum(h[1:] != h[:-1])
+        keep = _ndocs_per_run(run_id, docs) >= min_docs
+        if not keep.any():
+            return empty
+        return pd.DataFrame({id_col: docs[keep], "pos": pos[keep]})
 
     def merge_intervals(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -137,26 +196,103 @@ def duplicated_ngram_spans(
             same_doc = doc[1:] == doc[:-1]
             chained = (pos[1:] - pos[:-1]) <= n
             brk[1:] = ~(same_doc & chained)
-        gid = np.cumsum(brk)
-        out = pd.DataFrame({id_col: doc, "pos": pos, "gid": gid})
-        agg = out.groupby("gid", sort=True).agg(
-            **{
-                id_col: (id_col, "first"),
-                "start_word": ("pos", "min"),
-                "end_word": ("pos", "max"),
+        # rows are sorted by (doc, pos), so each interval is a contiguous
+        # slice: its start is the break row, its end the row before the
+        # next break — pure index arithmetic, no pandas groupby
+        idx = np.nonzero(brk)[0]
+        last = np.empty(len(idx), dtype=np.int64)
+        last[:-1] = idx[1:] - 1
+        last[-1] = len(pos) - 1
+        return pd.DataFrame(
+            {
+                id_col: doc[idx],
+                "start_word": pos[idx],
+                "end_word": pos[last] + n,
             }
         )
-        agg["end_word"] += n
-        return agg.reset_index(drop=True)
 
     # large batch_size COALESCES small input blocks before the sort
-    # exchange: shuffle metadata scales with blocks x shard partitions,
-    # and a many-tiny-blocks corpus otherwise pays tens of seconds of
-    # pure scheduling (the repo-wide pre-shuffle coalescing pattern)
+    # exchange: shuffle metadata scales with the block count, and a
+    # many-tiny-blocks corpus otherwise pays tens of seconds of pure
+    # scheduling (the repo-wide pre-shuffle coalescing pattern)
     grams = ds.map_batches(
         emit_grams, batch_format="pyarrow", batch_size=8192, num_cpus=0.9
     )
-    hits = grams.groupby("gram_shard").map_groups(dup_hits, batch_format="pandas")
+
+    def coalesce(batch: pa.Table) -> pa.Table:
+        return batch
+
+    # fat gram blocks before the sort: Ray's sort spawns one reduce
+    # partition per INPUT block, and hundreds of skinny (18 MB) gram
+    # blocks make the 16-CPU exchange scheduling-bound (measured at
+    # 162M gram rows / 16 CPUs: 439 blocks sort in ~109 s streaming,
+    # the same rows in ~34 fat blocks sort in 18-27 s).  The coalescer
+    # re-batches to ~4M rows (~96 MB) per block; its num_cpus differs
+    # from emit_grams' so the two do NOT fuse (fusion would gate the
+    # emit stage's task granularity at the coalescer's batch_size,
+    # serializing the expensive gram hashing).
+    coalesced = grams.map_batches(
+        coalesce,
+        batch_format="pyarrow",
+        batch_size=4_000_000,
+        num_cpus=0.8,
+    )
+    # THE exchange: one range-partitioned sort on the high-cardinality
+    # 64-bit gram hash.  A sharded-groupby formulation (hash % 4xCPUs
+    # as the key) was measured 10-20x slower at 100M rows: range
+    # partitioning degenerates on a low-cardinality key and map_groups
+    # re-sorts inside every shard; sorting the raw hash keeps partitions
+    # balanced by sampling and lets each block decide its runs locally.
+    sorted_grams = coalesced.sort("gram_hash")
+    # small: global dup hits + block-boundary runs.  Materialized so the
+    # two downstream consumers do not re-execute the sort (spill-backed;
+    # bounded by duplicated mass + 2 runs per block).  The gram sort is
+    # the one LARGE exchange in this engine, and Ray's push-based
+    # shuffle is 8x faster on it (94M rows: 54 -> 6.6 s bare sort) while
+    # measurably SLOWER on the suite's many small exchanges — so it is
+    # enabled only for this materialize, which executes the sort here
+    # inside the op, and restored immediately after.
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    prev_shuffle = getattr(ctx, "use_push_based_shuffle", False)
+    ctx.use_push_based_shuffle = True
+    try:
+        flagged = sorted_grams.map_batches(
+            local_runs, batch_format="pyarrow", batch_size=None
+        ).materialize()
+    finally:
+        ctx.use_push_based_shuffle = prev_shuffle
+
+    def interior(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.invert(batch.column("boundary")))
+        return t.select([id_col, "pos"])
+
+    def boundary_only(batch: pa.Table) -> pa.Table:
+        t = batch.filter(batch.column("boundary"))
+        gh = t.column("gram_hash").to_numpy(zero_copy_only=False)
+        t = t.select(["gram_hash", id_col, "pos"])
+        return t.append_column(
+            "gram_shard",
+            pa.array((gh.view(np.uint64) % n_shards).astype(np.int64)),
+        )
+
+    hits_a = flagged.map_batches(interior, batch_format="pyarrow")
+    hits_b = (
+        flagged.map_batches(boundary_only, batch_format="pyarrow")
+        .groupby("gram_shard")
+        .map_groups(boundary_hits, batch_format="pandas")
+    )
+
+    def add_doc_shard(batch: pa.Table) -> pa.Table:
+        d = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "doc_shard", pa.array((d % n_shards).astype(np.int64))
+        )
+
+    hits = hits_a.union(hits_b).map_batches(
+        add_doc_shard, batch_format="pyarrow"
+    )
     spans = hits.groupby("doc_shard").map_groups(
         merge_intervals, batch_format="pandas"
     )

@@ -95,7 +95,60 @@ def run_level(sf_dir: str, k: int, docs_per_proc: int) -> dict:
     }
 
 
+def _bw_worker(n_rounds: int) -> float:
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a = rng.integers(-(2**62), 2**62, 20_000_000, dtype=np.int64)
+    t0 = time.time()
+    for _ in range(n_rounds):
+        np.sort(a)
+    return n_rounds / (time.time() - t0)
+
+
+def run_bandwidth(levels: list[int]) -> None:
+    """Memory-bandwidth control for the EXCHANGE-heavy pipelines
+    (dup_spans and the dedup sorts): K plain processes each np.sort a
+    20M-row int64 array — the dominant kernel shape of the gram
+    exchange — no Ray, no IPC.  If bare numpy sorts stop scaling past
+    ~8 streams (this host measures ~0.51 efficiency 4->16), a
+    sort-bound Ray job cannot do better on one box: the limit is DRAM
+    bandwidth shared by all cores, which a real multi-NODE cluster
+    does not share (each node brings its own memory controllers).
+
+    Run:  python scripts/probe_scaling_floor.py --bandwidth [K1,K2]
+    """
+    out = []
+    for k in levels:
+        with mp.Pool(k) as pool:
+            rates = pool.map(_bw_worker, [3] * k)
+        out.append({"k": k, "sorts_per_sec_aggregate": round(sum(rates), 2)})
+        print(json.dumps(out[-1]))
+    if len(out) >= 2:
+        lo, hi = out[0], out[-1]
+        eff = (
+            hi["sorts_per_sec_aggregate"] / lo["sorts_per_sec_aggregate"]
+        ) / (hi["k"] / lo["k"])
+        print(
+            json.dumps(
+                {
+                    "metric": "mp_sort_bandwidth_efficiency",
+                    "value": round(eff, 3),
+                    "pair": [lo["k"], hi["k"]],
+                }
+            )
+        )
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--bandwidth":
+        levels = (
+            [int(x) for x in sys.argv[2].split(",")]
+            if len(sys.argv) > 2
+            else [4, 16]
+        )
+        run_bandwidth(levels)
+        return
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     levels = (
         [int(x) for x in sys.argv[2].split(",")] if len(sys.argv) > 2 else [6, 24]
