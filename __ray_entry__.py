@@ -604,9 +604,13 @@ def _q_doc_shingle_fingerprints(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
-    """REAL decode path: the synthesized payloads are genuine P6 PPM /
-    PCM WAV encodings, parsed byte-level by the pure-numpy codecs
-    (deduce_ray.ops.multimodal.decode_ppm / decode_wav)."""
+    """REAL decode path: the synthesized payloads are genuine PNG (zlib
+    DEFLATE, paeth-filtered) / P6 PPM / PCM WAV encodings, parsed
+    byte-level by the pure-numpy codecs.  Output is the exploded
+    (media_id, kind, dim, value) shape whose floor-micro values the
+    DuckDB oracle (oracles.media_features_sql) recomputes from the
+    sha256 seed WITHOUT the codecs — a value match proves the
+    encode -> decode round-trip and the pooling math end-to-end."""
     import ray.data
 
     from deduce_ray.ops.multimodal import extract_media_features, synthesize_media_batch
@@ -614,7 +618,7 @@ def _q_media_features(sf_dir: str):
     media = read_parquet_sliced(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
     ).map_batches(synthesize_media_batch, batch_format="pyarrow")
-    return extract_media_features(media, fake_decoder=False)
+    return extract_media_features(media, fake_decoder=False, exploded=True)
 
 
 def _q_media_resized(sf_dir: str):
@@ -724,6 +728,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- sketches (the oracle reproduces the HLL estimator itself,
         # bit for bit — see oracles.hll_distinct_sql) ---
         "events_user_sketch": _q_events_user_sketch,
+        # --- multimodal (value-checked: the oracle recomputes the
+        # floor-micro pooled features from the sha256 seed without the
+        # codecs, so a match proves the real PNG/PPM/WAV encode -> decode
+        # round-trip — see oracles.media_features_sql) ---
+        "media_features": _q_media_features,
         # ================= rows-only queries below this line ===============
         # --- KG construction pipeline, full rule engine (lexicon tries,
         # context fixpoints, fuzzy matching: not SQL-expressible; the same
@@ -736,12 +745,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # is value-checked end-to-end by kg_entities_sqlpreds AND
         # kg_entities_canonical_sqlpreds, and the full-lexicon run stays
         # covered by tests/test_ray_pipeline.py. ---
+        # (``media_resized`` was retired earlier for the oracled
+        # ``dup_spans``: the resize stage stays covered by
+        # tests/test_ray_pipeline.py; ``media_features`` itself moved UP
+        # into the oracled block late in round 4 when its pooling gained
+        # the integer-exact floor-micro contract a DuckDB oracle can
+        # reproduce from the seed.) ---
         "kg_triples": _q_kg_triples,
-        # --- multimodal plumbing (``media_resized`` was retired for the
-        # oracled ``dup_spans``: the resize stage stays covered by
-        # tests/test_ray_pipeline.py and the decode machinery by the
-        # registered media_features) ---
-        "media_features": _q_media_features,
     }
 
 
@@ -848,6 +858,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs_exact": oracles.jaccard_pairs_sql(),
         "dup_spans": oracles.dup_spans_sql(),
         "events_user_sketch": oracles.hll_distinct_sql(),
+        "media_features": oracles.media_features_sql(),
         "minhash_clusters": oracles.neardup_clusters_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),
         "kg_emails": _mention_oracle(_EMAIL_RE_SQL),

@@ -446,11 +446,38 @@ def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     )
 
 
+def decode_image_rgbsum(payload: bytes) -> np.ndarray:
+    """Decode an image payload to the flat per-pixel ``r+g+b`` INTEGER
+    array (full scale 765) — the native-domain input of the
+    integer-exact feature contract (see MediaFeatureExtractor).  Same
+    codec policy as decode_image: PPM/PNG real, JPEG raises."""
+    if payload.startswith(b"P6"):
+        rgb = decode_ppm(payload)
+    elif payload.startswith(_PNG_SIG):
+        rgb = decode_png(payload)
+    else:
+        raise NotImplementedError(
+            "only binary PPM (P6) and 8-bit gray/RGB PNG decode in this "
+            "environment; JPEG needs PIL/turbojpeg (construct the stage "
+            "with fake_decoder=True for the deterministic stand-in)"
+        )
+    if rgb.shape[2] == 1:  # 8-bit gray PNG: gray v ≙ r=g=b=v → r+g+b = 3v
+        return rgb.ravel().astype(np.int64) * 3
+    return rgb.reshape(-1, rgb.shape[2]).astype(np.int64).sum(axis=1)
+
+
 def decode_audio(payload: bytes) -> np.ndarray:
     """Decode an audio payload to float32 samples in [-1, 1].  REAL for
     16-bit PCM mono WAV; compressed codecs raise — the honest stub."""
+    return decode_audio_ints(payload).astype(np.float32) / 32768.0
+
+
+def decode_audio_ints(payload: bytes) -> np.ndarray:
+    """int16 samples (full scale 32768) — the native-domain input of the
+    integer-exact feature contract.  REAL for 16-bit PCM mono WAV;
+    compressed codecs raise — the honest stub."""
     if payload.startswith(b"RIFF"):
-        return decode_wav(payload).astype(np.float32) / 32768.0
+        return decode_wav(payload)
     raise NotImplementedError(
         "only PCM WAV decodes in this environment; compressed audio "
         "codecs need torchaudio/ffmpeg (construct the stage with "
@@ -499,21 +526,60 @@ class MediaFeatureExtractor:
     Use small ``batch_size`` for large payloads (a batch x concurrency must
     fit the worker heap); model/codec setup belongs here in ``__init__``,
     once per actor.
+
+    Feature contract (integer-exact, so an independent implementation —
+    including the DuckDB SQL oracle, see
+    ``deduce_ray.oracles.media_features_sql`` — reproduces every value
+    bit for bit): the decoded signal is kept in its native INTEGER
+    domain (image pixel j contributes ``r+g+b`` with full-scale 765,
+    audio keeps int16 samples with full-scale 32768, video/fake keep
+    raw bytes with full-scale 255), truncated to a multiple of
+    ``FEATURE_DIM`` and mean-pooled per bin as
+
+        feature[t] = floor(1e6 * sum_t / (full_scale * q)) / 1e6
+
+    with ``q = n // FEATURE_DIM`` — i.e. the normalized mean intensity
+    of the bin, floor-quantized to micro-units.  Integer sums and a
+    single exact floor division make the value a deterministic rational
+    rather than an accumulation-order-dependent float.
+
+    ``exploded=True`` emits one row per (media_id, dim) with the value
+    as float64 — the registry/oracle shape; the default emits the
+    compact ``list<float32>`` feature column.
     """
 
     FEATURE_DIM = 32
 
-    def __init__(self, fake_decoder: bool = False) -> None:
+    def __init__(self, fake_decoder: bool = False, exploded: bool = False) -> None:
         self.fake_decoder = fake_decoder
+        self.exploded = exploded
 
-    def _decode(self, payload: bytes, kind: str, width: int, height: int) -> np.ndarray:
+    def _decode_ints(
+        self, payload: bytes, kind: str, width: int, height: int
+    ) -> tuple[np.ndarray, int]:
+        """(integer signal, full-scale denominator) for the pooling
+        contract; decoding itself is byte-real (see decode_image /
+        decode_audio / decode_video for the honest-stub policy)."""
         if self.fake_decoder:
-            return _fake_decode(payload, 64 * 64)
+            digest = hashlib.sha256(payload).digest()
+            return _seed_bytes(digest, 64 * 64).astype(np.int64), 255
         if kind == "audio":
-            return decode_audio(payload)
+            return decode_audio_ints(payload).astype(np.int64), 32768
         if kind == "video":
-            return decode_video(payload).astype(np.float32).ravel() / 255.0
-        return decode_image(payload, width, height).ravel()
+            return decode_video(payload).ravel().astype(np.int64), 255
+        return decode_image_rgbsum(payload).astype(np.int64), 765
+
+    def _pool_micro(self, ints: np.ndarray, denom: int) -> np.ndarray:
+        dim = self.FEATURE_DIM
+        if len(ints) < dim:
+            # tiny-but-valid media (e.g. a 2x2 image, a <32-sample
+            # clip): zero-pad so the fixed-dim pooling never reshapes
+            # an empty array
+            ints = np.pad(ints, (0, dim - len(ints)))
+        q = len(ints) // dim
+        sums = ints[: q * dim].reshape(dim, q).sum(axis=1, dtype=np.int64)
+        # exact rational floor in int64 (numpy // floors like Python)
+        return (sums * 1_000_000) // (denom * q)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
@@ -522,36 +588,50 @@ class MediaFeatureExtractor:
         widths = batch.column("width").to_pylist()
         heights = batch.column("height").to_pylist()
 
-        features = []
-        dim = self.FEATURE_DIM
-        for payload, kind, w, h in zip(payloads, kinds, widths, heights):
-            pixels = self._decode(payload, kind, w, h)
-            if len(pixels) < dim:
-                # tiny-but-valid media (e.g. a 2x2 image, a <32-sample
-                # clip): zero-pad so the fixed-dim pooling never reshapes
-                # an empty array
-                pixels = np.pad(pixels, (0, dim - len(pixels)))
-            # mean-pool into a fixed-dim feature vector
-            pooled = pixels[: (len(pixels) // dim) * dim]
-            pooled = pooled.reshape(dim, -1).mean(axis=1)
-            features.append([round(float(x), 6) for x in pooled])
+        micros = [
+            self._pool_micro(*self._decode_ints(payload, kind, w, h))
+            for payload, kind, w, h in zip(payloads, kinds, widths, heights)
+        ]
 
+        if self.exploded:
+            dim = self.FEATURE_DIM
+            n = len(ids)
+            return pa.table(
+                {
+                    "media_id": pa.array(
+                        np.repeat(np.asarray(ids, dtype=np.int64), dim)
+                    ),
+                    "kind": pa.array(np.repeat(np.asarray(kinds), dim)),
+                    "dim": pa.array(np.tile(np.arange(dim, dtype=np.int32), n)),
+                    "value": pa.array(
+                        (np.concatenate(micros) if micros else
+                         np.empty(0, dtype=np.int64)).astype(np.float64) / 1e6
+                    ),
+                }
+            )
+
+        features = [(m.astype(np.float64) / 1e6).astype(np.float32) for m in micros]
         return pa.table(
             {
                 "media_id": pa.array(ids, type=pa.int64()),
-                "feature": pa.array(features, type=pa.list_(pa.float32())),
+                "feature": pa.array(
+                    [f.tolist() for f in features], type=pa.list_(pa.float32())
+                ),
             }
         )
 
 
 def extract_media_features(ds, fake_decoder: bool = False, concurrency=(1, 4),
-                           batch_size: int = 16):
+                           batch_size: int = 16, exploded: bool = False):
     return ds.map_batches(
         MediaFeatureExtractor,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
-        fn_constructor_kwargs={"fake_decoder": fake_decoder},
+        fn_constructor_kwargs={
+            "fake_decoder": fake_decoder,
+            "exploded": exploded,
+        },
     )
 
 

@@ -639,3 +639,73 @@ def hll_distinct_sql(
                     AS BIGINT) AS approx_distinct
         FROM est
     """
+
+
+def media_features_sql(dim: int = 32) -> str:
+    """DuckDB reproduction of the media feature pipeline — computed from
+    the SEED, not the payload.
+
+    The synthesized corpus (ops.multimodal.synthesize_media_batch)
+    derives every payload's signal bytes by tiling
+    ``sha256('media:' || doc_id)``, then REALLY encodes them (PNG with
+    zlib DEFLATE + paeth filtering, P6 PPM, PCM WAV).  The Ray query
+    runs seed -> encode -> decode -> integer-exact pooling
+    (MediaFeatureExtractor's floor-micro contract); this oracle runs
+    seed -> pooling directly, so a value match proves the codec
+    round-trip AND the feature math end-to-end.  DuckDB's sha256()
+    matches hashlib byte for byte.
+
+    Shapes mirrored from the synthesizer: doc_id % 3 == 0 -> WAV audio
+    (2048 int16 LE samples from a 4096-byte tile, full scale 32768);
+    else an image, w = 16 + (i%8)*16, h = 16 + (i%5)*16, pixel j's
+    r+g+b = 3 consecutive tiled bytes (full scale 765).  w*h is a
+    multiple of 256, so q = w*h/{dim} is exact.
+    """
+    return f"""
+        WITH dims AS (
+          SELECT doc_id AS i,
+                 CASE WHEN doc_id % 3 = 0 THEN 'audio' ELSE 'image' END AS kind,
+                 16 + (doc_id % 8) * 16 AS w,
+                 16 + (doc_id % 5) * 16 AS h,
+                 sha256('media:' || CAST(doc_id AS VARCHAR)) AS hx
+          FROM documents
+        ),
+        digest AS (  -- the 32 digest bytes, as a 1-indexed list per doc
+          SELECT i, list(('0x' || substr(hx, 2*k + 1, 2))::BIGINT ORDER BY k) AS bs
+          FROM dims, generate_series(0, 31) AS g(k)
+          GROUP BY i, hx
+        ),
+        img AS (  -- pixel j: three consecutive bytes of the tiled stream
+          SELECT d.i, j // (d.w * d.h // {dim}) AS dim,
+                 SUM(bs[(3*j) % 32 + 1] + bs[(3*j + 1) % 32 + 1]
+                     + bs[(3*j + 2) % 32 + 1]) AS s,
+                 765 * (d.w * d.h // {dim}) AS denom
+          FROM dims d
+          JOIN digest USING (i),
+               UNNEST(generate_series(0, d.w * d.h - 1)) AS g(j)
+          WHERE d.kind = 'image'
+          GROUP BY d.i, d.w, d.h, j // (d.w * d.h // {dim})
+        ),
+        aud AS (  -- sample j: little-endian int16 from two tiled bytes
+          SELECT d.i, j // (2048 // {dim}) AS dim,
+                 SUM(CASE WHEN bs[(2*j) % 32 + 1] + 256 * bs[(2*j + 1) % 32 + 1]
+                               >= 32768
+                          THEN bs[(2*j) % 32 + 1] + 256 * bs[(2*j + 1) % 32 + 1]
+                               - 65536
+                          ELSE bs[(2*j) % 32 + 1] + 256 * bs[(2*j + 1) % 32 + 1]
+                     END) AS s,
+                 32768 * (2048 // {dim}) AS denom
+          FROM dims d
+          JOIN digest USING (i),
+               generate_series(0, 2047) AS g(j)
+          WHERE d.kind = 'audio'
+          GROUP BY d.i, j // (2048 // {dim})
+        ),
+        pooled AS (
+          SELECT * FROM img UNION ALL SELECT * FROM aud
+        )
+        SELECT p.i AS media_id, d.kind,
+               CAST(p.dim AS INT) AS dim,
+               FLOOR(p.s * 1000000.0 / p.denom) / 1e6 AS value
+        FROM pooled p JOIN dims d ON d.i = p.i
+    """

@@ -1040,6 +1040,43 @@ class TestSimilarity:
 
 
 class TestMultimodal:
+    def test_feature_oracle_matches_extractor(self):
+        """The DuckDB oracle recomputes the floor-micro features from the
+        sha256 seed with NO codec in the loop; the extractor runs the
+        real encode -> decode path.  Bitwise equality across both is the
+        end-to-end proof (no Ray needed: call the stage directly)."""
+        import duckdb
+
+        from deduce_ray import oracles
+        from deduce_ray.ops.multimodal import (
+            MediaFeatureExtractor,
+            synthesize_media_batch,
+        )
+
+        ids = list(range(40))  # covers every (i%3, i%8, i%5) mix
+        media = synthesize_media_batch(
+            pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+        )
+        mine = (
+            MediaFeatureExtractor(exploded=True)(media)
+            .to_pandas()
+            .sort_values(["media_id", "dim"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT unnest(range(40)) AS doc_id"
+        )
+        want = (
+            con.execute(oracles.media_features_sql())
+            .df()
+            .sort_values(["media_id", "dim"])
+            .reset_index(drop=True)
+        )
+        assert len(mine) == 40 * 32
+        assert list(mine["value"]) == list(want["value"])
+        assert list(mine["kind"]) == list(want["kind"])
+
     def test_feature_extraction_plumbing(self, ray_session):
         import ray.data
 
@@ -1201,12 +1238,20 @@ class TestMultimodal:
         for row in media_tbl.to_pylist():
             if row["kind"] != "image":
                 continue
+            # integer-exact contract: floor-micro of the r+g+b bin sums
+            # (decode_image's float grayscale must agree with it to ~1 µ)
+            from deduce_ray.ops.multimodal import decode_image_rgbsum
+
+            ints = decode_image_rgbsum(row["payload"])
+            q = len(ints) // dim
+            sums = ints[: q * dim].reshape(dim, q).sum(axis=1, dtype=np.int64)
+            want = ((sums * 1_000_000) // (765 * q)).astype(np.float64) / 1e6
+            got = np.asarray(feats[row["media_id"]], dtype=np.float64)
+            assert np.allclose(got, want, atol=1e-6), row["media_id"]
             gray = decode_image(row["payload"], row["width"], row["height"])
             flat = gray.ravel()
-            pooled = flat[: (len(flat) // dim) * dim].reshape(dim, -1).mean(axis=1)
-            want = [round(float(x), 6) for x in pooled]
-            got = feats[row["media_id"]]
-            assert np.allclose(got, want, atol=1e-6)
+            pooled = flat[: q * dim].reshape(dim, q).mean(axis=1)
+            assert np.allclose(got, pooled, atol=2e-6)
 
     def test_resize_images_plumbing(self, ray_session):
         import ray.data
