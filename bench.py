@@ -142,7 +142,7 @@ def _replicated_documents_salted(
         replica = pa.table(
             {
                 "doc_id": pa.array(ids + r * 100_000_000, type=pa.int64()),
-                "text": pa.array(salted.tolist(), type=pa.string()),
+                "text": pa.Array.from_pandas(salted, type=pa.string()),
             }
         )
         for i in range(0, n, rows_per_block):

@@ -514,10 +514,15 @@ def _grid_means(plane: np.ndarray, g: int) -> np.ndarray:
     return out / 255.0
 
 
+def _fake_bytes(payload: bytes, n: int) -> np.ndarray:
+    """The fake-decoder byte contract, defined once: the payload's
+    sha256 digest tiled to n uint8 values (shared by the float stand-in
+    and the integer-exact feature path)."""
+    return _seed_bytes(hashlib.sha256(payload).digest(), n)
+
+
 def _fake_decode(payload: bytes, n: int) -> np.ndarray:
-    digest = hashlib.sha256(payload).digest()
-    raw = (digest * (n // len(digest) + 1))[:n]
-    return np.frombuffer(bytes(raw), dtype=np.uint8).astype(np.float32) / 255.0
+    return _fake_bytes(payload, n).astype(np.float32) / 255.0
 
 
 class MediaFeatureExtractor:
@@ -561,13 +566,12 @@ class MediaFeatureExtractor:
         contract; decoding itself is byte-real (see decode_image /
         decode_audio / decode_video for the honest-stub policy)."""
         if self.fake_decoder:
-            digest = hashlib.sha256(payload).digest()
-            return _seed_bytes(digest, 64 * 64).astype(np.int64), 255
+            return _fake_bytes(payload, 64 * 64).astype(np.int64), 255
         if kind == "audio":
             return decode_audio_ints(payload).astype(np.int64), 32768
         if kind == "video":
             return decode_video(payload).ravel().astype(np.int64), 255
-        return decode_image_rgbsum(payload).astype(np.int64), 765
+        return decode_image_rgbsum(payload), 765
 
     def _pool_micro(self, ints: np.ndarray, denom: int) -> np.ndarray:
         dim = self.FEATURE_DIM
@@ -601,7 +605,13 @@ class MediaFeatureExtractor:
                     "media_id": pa.array(
                         np.repeat(np.asarray(ids, dtype=np.int64), dim)
                     ),
-                    "kind": pa.array(np.repeat(np.asarray(kinds), dim)),
+                    # dtype=object pins the string type on EMPTY batches
+                    # (np.asarray([]) would default to float64 and break
+                    # cross-block schema unification)
+                    "kind": pa.array(
+                        np.repeat(np.asarray(kinds, dtype=object), dim),
+                        type=pa.string(),
+                    ),
                     "dim": pa.array(np.tile(np.arange(dim, dtype=np.int32), n)),
                     "value": pa.array(
                         (np.concatenate(micros) if micros else

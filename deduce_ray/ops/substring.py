@@ -52,6 +52,16 @@ import pyarrow.compute as pc
 from deduce_ray.ops.dedup import gram_hash_array  # noqa: F401  (re-export)
 
 
+def _dense_runs(h: np.ndarray) -> np.ndarray:
+    """Dense run ids over a SORTED hash array — the single definition
+    shared by the interior (local_runs) and boundary (boundary_hits)
+    verdicts, so the run semantics can never diverge between them."""
+    run_id = np.zeros(len(h), dtype=np.int64)
+    if len(h) > 1:
+        run_id[1:] = np.cumsum(h[1:] != h[:-1])
+    return run_id
+
+
 def duplicated_ngram_spans(
     ds,
     n: int = 13,
@@ -59,12 +69,27 @@ def duplicated_ngram_spans(
     id_col: str = "doc_id",
     min_docs: int = 2,
     n_shards: int | None = None,
+    coalesce_rows: int = 4_000_000,
 ):
     """Dataset of ``(doc_id, start_word, end_word)`` — one row per
     maximal duplicated span per document, where a span is the union of
     ``n``-word windows shared (verbatim) by >= ``min_docs`` distinct
     documents.  ``end_word`` is exclusive; positions index the
-    document's word sequence."""
+    document's word sequence.
+
+    ``coalesce_rows`` sizes the pre-sort gram blocks (default ~96 MB);
+    tests shrink it to force MULTI-block sorts so the boundary-run path
+    is exercised at unit scale.
+
+    Note on execution shape: the gram sort — the engine's one LARGE
+    exchange — is executed EAGERLY inside this call (a ``materialize()``
+    the two downstream consumers share), because Ray's push-based
+    shuffle is ~8x faster on it but measurably slower on small
+    exchanges, so the flag is enabled only around that materialize.
+    The flag lives on the process-global ``DataContext``: a concurrent
+    pipeline executing in the same driver during that window would pick
+    it up too (perf, not correctness) — single-pipeline drivers, like
+    this repo's query/bench surfaces, are unaffected."""
     from deduce_ray.ops.agg import merge_shards
     from deduce_ray.ops.textstats import split_words
 
@@ -136,10 +161,7 @@ def duplicated_ngram_spans(
         h = batch.column("gram_hash").to_numpy(zero_copy_only=False)
         docs = batch.column(id_col).to_numpy(zero_copy_only=False)
         pos = batch.column("pos").to_numpy(zero_copy_only=False)
-        run_id = np.zeros(len(h), dtype=np.int64)
-        if len(h) > 1:
-            run_id[1:] = np.cumsum(h[1:] != h[:-1])
-        ndocs = _ndocs_per_run(run_id, docs)
+        ndocs = _ndocs_per_run(_dense_runs(h), docs)
         boundary = (h == h[0]) | (h == h[-1])
         keep = boundary | (ndocs >= min_docs)
         return pa.table(
@@ -151,11 +173,13 @@ def duplicated_ngram_spans(
             }
         )
 
-    def boundary_hits(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
+    def boundary_hits(df: pd.DataFrame) -> pa.Table:
+        # Arrow output so the union with the interior hits (Arrow
+        # blocks) keeps ONE block schema end-to-end
+        empty = pa.table(
             {
-                id_col: pd.Series(dtype="int64"),
-                "pos": pd.Series(dtype="int64"),
+                id_col: pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
             }
         )
         if df.empty:
@@ -163,31 +187,32 @@ def duplicated_ngram_spans(
         h = df["gram_hash"].to_numpy()
         docs = df[id_col].to_numpy()
         pos = df["pos"].to_numpy()
-        # same vectorized distinct count as local_runs: sort by hash to
-        # form dense runs first (map_groups hands the shard unsorted)
+        # same run construction + distinct count as local_runs (shared
+        # helpers): sort by hash to form dense runs first (map_groups
+        # hands the shard unsorted)
         order = np.argsort(h, kind="mergesort")
         h, docs, pos = h[order], docs[order], pos[order]
-        run_id = np.zeros(len(h), dtype=np.int64)
-        if len(h) > 1:
-            run_id[1:] = np.cumsum(h[1:] != h[:-1])
-        keep = _ndocs_per_run(run_id, docs) >= min_docs
+        keep = _ndocs_per_run(_dense_runs(h), docs) >= min_docs
         if not keep.any():
             return empty
-        return pd.DataFrame({id_col: docs[keep], "pos": pos[keep]})
+        return pa.table({id_col: docs[keep], "pos": pos[keep]})
 
-    def merge_intervals(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
+    def merge_intervals(df: pd.DataFrame) -> pa.Table:
+        empty = pa.table(
             {
-                id_col: pd.Series(dtype="int64"),
-                "start_word": pd.Series(dtype="int64"),
-                "end_word": pd.Series(dtype="int64"),
+                id_col: pa.array([], type=pa.int64()),
+                "start_word": pa.array([], type=pa.int64()),
+                "end_word": pa.array([], type=pa.int64()),
             }
         )
         if df.empty:
             return empty
         # (doc, pos) rows are unique by construction: the emitter
-        # produces each document position exactly once, and dup_hits
-        # only filters — so no dedup before the interval merge
+        # produces each document position exactly once, and the
+        # interior/boundary verdict paths are row-disjoint filters of
+        # that emission (boundary rows are excluded from `interior` and
+        # re-decided only in `boundary_hits`) — so no dedup before the
+        # interval merge
         df = df.sort_values([id_col, "pos"], kind="mergesort")
         doc = df[id_col].to_numpy()
         pos = df["pos"].to_numpy()
@@ -203,7 +228,7 @@ def duplicated_ngram_spans(
         last = np.empty(len(idx), dtype=np.int64)
         last[:-1] = idx[1:] - 1
         last[-1] = len(pos) - 1
-        return pd.DataFrame(
+        return pa.table(
             {
                 id_col: doc[idx],
                 "start_word": pos[idx],
@@ -227,14 +252,14 @@ def duplicated_ngram_spans(
     # blocks make the 16-CPU exchange scheduling-bound (measured at
     # 162M gram rows / 16 CPUs: 439 blocks sort in ~109 s streaming,
     # the same rows in ~34 fat blocks sort in 18-27 s).  The coalescer
-    # re-batches to ~4M rows (~96 MB) per block; its num_cpus differs
-    # from emit_grams' so the two do NOT fuse (fusion would gate the
-    # emit stage's task granularity at the coalescer's batch_size,
-    # serializing the expensive gram hashing).
+    # re-batches to ``coalesce_rows`` (~96 MB default) per block; its
+    # num_cpus differs from emit_grams' so the two do NOT fuse (fusion
+    # would gate the emit stage's task granularity at the coalescer's
+    # batch_size, serializing the expensive gram hashing).
     coalesced = grams.map_batches(
         coalesce,
         batch_format="pyarrow",
-        batch_size=4_000_000,
+        batch_size=max(int(coalesce_rows), 1),
         num_cpus=0.8,
     )
     # THE exchange: one range-partitioned sort on the high-cardinality

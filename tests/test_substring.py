@@ -79,6 +79,76 @@ class TestDupSpans:
         out = _spans(docs + [(4, g)], min_docs=3)
         assert sorted(out.doc_id.tolist()) == [1, 2, 4]
 
+    def test_multi_block_boundary_runs(self, ray_session):
+        """Force the sort output into MANY blocks (tiny coalesce_rows)
+        so hash runs straddle block boundaries and the boundary-run
+        re-decision path actually executes — the default ~4M-row
+        coalescer puts every unit-scale corpus in one sorted block,
+        leaving boundary_hits dead in CI otherwise.  Verified against a
+        brute-force pandas oracle over every shared n-gram."""
+        import numpy as np
+
+        from deduce_ray.ops.textstats import split_words
+
+        rng = np.random.default_rng(7)
+        vocab = [f"v{i}" for i in range(30)]
+        shared_a = " ".join(f"s{i}" for i in range(9))
+        shared_b = " ".join(f"t{i}" for i in range(6))
+        docs = []
+        for i in range(40):
+            body = " ".join(rng.choice(vocab, size=25))
+            if i % 3 == 0:
+                body = shared_a + " " + body
+            if i % 4 == 0:
+                body = body + " " + shared_b
+            docs.append((i, body))
+
+        n = 5
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in docs]
+        ).repartition(16)
+        got = duplicated_ngram_spans(ds, n=n, min_docs=2, coalesce_rows=8)
+        got = (
+            got.to_pandas()
+            .sort_values(["doc_id", "start_word"])
+            .reset_index(drop=True)
+            .astype("int64")
+        )
+
+        # brute-force oracle: every n-gram -> set of docs; merge hits
+        gram_docs: dict[tuple, set] = {}
+        words_by_doc = {}
+        for i, t in docs:
+            w = split_words(t)
+            words_by_doc[i] = w
+            for p in range(len(w) - n + 1):
+                gram_docs.setdefault(tuple(w[p : p + n]), set()).add(i)
+        rows = []
+        for i, w in words_by_doc.items():
+            hits = [
+                p
+                for p in range(len(w) - n + 1)
+                if len(gram_docs[tuple(w[p : p + n])]) >= 2
+            ]
+            start = prev = None
+            for p in hits:
+                if start is None:
+                    start = prev = p
+                elif p - prev <= n:
+                    prev = p
+                else:
+                    rows.append((i, start, prev + n))
+                    start = prev = p
+            if start is not None:
+                rows.append((i, start, prev + n))
+        want = (
+            pd.DataFrame(rows, columns=["doc_id", "start_word", "end_word"])
+            .sort_values(["doc_id", "start_word"])
+            .reset_index(drop=True)
+            .astype("int64")
+        )
+        pd.testing.assert_frame_equal(got, want)
+
     def test_gram_hash_positional(self):
         words = [f"w{i}" for i in range(10)]
         h = gram_hash_array(words, 4)
