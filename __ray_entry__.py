@@ -158,6 +158,19 @@ def _q_kg_cooccurrence_sqlpreds(sf_dir: str):
     return cooccurrence_edges(_triples(sf_dir, enabled=set(SQLPRED_ENABLED)))
 
 
+def _q_kg_pagerank_sqlpreds(sf_dir: str):
+    """KG analytics: PageRank over the entity co-occurrence graph
+    (sqlpreds restriction) — sharded message-passing rounds, each two
+    narrow exchanges; value-checked against a DuckDB oracle that
+    unrolls the fixed-iteration recurrence (oracles.kg_pagerank_sqlpreds_sql)."""
+    from deduce_ray.oracles import SQLPRED_ENABLED
+    from deduce_ray.rayops.kg import cooccurrence_edges, pagerank
+
+    return pagerank(
+        cooccurrence_edges(_triples(sf_dir, enabled=set(SQLPRED_ENABLED)))
+    )
+
+
 def _q_doc_token_counts(sf_dir: str):
     import ray.data
 
@@ -671,6 +684,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_entities_sqlpreds": _q_kg_entities_sqlpreds,
         "kg_entities_canonical_sqlpreds": _q_kg_entities_canonical_sqlpreds,
         "kg_cooccurrence_sqlpreds": _q_kg_cooccurrence_sqlpreds,
+        "kg_pagerank_sqlpreds": _q_kg_pagerank_sqlpreds,
         "kg_redacted_sqlpreds": _q_kg_redacted_sqlpreds,
         # --- single annotator groups, value-checked against DuckDB regex ---
         "kg_dates": _mentions_query(
@@ -733,25 +747,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # codecs, so a match proves the real PNG/PPM/WAV encode -> decode
         # round-trip — see oracles.media_features_sql) ---
         "media_features": _q_media_features,
-        # ================= rows-only queries below this line ===============
-        # --- KG construction pipeline, full rule engine (lexicon tries,
-        # context fixpoints, fuzzy matching: not SQL-expressible; the same
-        # machinery is value-checked by the *_sqlpreds family above).
-        # ``kg_graph`` (rows-only) was retired for the oracled
-        # ``corpus_mix``: its dedup/groupby machinery is value-checked by
-        # kg_graph_sqlpreds and its full-engine inputs by kg_triples,
-        # which stays registered.  ``kg_entities`` (rows-only) was then
-        # retired for the oracled ``decontaminate``: its distributed path
-        # is value-checked end-to-end by kg_entities_sqlpreds AND
-        # kg_entities_canonical_sqlpreds, and the full-lexicon run stays
-        # covered by tests/test_ray_pipeline.py. ---
-        # (``media_resized`` was retired earlier for the oracled
-        # ``dup_spans``: the resize stage stays covered by
-        # tests/test_ray_pipeline.py; ``media_features`` itself moved UP
-        # into the oracled block late in round 4 when its pooling gained
-        # the integer-exact floor-micro contract a DuckDB oracle can
-        # reproduce from the seed.) ---
-        "kg_triples": _q_kg_triples,
+        # ============== every registered query is value-checked ===========
+        # Rows-only retirement history (each machinery stays covered):
+        # ``kg_graph`` -> corpus_mix (kg_graph_sqlpreds is the value
+        # check); ``kg_entities`` -> decontaminate (kg_entities_sqlpreds
+        # + kg_entities_canonical_sqlpreds); ``media_resized`` ->
+        # dup_spans (resize covered by tests/test_ray_pipeline.py);
+        # ``media_features`` moved INTO the oracled block when its
+        # pooling gained the integer-exact floor-micro contract; and
+        # finally ``kg_triples`` (the last rows-only entry, full rule
+        # engine over lexicon tries / context fixpoints / fuzzy matching
+        # — not SQL-expressible) -> kg_pagerank_sqlpreds.  The full
+        # engine stays driver-checked through entry() (rows + schema at
+        # sf0.001), conformance-checked against all 463 reference
+        # regression examples + the pipeline golden doc in
+        # tests/test_conformance.py, and benchmarked per-round as
+        # bench.py's kg_annotate headline.
     }
 
 
@@ -799,6 +810,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_entities_canonical_sqlpreds":
             oracles.kg_entities_canonical_sqlpreds_sql(),
         "kg_cooccurrence_sqlpreds": oracles.kg_cooccurrence_sqlpreds_sql(),
+        "kg_pagerank_sqlpreds": oracles.kg_pagerank_sqlpreds_sql(),
         "minhash_pairs": oracles.minhash_planted_pairs_sql(),
         "doc_shingle_fingerprints": oracles.shingle_fingerprint_sql(),
         "kg_redacted_sqlpreds": oracles.kg_redacted_sqlpreds_sql(),

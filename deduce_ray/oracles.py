@@ -709,3 +709,54 @@ def media_features_sql(dim: int = 32) -> str:
                FLOOR(p.s * 1000000.0 / p.denom) / 1e6 AS value
         FROM pooled p JOIN dims d ON d.i = p.i
     """
+
+
+def kg_pagerank_sqlpreds_sql(
+    damping: float = 0.85, n_iter: int = 5
+) -> str:
+    """PageRank over the sqlpreds co-occurrence graph, the recurrence
+    UNROLLED (fixed n_iter, so plain CTE chaining suffices — no
+    recursive CTE needed): arcs are both directions of the distinct
+    within-doc mention pairs, rank_0 = 1/N over nodes with >= 1 edge,
+    rank_t = (1-d)/N + d * SUM(rank_{t-1}(src)/outdeg(src)) over
+    in-arcs.  The symmetrized graph has no dangling nodes, so the
+    recurrence needs no dangling-mass term; the final score rounds to
+    6 decimals like every float output (iteration arithmetic is
+    float64 on both sides, and the summation-order difference is
+    ~1e-15 relative — far below the rounding grain)."""
+    d = float(damping)
+    iters = []
+    for t in range(1, int(n_iter) + 1):
+        iters.append(f"""
+        r{t} AS (
+          SELECT e.dp AS p, e.dob AS o,
+                 {1.0 - d}/nn.n + {d} * SUM(r{t - 1}.r / deg.dg) AS r
+          FROM e
+          JOIN r{t - 1} ON r{t - 1}.p = e.sp AND r{t - 1}.o = e.so
+          JOIN deg ON deg.sp = e.sp AND deg.so = e.so, nn
+          GROUP BY e.dp, e.dob, nn.n
+        )""")
+    return f"""
+        WITH {_mentions_cte()},
+        m AS (SELECT DISTINCT doc_id, pred, obj FROM linked),
+        und AS (
+          SELECT a.pred AS pa_, a.obj AS oa_, b.pred AS pb_, b.obj AS ob_
+          FROM m a JOIN m b ON a.doc_id = b.doc_id
+            AND (a.pred < b.pred OR (a.pred = b.pred AND a.obj < b.obj))
+          GROUP BY 1, 2, 3, 4
+        ),
+        e AS (
+          SELECT pa_ AS sp, oa_ AS so, pb_ AS dp, ob_ AS dob FROM und
+          UNION ALL
+          SELECT pb_, ob_, pa_, oa_ FROM und
+        ),
+        deg AS (
+          SELECT sp, so, CAST(COUNT(*) AS DOUBLE) AS dg
+          FROM e GROUP BY sp, so
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+        r0 AS (SELECT sp AS p, so AS o, 1.0 / nn.n AS r FROM deg, nn),
+        {",".join(iters)}
+        SELECT p AS pred, o AS obj, ROUND(r, 6) AS score
+        FROM r{int(n_iter)}
+    """

@@ -984,3 +984,246 @@ def materialize_graph(
 
         return ray.data.from_pandas(summary) if len(summary) else metrics
     return metrics
+
+
+def pagerank(
+    edges_ds,
+    damping: float = 0.85,
+    n_iter: int = 5,
+    n_shards: int | None = None,
+    src_cols: tuple[str, str] = ("pred_a", "obj_a"),
+    dst_cols: tuple[str, str] = ("pred_b", "obj_b"),
+):
+    """PageRank over the (undirected) entity co-occurrence graph — the
+    KG-analytics step that ranks entities by graph centrality once the
+    graph is constructed (reference scope ends at extraction; this is a
+    target-tier addition, like the dedup/ANN families).
+
+    Semantics (mirrored exactly by the DuckDB oracle,
+    :func:`deduce_ray.oracles.kg_pagerank_sqlpreds_sql`): each
+    undirected edge contributes both directed arcs, unweighted; the
+    node set is every entity with at least one edge;
+    ``rank_0(v) = 1/N`` and
+
+        rank_t(v) = (1 - damping)/N
+                    + damping * sum_{u -> v} rank_{t-1}(u) / outdeg(u)
+
+    for a FIXED ``n_iter`` iterations (fixed, so the oracle can unroll
+    the recurrence).  The symmetrized graph has no dangling nodes
+    (every node's reverse arcs give it out-neighbors), so no dangling
+    mass term exists and the rank mass stays exactly 1.0.  The final
+    score is rounded to 6 decimals (the repo's float-output
+    convention); iteration arithmetic stays full-precision float64.
+
+    Scale shape: the directed arc list and the out-degree table are
+    sharded ONCE by a src-hash (``zlib.crc32``) and MATERIALIZED;
+    every round is two narrow exchanges — (1) the (node, rank) table
+    rides a tagged union into the arc shards, where one vectorized
+    pandas merge turns ranks into per-arc contributions, pre-summed
+    per destination within the shard; (2) the partials merge under a
+    dst-hash shard groupby, which also yields next round's rank rows
+    already carrying their shard key.  Per-round payload is
+    O(nodes + arcs) rows of (strings, float64) — never the corpus; the
+    driver holds only the scalar N.  Rounds materialize (like the
+    large-star/small-star clustering rounds) so the lazy plan does not
+    re-execute the whole history each iteration.  Partitioning
+    assumption: arcs of one src share its shard, so within-shard
+    merges are globally exact; same for dst in the sum stage.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data
+
+    from deduce_ray.ops.agg import merge_shards
+
+    if n_shards is None:
+        n_shards = merge_shards()
+    d = float(damping)
+
+    _SCHEMA = {
+        "shard": pa.int64(),
+        "pred": pa.string(),
+        "obj": pa.string(),
+        "dpred": pa.string(),
+        "dobj": pa.string(),
+        "val": pa.float64(),
+        "tag": pa.int8(),
+    }
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {k: pa.array([], type=t) for k, t in _SCHEMA.items()}
+        )
+
+    def _shards_of(pred, obj) -> list[int]:
+        return [
+            zlib.crc32(f"{p}\x1f{o}".encode()) % n_shards
+            for p, o in zip(pred, obj)
+        ]
+
+    def to_arcs(batch: pa.Table) -> pa.Table:
+        """Both directed arcs per undirected edge, tagged 0."""
+        if not batch.num_rows:
+            return _empty()
+        sp = batch.column(src_cols[0]).to_pylist()
+        so = batch.column(src_cols[1]).to_pylist()
+        dp = batch.column(dst_cols[0]).to_pylist()
+        do = batch.column(dst_cols[1]).to_pylist()
+        n = len(sp)
+        return pa.table(
+            {
+                "shard": pa.array(
+                    _shards_of(sp + dp, so + do), type=pa.int64()
+                ),
+                "pred": pa.array(sp + dp, type=pa.string()),
+                "obj": pa.array(so + do, type=pa.string()),
+                "dpred": pa.array(dp + sp, type=pa.string()),
+                "dobj": pa.array(do + so, type=pa.string()),
+                "val": pa.array(np.zeros(2 * n), type=pa.float64()),
+                "tag": pa.array(np.zeros(2 * n, dtype=np.int8)),
+            }
+        )
+
+    arcs = edges_ds.map_batches(
+        to_arcs, batch_format="pyarrow", num_cpus=0.9
+    ).materialize()
+
+    def local_deg(batch: pa.Table) -> pa.Table:
+        # per-batch combiner for the degree count
+        g = batch.group_by(["shard", "pred", "obj"]).aggregate(
+            [("val", "count")]
+        )
+        return g.rename_columns(["shard", "pred", "obj", "cnt"])
+
+    def merge_deg(df: pd.DataFrame) -> pa.Table:
+        g = (
+            df.groupby(["pred", "obj"], sort=False)
+            .agg(shard=("shard", "first"), cnt=("cnt", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "shard": pa.array(g["shard"], type=pa.int64()),
+                "pred": pa.array(g["pred"], type=pa.string()),
+                "obj": pa.array(g["obj"], type=pa.string()),
+                "dpred": pa.array([None] * len(g), type=pa.string()),
+                "dobj": pa.array([None] * len(g), type=pa.string()),
+                "val": pa.array(
+                    g["cnt"].to_numpy(dtype=np.float64), type=pa.float64()
+                ),
+                "tag": pa.array(np.ones(len(g), dtype=np.int8)),
+            }
+        )
+
+    deg = (
+        arcs.map_batches(local_deg, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(merge_deg, batch_format="pandas")
+        .materialize()
+    )
+    n_nodes = deg.count()
+    if not n_nodes:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "pred": pa.array([], type=pa.string()),
+                    "obj": pa.array([], type=pa.string()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+    base = (1.0 - d) / n_nodes
+
+    def init_ranks(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("val"),
+            "val",
+            pa.array(np.full(batch.num_rows, 1.0 / n_nodes)),
+        ).set_column(
+            batch.schema.get_field_index("tag"),
+            "tag",
+            pa.array(np.full(batch.num_rows, 2, dtype=np.int8)),
+        )
+
+    ranks = deg.map_batches(init_ranks, batch_format="pyarrow")
+
+    def contrib(df: pd.DataFrame) -> pa.Table:
+        """One src-shard: rank/deg per node (vectorized merge), then
+        per-arc contributions pre-summed by destination."""
+        out_empty = pa.table(
+            {
+                "shard": pa.array([], type=pa.int64()),
+                "pred": pa.array([], type=pa.string()),
+                "obj": pa.array([], type=pa.string()),
+                "val": pa.array([], type=pa.float64()),
+            }
+        )
+        key = ["pred", "obj"]
+        dg = df[df["tag"] == 1]
+        rk = df[df["tag"] == 2]
+        ed = df[df["tag"] == 0]
+        if ed.empty or rk.empty:
+            return out_empty
+        rd = rk[key + ["val"]].merge(
+            dg[key + ["val"]], on=key, suffixes=("_r", "_d")
+        )
+        rd["c"] = rd["val_r"] / rd["val_d"]
+        m = ed[key + ["dpred", "dobj"]].merge(rd[key + ["c"]], on=key)
+        part = (
+            m.groupby(["dpred", "dobj"], sort=False)["c"].sum().reset_index()
+        )
+        return pa.table(
+            {
+                "shard": pa.array(
+                    _shards_of(part["dpred"], part["dobj"]), type=pa.int64()
+                ),
+                "pred": pa.array(part["dpred"], type=pa.string()),
+                "obj": pa.array(part["dobj"], type=pa.string()),
+                "val": pa.array(part["c"], type=pa.float64()),
+            }
+        )
+
+    def new_ranks(df: pd.DataFrame) -> pa.Table:
+        """One dst-shard: total in-contribution -> next rank rows,
+        already union-ready (full schema, tag 2, own shard key)."""
+        g = (
+            df.groupby(["pred", "obj"], sort=False)
+            .agg(shard=("shard", "first"), val=("val", "sum"))
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "shard": pa.array(g["shard"], type=pa.int64()),
+                "pred": pa.array(g["pred"], type=pa.string()),
+                "obj": pa.array(g["obj"], type=pa.string()),
+                "dpred": pa.array([None] * len(g), type=pa.string()),
+                "dobj": pa.array([None] * len(g), type=pa.string()),
+                "val": pa.array(
+                    base + d * g["val"].to_numpy(dtype=np.float64),
+                    type=pa.float64(),
+                ),
+                "tag": pa.array(np.full(len(g), 2, dtype=np.int8)),
+            }
+        )
+
+    for _ in range(int(n_iter)):
+        ranks = (
+            arcs.union(deg, ranks)
+            .groupby("shard")
+            .map_groups(contrib, batch_format="pandas")
+            .groupby("shard")
+            .map_groups(new_ranks, batch_format="pandas")
+            .materialize()
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = batch.column("val").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "pred": batch.column("pred"),
+                "obj": batch.column("obj"),
+                "score": pa.array(np.round(v, 6), type=pa.float64()),
+            }
+        )
+
+    return ranks.map_batches(finish, batch_format="pyarrow")

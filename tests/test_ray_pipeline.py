@@ -1908,6 +1908,92 @@ class TestPrepFunnel:
         assert sorted(r["doc_id"] for r in out2.take_all()) == [1]
 
 
+class TestPageRank:
+    @staticmethod
+    def _numpy_pagerank(edges, d=0.85, n_iter=5):
+        """Dense power iteration over the symmetrized arc list — the
+        independent oracle for the distributed op."""
+        nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        arcs = [(idx[a], idx[b]) for a, b in edges] + [
+            (idx[b], idx[a]) for a, b in edges
+        ]
+        deg = np.zeros(n)
+        for s, _ in arcs:
+            deg[s] += 1
+        r = np.full(n, 1.0 / n)
+        for _ in range(n_iter):
+            nxt = np.full(n, (1.0 - d) / n)
+            for s, t in arcs:
+                nxt[t] += d * r[s] / deg[s]
+            r = nxt
+        return {nodes[i]: r[i] for i in range(n)}
+
+    def test_matches_power_iteration(self, ray_session):
+        """60-node random graph, many shards: the sharded message-passing
+        rounds must equal dense numpy power iteration to float64
+        precision (well inside the 6-decimal output rounding)."""
+        import ray.data
+
+        from deduce_ray.rayops.kg import pagerank
+
+        rng = np.random.default_rng(42)
+        edges = set()
+        while len(edges) < 150:
+            a, b = rng.integers(0, 60, size=2)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        edge_rows = [
+            {
+                "pred_a": "p",
+                "obj_a": f"e{a}",
+                "pred_b": "p",
+                "obj_b": f"e{b}",
+                "n_docs": 1,
+            }
+            for a, b in sorted(edges)
+        ]
+        got = {
+            (r["pred"], r["obj"]): r["score"]
+            for r in pagerank(
+                ray.data.from_items(edge_rows).repartition(8)
+            ).take_all()
+        }
+        want = self._numpy_pagerank(
+            [((f"e{a}"), (f"e{b}")) for a, b in edges]
+        )
+        assert len(got) == len(want)
+        for node, w in want.items():
+            assert abs(got[("p", node)] - round(w, 6)) <= 1e-6, node
+        # rank mass is conserved (no dangling nodes in the symmetrized
+        # graph): sums to 1 up to the output rounding
+        assert abs(sum(got.values()) - 1.0) < 1e-4
+
+    def test_path_graph_ordering_and_empty(self, ray_session):
+        """On a path a-b-c the middle node ranks strictly highest; an
+        empty edge set returns an empty, well-typed dataset."""
+        import ray.data
+
+        from deduce_ray.rayops.kg import pagerank
+
+        rows = [
+            {"pred_a": "p", "obj_a": "a", "pred_b": "p", "obj_b": "b"},
+            {"pred_a": "p", "obj_a": "b", "pred_b": "p", "obj_b": "c"},
+        ]
+        got = {
+            r["obj"]: r["score"]
+            for r in pagerank(ray.data.from_items(rows)).take_all()
+        }
+        assert got["b"] > got["a"] == got["c"]
+
+        empty = pagerank(
+            ray.data.from_items(rows).filter(lambda r: False)
+        )
+        assert empty.count() == 0
+        assert set(empty.schema().names) == {"pred", "obj", "score"}
+
+
 class TestCooccurrence:
     def test_edges_and_weights(self, ray_session):
         import ray.data
