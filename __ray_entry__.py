@@ -166,8 +166,13 @@ def _q_kg_pagerank_sqlpreds(sf_dir: str):
     from deduce_ray.oracles import SQLPRED_ENABLED
     from deduce_ray.rayops.kg import cooccurrence_edges, pagerank
 
+    # driver_max_arcs=0 forces the DISTRIBUTED rounds so the scale path
+    # is the one value-checked vs DuckDB (the ann_topk_ivf convention);
+    # the default bounded driver fast path is equality-tested against it
+    # in TestPageRank and is what bench.py times
     return pagerank(
-        cooccurrence_edges(_triples(sf_dir, enabled=set(SQLPRED_ENABLED)))
+        cooccurrence_edges(_triples(sf_dir, enabled=set(SQLPRED_ENABLED))),
+        driver_max_arcs=0,
     )
 
 

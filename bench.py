@@ -337,6 +337,24 @@ def run_suite(sf_dir: str, num_cpus: int) -> dict:
     # for cross-round comparison — call the implementations directly
     timed("kg_graph", lambda: entry._q_kg_graph(sf_dir))
     timed("kg_entities", lambda: entry._q_kg_entities(sf_dir))
+    def _pagerank_default():
+        # the registered query forces the distributed rounds (so the
+        # scale path is the one value-checked vs DuckDB); bench times
+        # the DEFAULT configuration — bounded driver fast path for
+        # small graphs, distributed rounds above driver_max_arcs —
+        # i.e. what a user gets
+        from deduce_ray.oracles import SQLPRED_ENABLED
+        from deduce_ray.rayops.kg import cooccurrence_edges, pagerank
+
+        return pagerank(
+            cooccurrence_edges(
+                entry._triples(sf_dir, enabled=set(SQLPRED_ENABLED))
+            )
+        )
+
+    # added in round 4 session 6: KG analytics over the sqlpreds
+    # co-occurrence graph (extraction + edge construction + PageRank)
+    timed("kg_pagerank", _pagerank_default)
     timed("pricing_summary", lambda: queries["pricing_summary"](sf_dir))
     timed("top_customers", lambda: queries["top_customers"](sf_dir))
     timed("exact_dedup", lambda: queries["exact_dedup"](sf_dir))

@@ -993,6 +993,7 @@ def pagerank(
     n_shards: int | None = None,
     src_cols: tuple[str, str] = ("pred_a", "obj_a"),
     dst_cols: tuple[str, str] = ("pred_b", "obj_b"),
+    driver_max_arcs: int = 2_000_000,
 ):
     """PageRank over the (undirected) entity co-occurrence graph — the
     KG-analytics step that ranks entities by graph centrality once the
@@ -1029,6 +1030,16 @@ def pagerank(
     re-execute the whole history each iteration.  Partitioning
     assumption: arcs of one src share its shard, so within-shard
     merges are globally exact; same for dst in the sum stage.
+
+    ``driver_max_arcs``: graphs whose directed arc count fits the bound
+    take a DRIVER fast path (pull the arc list once, factorize nodes,
+    run the identical recurrence as vectorized bincount scatter-adds) —
+    Ray's fixed per-exchange latency otherwise dominates small graphs
+    (measured at sf0.1: 10 exchanges ≈ 7.7 s for a 6-node graph, vs
+    <0.1 s driver).  0 forces the distributed rounds (how the registry
+    query runs, so the SCALE path is the one value-checked vs DuckDB —
+    the same convention as ann_topk_ivf's exhaustive probing); both
+    paths are equality-tested on the same graph in TestPageRank.
     """
     import pandas as pd
     import pyarrow.compute as pc
@@ -1088,6 +1099,58 @@ def pagerank(
         to_arcs, batch_format="pyarrow", num_cpus=0.9
     ).materialize()
 
+    def _empty_result():
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "pred": pa.array([], type=pa.string()),
+                    "obj": pa.array([], type=pa.string()),
+                    "score": pa.array([], type=pa.float64()),
+                }
+            )
+        )
+
+    if driver_max_arcs and arcs.count() <= driver_max_arcs:
+        # bounded driver fast path: identical recurrence, vectorized
+        # scatter-adds over factorized node ids
+        sp_, so_, dp_, do_ = [], [], [], []
+        for b in arcs.iter_batches(batch_format="pyarrow"):
+            sp_.append(b.column("pred").to_numpy(zero_copy_only=False))
+            so_.append(b.column("obj").to_numpy(zero_copy_only=False))
+            dp_.append(b.column("dpred").to_numpy(zero_copy_only=False))
+            do_.append(b.column("dobj").to_numpy(zero_copy_only=False))
+        if not sp_:
+            return _empty_result()
+        seps = np.concatenate(sp_)
+        seos = np.concatenate(so_)
+        key_s = np.char.add(np.char.add(seps.astype(str), "\x1f"),
+                            seos.astype(str))
+        key_d = np.char.add(
+            np.char.add(np.concatenate(dp_).astype(str), "\x1f"),
+            np.concatenate(do_).astype(str),
+        )
+        nodes, src_idx = np.unique(key_s, return_inverse=True)
+        # every node appears as a src in the symmetrized arc list, so
+        # the dst side factorizes against the same vocabulary
+        dst_idx = np.searchsorted(nodes, key_d)
+        n = len(nodes)
+        deg_v = np.bincount(src_idx, minlength=n).astype(np.float64)
+        r = np.full(n, 1.0 / n)
+        for _ in range(int(n_iter)):
+            r = (1.0 - d) / n + d * np.bincount(
+                dst_idx, weights=r[src_idx] / deg_v[src_idx], minlength=n
+            )
+        preds, objs = zip(*(s.split("\x1f", 1) for s in nodes.tolist()))
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "pred": pa.array(preds, type=pa.string()),
+                    "obj": pa.array(objs, type=pa.string()),
+                    "score": pa.array(np.round(r, 6), type=pa.float64()),
+                }
+            )
+        )
+
     def local_deg(batch: pa.Table) -> pa.Table:
         # per-batch combiner for the degree count
         g = batch.group_by(["shard", "pred", "obj"]).aggregate(
@@ -1123,15 +1186,7 @@ def pagerank(
     )
     n_nodes = deg.count()
     if not n_nodes:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "pred": pa.array([], type=pa.string()),
-                    "obj": pa.array([], type=pa.string()),
-                    "score": pa.array([], type=pa.float64()),
-                }
-            )
-        )
+        return _empty_result()
     base = (1.0 - d) / n_nodes
 
     def init_ranks(batch: pa.Table) -> pa.Table:

@@ -1954,11 +1954,12 @@ class TestPageRank:
             }
             for a, b in sorted(edges)
         ]
+        ds = ray.data.from_items(edge_rows).repartition(8)
+        # driver_max_arcs=0 forces the distributed message-passing
+        # rounds — the scale path under test here
         got = {
             (r["pred"], r["obj"]): r["score"]
-            for r in pagerank(
-                ray.data.from_items(edge_rows).repartition(8)
-            ).take_all()
+            for r in pagerank(ds, driver_max_arcs=0).take_all()
         }
         want = self._numpy_pagerank(
             [((f"e{a}"), (f"e{b}")) for a, b in edges]
@@ -1969,6 +1970,12 @@ class TestPageRank:
         # rank mass is conserved (no dangling nodes in the symmetrized
         # graph): sums to 1 up to the output rounding
         assert abs(sum(got.values()) - 1.0) < 1e-4
+        # the bounded driver fast path computes the identical recurrence
+        fast = {
+            (r["pred"], r["obj"]): r["score"]
+            for r in pagerank(ds).take_all()
+        }
+        assert fast == got
 
     def test_path_graph_ordering_and_empty(self, ray_session):
         """On a path a-b-c the middle node ranks strictly highest; an
