@@ -69,12 +69,6 @@ def entry() -> Any:
 # ---------------------------------------------------------------------------
 
 
-def _q_kg_triples(sf_dir: str):
-    return _triples(sf_dir).select_columns(
-        ["doc_id", "pred", "obj", "start_char", "end_char", "entity_id"]
-    )
-
-
 def _q_kg_graph(sf_dir: str):
     from deduce_ray.rayops.kg import dedup_triples
 

@@ -1042,7 +1042,6 @@ def pagerank(
     paths are equality-tested on the same graph in TestPageRank.
     """
     import pandas as pd
-    import pyarrow.compute as pc
     import ray.data
 
     from deduce_ray.ops.agg import merge_shards
@@ -1125,31 +1124,35 @@ def pagerank(
             do_.append(b.column("dobj").to_numpy(zero_copy_only=False))
         if not sp_:
             return _empty_result()
-        seps = np.concatenate(sp_)
-        seos = np.concatenate(so_)
-        key_s = np.char.add(np.char.add(seps.astype(str), "\x1f"),
-                            seos.astype(str))
-        key_d = np.char.add(
-            np.char.add(np.concatenate(dp_).astype(str), "\x1f"),
-            np.concatenate(do_).astype(str),
+        # factorize on (pred, obj) TUPLES — node identity must never go
+        # through a joined string (a separator byte inside corpus-derived
+        # obj values would mangle or merge nodes); src and dst factorize
+        # against one shared vocabulary in a single pass
+        n_arcs = sum(len(x) for x in sp_)
+        keys = list(
+            zip(
+                np.concatenate(sp_ + dp_).tolist(),
+                np.concatenate(so_ + do_).tolist(),
+            )
         )
-        nodes, src_idx = np.unique(key_s, return_inverse=True)
-        # every node appears as a src in the symmetrized arc list, so
-        # the dst side factorizes against the same vocabulary
-        dst_idx = np.searchsorted(nodes, key_d)
-        n = len(nodes)
+        key_arr = np.empty(len(keys), dtype=object)  # keep tuples 1-D
+        key_arr[:] = keys
+        codes, uniq = pd.factorize(key_arr)
+        src_idx = codes[:n_arcs]
+        dst_idx = codes[n_arcs:]
+        n = len(uniq)
         deg_v = np.bincount(src_idx, minlength=n).astype(np.float64)
         r = np.full(n, 1.0 / n)
         for _ in range(int(n_iter)):
             r = (1.0 - d) / n + d * np.bincount(
                 dst_idx, weights=r[src_idx] / deg_v[src_idx], minlength=n
             )
-        preds, objs = zip(*(s.split("\x1f", 1) for s in nodes.tolist()))
+        preds, objs = zip(*uniq)
         return ray.data.from_arrow(
             pa.table(
                 {
-                    "pred": pa.array(preds, type=pa.string()),
-                    "obj": pa.array(objs, type=pa.string()),
+                    "pred": pa.array(list(preds), type=pa.string()),
+                    "obj": pa.array(list(objs), type=pa.string()),
                     "score": pa.array(np.round(r, 6), type=pa.float64()),
                 }
             )

@@ -81,6 +81,12 @@ def main() -> int:
     t_fast = time.time() - t0
     print(f"driver fast path:   {t_fast:.1f} s")
 
+    if set(dist) != set(fast):
+        only_d = len(set(dist) - set(fast))
+        only_f = len(set(fast) - set(dist))
+        print(f"FAIL: node sets diverge ({only_d} only-distributed, "
+              f"{only_f} only-fast)")
+        return 1
     diff = [k for k in dist if dist[k] != fast[k]]
     mass = sum(dist.values())
     print(f"score equality: {len(dist) - len(diff)}/{len(dist)} exact "

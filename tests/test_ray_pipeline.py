@@ -1977,6 +1977,38 @@ class TestPageRank:
         }
         assert fast == got
 
+    def test_separator_bytes_in_node_strings(self, ray_session):
+        """Node identity must never route through a joined string:
+        corpus-derived obj values can contain any byte, including the
+        \\x1f 'separator' — both paths must keep (pred, obj) intact and
+        agree (regression: the driver path once split a concatenated
+        key, mangling such nodes)."""
+        import ray.data
+
+        from deduce_ray.rayops.kg import pagerank
+
+        rows = [
+            {"pred_a": "p", "obj_a": "a\x1fb", "pred_b": "q", "obj_b": "c"},
+            {"pred_a": "p\x1fx", "obj_a": "y", "pred_b": "q", "obj_b": "c"},
+            # colliding concatenations: ('a\x1fb', 'c') vs ('a', 'b\x1fc')
+            {"pred_a": "a\x1fb", "obj_a": "c", "pred_b": "q", "obj_b": "c"},
+            {"pred_a": "a", "obj_a": "b\x1fc", "pred_b": "q", "obj_b": "c"},
+        ]
+        ds = ray.data.from_items(rows)
+        dist = {
+            (r["pred"], r["obj"]): r["score"]
+            for r in pagerank(ds, driver_max_arcs=0).take_all()
+        }
+        fast = {
+            (r["pred"], r["obj"]): r["score"]
+            for r in pagerank(ds).take_all()
+        }
+        assert set(dist) == {
+            ("p", "a\x1fb"), ("p\x1fx", "y"), ("q", "c"),
+            ("a\x1fb", "c"), ("a", "b\x1fc"),
+        }
+        assert fast == dist
+
     def test_path_graph_ordering_and_empty(self, ray_session):
         """On a path a-b-c the middle node ranks strictly highest; an
         empty edge set returns an empty, well-typed dataset."""
