@@ -994,6 +994,7 @@ def pagerank(
     src_cols: tuple[str, str] = ("pred_a", "obj_a"),
     dst_cols: tuple[str, str] = ("pred_b", "obj_b"),
     driver_max_arcs: int = 2_000_000,
+    weight_col: str | None = None,
 ):
     """PageRank over the (undirected) entity co-occurrence graph — the
     KG-analytics step that ranks entities by graph centrality once the
@@ -1040,6 +1041,14 @@ def pagerank(
     query runs, so the SCALE path is the one value-checked vs DuckDB —
     the same convention as ann_topk_ivf's exhaustive probing); both
     paths are equality-tested on the same graph in TestPageRank.
+
+    ``weight_col``: optional per-edge POSITIVE weight (e.g. the
+    co-occurrence ``n_docs``) — contributions become
+    ``rank(u) * w(u,v) / wdeg(u)`` with ``wdeg`` the weighted
+    out-degree.  None (default) is the unweighted recurrence above —
+    implemented as weight 1.0 everywhere, so summing weights IS the
+    arc count and the unweighted arithmetic (and its DuckDB oracle)
+    is bit-identical to before the parameter existed.
     """
     import pandas as pd
     import ray.data
@@ -1086,6 +1095,13 @@ def pagerank(
         n = len(sp)
         ap = np.concatenate([sp, dp])
         ao = np.concatenate([so, do])
+        if weight_col is None:
+            w = np.ones(2 * n)
+        else:
+            w1 = batch.column(weight_col).to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64)
+            w = np.concatenate([w1, w1])  # both arcs carry the edge weight
         return pa.table(
             {
                 "shard": pa.array(_shards_of(ap, ao), type=pa.int64()),
@@ -1093,7 +1109,7 @@ def pagerank(
                 "obj": pa.array(ao, type=pa.string()),
                 "dpred": pa.array(np.concatenate([dp, sp]), type=pa.string()),
                 "dobj": pa.array(np.concatenate([do, so]), type=pa.string()),
-                "val": pa.array(np.zeros(2 * n), type=pa.float64()),
+                "val": pa.array(w, type=pa.float64()),
                 "tag": pa.array(np.zeros(2 * n, dtype=np.int8)),
             }
         )
@@ -1116,12 +1132,13 @@ def pagerank(
     if driver_max_arcs and arcs.count() <= driver_max_arcs:
         # bounded driver fast path: identical recurrence, vectorized
         # scatter-adds over factorized node ids
-        sp_, so_, dp_, do_ = [], [], [], []
+        sp_, so_, dp_, do_, w_ = [], [], [], [], []
         for b in arcs.iter_batches(batch_format="pyarrow"):
             sp_.append(b.column("pred").to_numpy(zero_copy_only=False))
             so_.append(b.column("obj").to_numpy(zero_copy_only=False))
             dp_.append(b.column("dpred").to_numpy(zero_copy_only=False))
             do_.append(b.column("dobj").to_numpy(zero_copy_only=False))
+            w_.append(b.column("val").to_numpy(zero_copy_only=False))
         if not sp_:
             return _empty_result()
         # factorize on (pred, obj) TUPLES — node identity must never go
@@ -1141,11 +1158,12 @@ def pagerank(
         src_idx = codes[:n_arcs]
         dst_idx = codes[n_arcs:]
         n = len(uniq)
-        deg_v = np.bincount(src_idx, minlength=n).astype(np.float64)
+        w = np.concatenate(w_)
+        deg_v = np.bincount(src_idx, weights=w, minlength=n)
         r = np.full(n, 1.0 / n)
         for _ in range(int(n_iter)):
             r = (1.0 - d) / n + d * np.bincount(
-                dst_idx, weights=r[src_idx] / deg_v[src_idx], minlength=n
+                dst_idx, weights=r[src_idx] / deg_v[src_idx] * w, minlength=n
             )
         preds, objs = zip(*uniq)
         return ray.data.from_arrow(
@@ -1159,9 +1177,10 @@ def pagerank(
         )
 
     def local_deg(batch: pa.Table) -> pa.Table:
-        # per-batch combiner for the degree count
+        # per-batch combiner for the (weighted) out-degree — unweighted
+        # arcs carry val 1.0, so the sum IS the arc count, exactly
         g = batch.group_by(["shard", "pred", "obj"]).aggregate(
-            [("val", "count")]
+            [("val", "sum")]
         )
         return g.rename_columns(["shard", "pred", "obj", "cnt"])
 
@@ -1230,7 +1249,11 @@ def pagerank(
             dg[key + ["val"]], on=key, suffixes=("_r", "_d")
         )
         rd["c"] = rd["val_r"] / rd["val_d"]
-        m = ed[key + ["dpred", "dobj"]].merge(rd[key + ["c"]], on=key)
+        # per-arc contribution scales by the arc weight (val; 1.0 when
+        # unweighted — an exact float no-op, keeping the unweighted
+        # arithmetic bit-identical to the oracle)
+        m = ed[key + ["dpred", "dobj", "val"]].merge(rd[key + ["c"]], on=key)
+        m["c"] = m["c"] * m["val"]
         part = (
             m.groupby(["dpred", "dobj"], sort=False)["c"].sum().reset_index()
         )

@@ -1977,6 +1977,50 @@ class TestPageRank:
         }
         assert fast == got
 
+    def test_weighted_matches_power_iteration(self, ray_session):
+        """weight_col: contributions scale by the edge weight and
+        degrees become weighted — checked against dense numpy on a
+        small weighted graph, on BOTH paths."""
+        import ray.data
+
+        from deduce_ray.rayops.kg import pagerank
+
+        edges = [("a", "b", 3.0), ("b", "c", 1.0), ("a", "c", 2.0),
+                 ("c", "d", 5.0)]
+        rows = [
+            {"pred_a": "p", "obj_a": x, "pred_b": "p", "obj_b": y,
+             "n_docs": w}
+            for x, y, w in edges
+        ]
+        nodes = sorted({x for e in edges for x in e[:2]})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        arcs = [(idx[a], idx[b], w) for a, b, w in edges] + [
+            (idx[b], idx[a], w) for a, b, w in edges
+        ]
+        wdeg = np.zeros(n)
+        for s, _, w in arcs:
+            wdeg[s] += w
+        r = np.full(n, 1.0 / n)
+        for _ in range(5):
+            nxt = np.full(n, 0.15 / n)
+            for s, t, w in arcs:
+                nxt[t] += 0.85 * r[s] * w / wdeg[s]
+            r = nxt
+        want = {("p", nodes[i]): round(r[i], 6) for i in range(n)}
+
+        ds = ray.data.from_items(rows)
+        for kwargs in ({"driver_max_arcs": 0}, {}):
+            got = {
+                (row["pred"], row["obj"]): row["score"]
+                for row in pagerank(
+                    ds, weight_col="n_docs", **kwargs
+                ).take_all()
+            }
+            assert set(got) == set(want)
+            for k in want:
+                assert abs(got[k] - want[k]) <= 1e-6, (k, kwargs)
+
     def test_separator_bytes_in_node_strings(self, ray_session):
         """Node identity must never route through a joined string:
         corpus-derived obj values can contain any byte, including the
