@@ -316,6 +316,23 @@ def cmd_prep(args) -> int:
             defer_commit=True,
         )
         commits.append(commit)
+    if args.chunk_words:
+        # training-window prep runs LAST: the funnel and the incremental
+        # stores operate on whole documents; the written rows become
+        # chunks (or packs), so the printed count reflects those
+        from deduce_ray.ops.chunking import chunk_documents, pack_chunks
+
+        out = chunk_documents(
+            out,
+            window=args.chunk_words,
+            stride=args.chunk_stride,
+            text_col=text_col,
+        )
+        if args.pack_words:
+            out = pack_chunks(out, max_words=args.pack_words)
+    elif args.pack_words:
+        raise SystemExit("--pack-words requires --chunk-words")
+
     out.write_parquet(args.output)
     for commit in commits:
         commit()
@@ -619,6 +636,28 @@ def main() -> int:
         "documents near-duplicate of any previous ingest's survivors; "
         "applied after --state-dir's exact pass; shares --state-label "
         "and --state-shards",
+    )
+    p.add_argument(
+        "--chunk-words",
+        type=int,
+        default=None,
+        help="split surviving documents into training windows of this "
+        "many words (runs LAST, after dedup and the stores; written "
+        "rows become chunks)",
+    )
+    p.add_argument(
+        "--chunk-stride",
+        type=int,
+        default=None,
+        help="window stride for --chunk-words (default: the window, "
+        "i.e. disjoint; smaller = overlapping context windows)",
+    )
+    p.add_argument(
+        "--pack-words",
+        type=int,
+        default=None,
+        help="greedily pack chunks into sequences of at most this many "
+        "words (per-block first-fit; requires --chunk-words)",
     )
     p.add_argument("--num-cpus", type=int)
     p.set_defaults(fn=cmd_prep)
