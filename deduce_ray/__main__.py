@@ -190,6 +190,67 @@ def cmd_extract(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """KG analytics: extract triples, build the entity co-occurrence
+    graph, rank entities by (optionally weighted) PageRank, print the
+    top-k — the read-side complement of `extract`."""
+    import ray
+
+    from deduce_ray.rayops.annotate import broadcast_lexicon, extract_triples
+    from deduce_ray.rayops.kg import cooccurrence_edges, pagerank
+
+    _init_ray(args.num_cpus)
+    ds = _read_corpus(args)
+
+    lexicon_ref = broadcast_lexicon(lookup_data_path=args.lookup_data_path)
+    enabled = set(args.enabled.split(",")) if args.enabled else None
+    triples = extract_triples(ds, lexicon_ref=lexicon_ref, enabled=enabled)
+    edges = cooccurrence_edges(
+        triples, max_mentions_per_doc=args.max_mentions_per_doc
+    )
+    ranks = pagerank(
+        edges,
+        damping=args.damping,
+        n_iter=args.iterations,
+        weight_col="n_docs" if args.weighted else None,
+    )
+    # top-k the repo way: per-block local prune, then a tiny driver
+    # merge (<= top x blocks rows) — never a global sort or a full
+    # rank-table pull
+    import pyarrow as pa
+
+    k = args.top
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas().sort_values(
+            ["score", "pred", "obj"], ascending=[False, True, True]
+        )
+        return pa.Table.from_pandas(df.head(k), preserve_index=False)
+
+    n_entities = ranks.count()
+    merged = (
+        ranks.map_batches(local_top, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["score", "pred", "obj"], ascending=[False, True, True])
+        .head(k)
+    )
+    print(
+        json.dumps(
+            {
+                "entities": int(n_entities),
+                "top": [
+                    {"pred": r.pred, "obj": r.obj, "score": float(r.score)}
+                    for r in merged.itertuples()
+                ],
+            }
+        )
+    )
+    ray.shutdown()
+    return 0
+
+
 def cmd_prep(args) -> int:
     """LLM data-prep funnel over any supported corpus format: language /
     quality filters -> exact dedup -> MinHash near-dup removal ->
@@ -553,6 +614,44 @@ def main() -> int:
     p.add_argument("--num-cpus", type=int)
     p.add_argument("--lookup-data-path")
     p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser(
+        "analyze",
+        help="KG analytics: extract -> entity co-occurrence graph -> "
+        "PageRank -> top-k entities",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument(
+        "--format",
+        choices=["parquet", "jsonl", "csv", "orc", "text-tree"],
+        help="input format (default: inferred from the path)",
+    )
+    p.add_argument("--text-key", default="content")
+    p.add_argument("--extensions")
+    p.add_argument("--on-decode-error", choices=["raise", "skip"], default="raise")
+    p.add_argument(
+        "--enabled",
+        help="comma-separated group/annotator names (same expansion as "
+        "extract)",
+    )
+    p.add_argument("--top", type=int, default=20)
+    p.add_argument("--damping", type=float, default=0.85)
+    p.add_argument("--iterations", type=int, default=5)
+    p.add_argument(
+        "--weighted",
+        action="store_true",
+        help="weight arcs by co-occurrence n_docs instead of unweighted",
+    )
+    p.add_argument(
+        "--max-mentions-per-doc",
+        type=int,
+        default=None,
+        help="opt-in scale guard: skip documents with more distinct "
+        "mentions than this (pair generation is quadratic per doc)",
+    )
+    p.add_argument("--num-cpus", type=int)
+    p.add_argument("--lookup-data-path")
+    p.set_defaults(fn=cmd_analyze)
 
     p = sub.add_parser(
         "prep",
