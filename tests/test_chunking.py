@@ -72,6 +72,58 @@ class TestChunkDocuments:
         ).take_all()
         assert out[0]["text"] == "a b c d"
 
+    def test_matches_duckdb(self, ray_session):
+        """Window semantics reproduced independently in SQL: starts at
+        0, stride, ...; emission stops with the first window reaching
+        the document end (oracle-minded parity for the library op)."""
+        import duckdb
+        import pandas as pd
+
+        docs = [
+            (1, " ".join(f"a{i}" for i in range(11))),
+            (2, " ".join(f"b{i}" for i in range(4))),
+            (3, None),
+            (4, "solo"),
+        ]
+        window, stride = 4, 3
+        got = (
+            chunk_documents(_docs(docs), window=window, stride=stride)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        df = pd.DataFrame(docs, columns=["doc_id", "text"])
+        con.register("documents", df)
+        want = con.execute(f"""
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_extract_all(coalesce(text, ''),
+                                        '[^ \t\n\r\f\x0b]+') AS ws
+              FROM documents
+            ),
+            starts AS (
+              SELECT doc_id, ws, (i - 1) * {stride} AS s,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+                       AS chunk_id
+              FROM w, UNNEST(generate_series(
+                     1, greatest(len(ws) - 1, 0) // {stride} + 1)) AS t(i)
+              WHERE len(ws) > 0 AND ((i - 1) = 0
+                    OR (i - 2) * {stride} + {window} < len(ws))
+            )
+            SELECT doc_id, chunk_id,
+                   array_to_string(ws[s + 1 : s + {window}], ' ') AS text,
+                   CAST(least({window}, len(ws) - s) AS BIGINT) AS n_words
+            FROM starts
+            ORDER BY doc_id, chunk_id
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"doc_id": "int64", "chunk_id": "int64",
+                        "n_words": "int64"}),
+            want.astype({"doc_id": "int64", "chunk_id": "int64",
+                         "n_words": "int64"}),
+        )
+
     def test_validation(self, ray_session):
         with pytest.raises(ValueError):
             chunk_documents(_docs([(1, "x")]), window=0)
