@@ -220,10 +220,10 @@ def cmd_analyze(args) -> int:
     import pyarrow as pa
 
     k = args.top
+    if k <= 0:
+        raise SystemExit("--top must be positive")
 
     def local_top(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         df = batch.to_pandas().sort_values(
             ["score", "pred", "obj"], ascending=[False, True, True]
         )
@@ -391,8 +391,10 @@ def cmd_prep(args) -> int:
         )
         if args.pack_words:
             out = pack_chunks(out, max_words=args.pack_words)
-    elif args.pack_words:
-        raise SystemExit("--pack-words requires --chunk-words")
+    elif args.pack_words or args.chunk_stride:
+        raise SystemExit(
+            "--pack-words / --chunk-stride require --chunk-words"
+        )
 
     out.write_parquet(args.output)
     for commit in commits:

@@ -52,6 +52,14 @@ def chunk_documents(
     stride_v = window if stride is None else int(stride)
     if stride_v <= 0:
         raise ValueError("stride must be positive")
+    if stride_v > window:
+        # a stride beyond the window would skip words between windows
+        # (and could drop the document tail) — that is sampling, not
+        # chunking, and would silently violate the no-text-lost contract
+        raise ValueError(
+            f"stride ({stride_v}) must not exceed window ({window}): "
+            "words between windows would be silently dropped"
+        )
 
     def chunks(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -73,9 +81,12 @@ def chunk_documents(
                     break
                 start += stride_v
                 cid += 1
+        # doc_id keeps the INPUT column's type (string ids pass through)
         return pa.table(
             {
-                id_col: pa.array(out_ids, type=pa.int64()),
+                id_col: pa.array(
+                    out_ids, type=batch.schema.field(id_col).type
+                ),
                 "chunk_id": pa.array(out_cids, type=pa.int64()),
                 "text": pa.array(out_texts, type=pa.string()),
                 "n_words": pa.array(out_n, type=pa.int64()),
@@ -111,6 +122,7 @@ def pack_chunks(
         raise ValueError("max_words must be positive")
 
     def packs(batch: pa.Table) -> pa.Table:
+        id_type = batch.schema.field(id_col).type
         ids = batch.column(id_col).to_pylist()
         cids = batch.column(chunk_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
@@ -126,8 +138,11 @@ def pack_chunks(
             nonlocal cur_docs, cur_chunks, cur_texts, cur_n
             if not cur_docs:
                 return
+            # repr() keys are unambiguous for string doc ids that may
+            # themselves contain ':' or ',' (quotes + escapes disambiguate
+            # them from int ids and from the separators)
             key = ",".join(
-                f"{d}:{c}" for d, c in zip(cur_docs, cur_chunks)
+                f"{d!r}:{c}" for d, c in zip(cur_docs, cur_chunks)
             ).encode()
             pack_id = (
                 int.from_bytes(hashlib.md5(key).digest()[:8], "big") >> 1
@@ -153,17 +168,22 @@ def pack_chunks(
         return pa.table(
             {
                 "pack_id": pa.array(p_ids, type=pa.int64()),
-                "doc_ids": pa.array(p_docs, type=pa.list_(pa.int64())),
+                "doc_ids": pa.array(p_docs, type=pa.list_(id_type)),
                 "chunk_ids": pa.array(p_chunks, type=pa.list_(pa.int64())),
                 "text": pa.array(p_texts, type=pa.string()),
                 "n_words": pa.array(p_n, type=pa.int64()),
             }
         )
 
-    # large batch_size makes Ray BUNDLE small upstream blocks into one
-    # packing task (~64k chunks): the greedy approximation then costs at
-    # most one underfull pack per 64k chunks, and a many-tiny-blocks
-    # corpus does not degenerate into one pack per block
+    # a large batch_size makes Ray BUNDLE small upstream blocks into one
+    # packing task (the greedy approximation then costs at most one
+    # underfull pack per batch, and a many-tiny-blocks corpus does not
+    # degenerate into one pack per block) — but sized by WORD budget,
+    # not a fixed row count: 65536 rows of 8192-word chunks would be a
+    # multi-GB Python-list batch.  ~16M words/batch keeps the batch
+    # ~100 MB of text while leaving the underfull-pack cost negligible
+    # (max_words/16M per pack).
+    batch_rows = max(1024, min(65536, 16_000_000 // max(max_words, 1)))
     return ds.map_batches(
-        packs, batch_format="pyarrow", batch_size=65536, num_cpus=0.9
+        packs, batch_format="pyarrow", batch_size=batch_rows, num_cpus=0.9
     )

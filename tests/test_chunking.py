@@ -129,6 +129,31 @@ class TestChunkDocuments:
             chunk_documents(_docs([(1, "x")]), window=0)
         with pytest.raises(ValueError):
             chunk_documents(_docs([(1, "x")]), window=4, stride=0)
+        # stride beyond the window would silently drop words between
+        # windows (sampling, not chunking) — rejected up front
+        with pytest.raises(ValueError):
+            chunk_documents(_docs([(1, "x")]), window=4, stride=5)
+
+    def test_string_doc_ids_pass_through(self, ray_session):
+        """doc_id keeps the input column type: string-keyed corpora
+        chunk and pack without an int64 cast crash, and pack ids stay
+        unambiguous for ids containing the key separators."""
+        ds = ray.data.from_items(
+            [
+                {"doc_id": "doc:a,1", "text": "one two three four five"},
+                {"doc_id": "doc:b", "text": "six seven"},
+            ]
+        )
+        chunks = chunk_documents(ds, window=3)
+        rows = sorted(
+            chunks.take_all(), key=lambda r: (r["doc_id"], r["chunk_id"])
+        )
+        assert [r["doc_id"] for r in rows] == ["doc:a,1", "doc:a,1", "doc:b"]
+        packs = pack_chunks(chunks, max_words=5).take_all()
+        assert sum(r["n_words"] for r in packs) == 7
+        assert all(
+            isinstance(d, str) for r in packs for d in r["doc_ids"]
+        )
 
 
 class TestPackChunks:
