@@ -27,6 +27,22 @@ import hashlib
 import pyarrow as pa
 
 
+def window_spans(n: int, window: int, stride: int) -> list[tuple[int, int]]:
+    """The chunking window math as a pure function (property-tested):
+    [start, end) spans at 0, stride, 2*stride, ...; emission stops with
+    the first span reaching ``n``.  Requires 0 < stride <= window, so
+    consecutive spans always touch or overlap and no word is skipped."""
+    spans: list[tuple[int, int]] = []
+    start = 0
+    while start < n:
+        end = min(start + window, n)
+        spans.append((start, end))
+        if end >= n:
+            break
+        start += stride
+    return spans
+
+
 def chunk_documents(
     ds,
     window: int = 512,
@@ -70,17 +86,11 @@ def chunk_documents(
             n = len(words)
             if not n:
                 continue
-            start = cid = 0
-            while start < n:
-                w = words[start : start + window]
+            for cid, (s, e) in enumerate(window_spans(n, window, stride_v)):
                 out_ids.append(i)
                 out_cids.append(cid)
-                out_texts.append(" ".join(w))
-                out_n.append(len(w))
-                if start + window >= n:
-                    break
-                start += stride_v
-                cid += 1
+                out_texts.append(" ".join(words[s:e]))
+                out_n.append(e - s)
         # doc_id keeps the INPUT column's type (string ids pass through)
         return pa.table(
             {

@@ -367,3 +367,39 @@ def test_sig_band_rows_pigeonhole_recall(sig, flip_bits, n_shards):
     assert shared, "hamming<=3 pair lost by the banding"
     # and shards are consistent with buckets
     assert (shard1 == bucket1 % n_shards).all()
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=500),
+    st.integers(min_value=1, max_value=64),
+    st.integers(min_value=1, max_value=64),
+)
+def test_window_spans_invariants(n, window, stride):
+    """Chunking window math: full coverage (no word skipped), exactly
+    one end-reaching span, span widths bounded by the window, disjoint
+    spans partition exactly when stride == window."""
+    from deduce_ray.ops.chunking import window_spans
+
+    if stride > window:
+        return  # rejected by chunk_documents; the helper assumes <=
+    spans = window_spans(n, window, stride)
+    if n == 0:
+        assert spans == []
+        return
+    # coverage: every index in [0, n) falls in some span
+    covered = set()
+    for s, e in spans:
+        assert 0 <= s < e <= n
+        assert e - s <= window
+        covered.update(range(s, e))
+    assert covered == set(range(n))
+    # exactly the last span reaches the end; starts advance by stride
+    assert spans[-1][1] == n
+    assert all(e < n for s, e in spans[:-1])
+    assert all(
+        b[0] - a[0] == stride for a, b in zip(spans, spans[1:])
+    )
+    if stride == window:
+        # disjoint chunks partition the word sequence exactly
+        assert sum(e - s for s, e in spans) == n
