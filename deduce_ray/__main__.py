@@ -236,17 +236,34 @@ def cmd_analyze(args) -> int:
         .sort_values(["score", "pred", "obj"], ascending=[False, True, True])
         .head(k)
     )
-    print(
-        json.dumps(
-            {
-                "entities": int(n_entities),
-                "top": [
-                    {"pred": r.pred, "obj": r.obj, "score": float(r.score)}
-                    for r in merged.itertuples()
-                ],
-            }
+    result = {
+        "entities": int(n_entities),
+        "top": [
+            {"pred": r.pred, "obj": r.obj, "score": float(r.score)}
+            for r in merged.itertuples()
+        ],
+    }
+    if args.components:
+        from deduce_ray.rayops.kg import graph_components
+
+        comps = graph_components(edges)
+        sizes = comps.groupby("component_id").count()
+        n_comps = sizes.count()
+        # largest sizes via the same local-prune + tiny-merge shape
+        largest = (
+            sizes.map_batches(
+                lambda t: t.sort_by([("count()", "descending")]).slice(0, k),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+            .sort_values("count()", ascending=False)
+            .head(k)
         )
-    )
+        result["components"] = int(n_comps)
+        result["largest_components"] = [
+            int(x) for x in largest["count()"].tolist()
+        ]
+    print(json.dumps(result))
     ray.shutdown()
     return 0
 
@@ -650,6 +667,12 @@ def main() -> int:
         default=None,
         help="opt-in scale guard: skip documents with more distinct "
         "mentions than this (pair generation is quadratic per doc)",
+    )
+    p.add_argument(
+        "--components",
+        action="store_true",
+        help="also report connected-component count and the largest "
+        "component sizes",
     )
     p.add_argument("--num-cpus", type=int)
     p.add_argument("--lookup-data-path")

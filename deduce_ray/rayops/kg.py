@@ -1312,3 +1312,127 @@ def pagerank(
         )
 
     return ranks.map_batches(finish, batch_format="pyarrow")
+
+
+def graph_components(
+    edges_ds,
+    src_cols: tuple[str, str] = ("pred_a", "obj_a"),
+    dst_cols: tuple[str, str] = ("pred_b", "obj_b"),
+    n_shards: int | None = None,
+    rounds: int = 16,
+    driver_threshold: int = 1_000_000,
+):
+    """Connected components of the entity co-occurrence graph — which
+    entities are transitively linked by shared documents (the KG
+    companion to :func:`pagerank`; same edge input, e.g.
+    :func:`cooccurrence_edges` output).
+
+    Returns one row per node: ``(pred, obj, component_id)`` where
+    ``component_id`` is an opaque int64, equal for nodes in the same
+    component (the minimum injective form-node id of the component).
+
+    Scale shape: nodes map to the injective 63-bit
+    :func:`_form_node_id` ids (length-prefixed encoding — separator
+    bytes in corpus-derived strings cannot merge nodes), the integer
+    pair list runs through the PROVEN component machinery
+    (:func:`deduce_ray.ops.dedup.neardup_clusters`: bounded driver
+    union-find fast path, large-star/small-star rounds with an edge-set
+    witness above the threshold), and the string identity joins back
+    via ONE node-hash sharded merge of the (id, pred, obj) vocabulary
+    against the labels — never a driver pull of either side.
+    """
+    import pandas as pd
+    import ray.data
+
+    from deduce_ray.ops.agg import merge_shards
+    from deduce_ray.ops.dedup import neardup_clusters
+
+    if n_shards is None:
+        n_shards = merge_shards()
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        sp = batch.column(src_cols[0]).to_pylist()
+        so = batch.column(src_cols[1]).to_pylist()
+        dp = batch.column(dst_cols[0]).to_pylist()
+        do = batch.column(dst_cols[1]).to_pylist()
+        return pa.table(
+            {
+                "id_a": pa.array(
+                    [_form_node_id(p, o) for p, o in zip(sp, so)],
+                    type=pa.int64(),
+                ),
+                "id_b": pa.array(
+                    [_form_node_id(p, o) for p, o in zip(dp, do)],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    def vocab_rows(batch: pa.Table) -> pa.Table:
+        # per-batch-distinct (id, pred, obj) rows; exact dedup happens
+        # in the sharded merge below (all rows of an id share its shard)
+        sp = batch.column(src_cols[0]).to_pylist()
+        so = batch.column(src_cols[1]).to_pylist()
+        dp = batch.column(dst_cols[0]).to_pylist()
+        do = batch.column(dst_cols[1]).to_pylist()
+        seen: dict[int, tuple] = {}
+        for p, o in zip(sp + dp, so + do):
+            seen.setdefault(_form_node_id(p, o), (p, o))
+        return pa.table(
+            {
+                "node_id": pa.array(list(seen), type=pa.int64()),
+                "pred": pa.array([v[0] for v in seen.values()]),
+                "obj": pa.array([v[1] for v in seen.values()]),
+                "shard": pa.array(
+                    [i % n_shards for i in seen], type=pa.int64()
+                ),
+                "component_id": pa.array(
+                    [None] * len(seen), type=pa.int64()
+                ),
+                "tag": pa.array(np.zeros(len(seen), dtype=np.int8)),
+            }
+        )
+
+    edges_ds = edges_ds.materialize()
+    pairs = edges_ds.map_batches(to_pairs, batch_format="pyarrow")
+    labels = neardup_clusters(
+        pairs, rounds=rounds, driver_threshold=driver_threshold
+    )
+
+    def label_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node_id": pa.array(ids, type=pa.int64()),
+                "pred": pa.array([None] * len(ids), type=pa.string()),
+                "obj": pa.array([None] * len(ids), type=pa.string()),
+                "shard": pa.array(
+                    (ids.astype(np.uint64) % n_shards).astype(np.int64)
+                ),
+                "component_id": batch.column("cluster_id"),
+                "tag": pa.array(np.ones(len(ids), dtype=np.int8)),
+            }
+        )
+
+    vocab = edges_ds.map_batches(vocab_rows, batch_format="pyarrow")
+    lab = labels.map_batches(label_rows, batch_format="pyarrow")
+
+    def join_shard(df: pd.DataFrame) -> pa.Table:
+        names = df[df["tag"] == 0].drop_duplicates("node_id")
+        comp = df[df["tag"] == 1][["node_id", "component_id"]]
+        m = names[["node_id", "pred", "obj"]].merge(comp, on="node_id")
+        return pa.table(
+            {
+                "pred": pa.array(m["pred"], type=pa.string()),
+                "obj": pa.array(m["obj"], type=pa.string()),
+                "component_id": pa.array(
+                    m["component_id"].to_numpy(dtype=np.int64)
+                ),
+            }
+        )
+
+    return (
+        vocab.union(lab)
+        .groupby("shard")
+        .map_groups(join_shard, batch_format="pandas")
+    )

@@ -2077,6 +2077,77 @@ class TestPageRank:
         assert set(empty.schema().names) == {"pred", "obj", "score"}
 
 
+class TestGraphComponents:
+    def test_components_match_bfs(self, ray_session):
+        """Transitive entity components over a random edge set equal a
+        brute-force BFS; string identity survives the id round-trip."""
+        import ray.data
+
+        from deduce_ray.rayops.kg import graph_components
+
+        rng = np.random.default_rng(5)
+        edges = set()
+        while len(edges) < 40:
+            a, b = rng.integers(0, 30, size=2)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        rows = [
+            {"pred_a": "p", "obj_a": f"e{a}", "pred_b": "p", "obj_b": f"e{b}"}
+            for a, b in sorted(edges)
+        ]
+        got = {
+            (r["pred"], r["obj"]): r["component_id"]
+            for r in graph_components(
+                ray.data.from_items(rows).repartition(6)
+            ).take_all()
+        }
+        # brute-force components
+        adj: dict[int, set] = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        seen: dict[int, int] = {}
+        for start in adj:
+            if start in seen:
+                continue
+            comp, stack = [], [start]
+            while stack:
+                v = stack.pop()
+                if v in seen:
+                    continue
+                seen[v] = start
+                comp.append(v)
+                stack.extend(adj[v])
+            for v in comp:
+                seen[v] = min(comp)
+        assert len(got) == len(adj)
+        # same partition: two nodes share a component id iff BFS agrees
+        for a in adj:
+            for b in adj:
+                same_got = got[("p", f"e{a}")] == got[("p", f"e{b}")]
+                assert same_got == (seen[a] == seen[b]), (a, b)
+
+    def test_separator_and_collision_safety(self, ray_session):
+        """Length-prefixed form-node ids keep look-alike nodes distinct
+        (pred='a\\x1fb',obj='c' vs pred='a',obj='b\\x1fc')."""
+        import ray.data
+
+        from deduce_ray.rayops.kg import graph_components
+
+        rows = [
+            {"pred_a": "a\x1fb", "obj_a": "c", "pred_b": "x", "obj_b": "y"},
+            {"pred_a": "a", "obj_a": "b\x1fc", "pred_b": "u", "obj_b": "v"},
+        ]
+        got = {
+            (r["pred"], r["obj"]): r["component_id"]
+            for r in graph_components(ray.data.from_items(rows)).take_all()
+        }
+        assert len(got) == 4
+        assert got[("a\x1fb", "c")] == got[("x", "y")]
+        assert got[("a", "b\x1fc")] == got[("u", "v")]
+        assert got[("a\x1fb", "c")] != got[("a", "b\x1fc")]
+
+
 class TestCooccurrence:
     def test_edges_and_weights(self, ray_session):
         import ray.data
