@@ -152,22 +152,73 @@ def _q_kg_cooccurrence_sqlpreds(sf_dir: str):
     return cooccurrence_edges(_triples(sf_dir, enabled=set(SQLPRED_ENABLED)))
 
 
+def _planted_repo_table(sf_dir: str):
+    """Corpus + the planted co-occurrence docs (mirrored byte-for-byte
+    by oracles.pagerank_planted_docs_sql): 52 synthetic documents over
+    13 planted 8-digit ``id`` entities with irregular co-occurrence
+    (a = j%13, b = (3j+1)%13, c = (7j+2)%13, ' en ' separators — the
+    engine's merge_adjacent pass would fuse space-adjacent same-tag
+    mentions into one entity), so the pagerank oracle
+    checks genuinely non-uniform scores — the natural sqlpreds graph at
+    small sf is disjoint per-doc cliques, whose PageRank fixpoint is
+    uniform (a weak check).  The synthetic rows ride the SAME
+    decoration (snippets, repo derivation) as real rows on both sides."""
+    import pyarrow as pa
+    import ray.data
+
+    from deduce_ray.corpus import decorate_batch
+    from deduce_ray.oracles import (
+        PAGERANK_PLANT_BASE_DOC,
+        PAGERANK_PLANT_BASE_ENT,
+        PAGERANK_PLANT_K,
+        PAGERANK_PLANT_M,
+    )
+
+    ids, texts = [], []
+    for j in range(PAGERANK_PLANT_M):
+        ents = (
+            PAGERANK_PLANT_BASE_ENT + (j % PAGERANK_PLANT_K),
+            PAGERANK_PLANT_BASE_ENT + ((3 * j + 1) % PAGERANK_PLANT_K),
+            PAGERANK_PLANT_BASE_ENT + ((7 * j + 2) % PAGERANK_PLANT_K),
+        )
+        ids.append(PAGERANK_PLANT_BASE_DOC + j)
+        texts.append("planted " + " en ".join(str(e) for e in ents))
+    synth = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+            "lang": pa.array(["en"] * len(ids), type=pa.string()),
+        }
+    )
+    base = read_parquet_sliced(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return base.union(ray.data.from_arrow(synth)).map_batches(
+        decorate_batch, batch_format="pyarrow"
+    )
+
+
 def _q_kg_pagerank_sqlpreds(sf_dir: str):
     """KG analytics: PageRank over the entity co-occurrence graph
-    (sqlpreds restriction) — sharded message-passing rounds, each two
-    narrow exchanges; value-checked against a DuckDB oracle that
-    unrolls the fixed-iteration recurrence (oracles.kg_pagerank_sqlpreds_sql)."""
+    (sqlpreds restriction) over the corpus augmented with the planted
+    irregular co-occurrence docs — sharded message-passing rounds, each
+    two narrow exchanges; value-checked against a DuckDB oracle that
+    builds the same planted corpus and unrolls the fixed-iteration
+    recurrence (oracles.kg_pagerank_sqlpreds_sql)."""
     from deduce_ray.oracles import SQLPRED_ENABLED
+    from deduce_ray.rayops.annotate import extract_triples
     from deduce_ray.rayops.kg import cooccurrence_edges, pagerank
 
+    triples = extract_triples(
+        _planted_repo_table(sf_dir),
+        lexicon_ref=_lexicon_ref(),
+        enabled=set(SQLPRED_ENABLED),
+    )
     # driver_max_arcs=0 forces the DISTRIBUTED rounds so the scale path
     # is the one value-checked vs DuckDB (the ann_topk_ivf convention);
     # the default bounded driver fast path is equality-tested against it
     # in TestPageRank and is what bench.py times
-    return pagerank(
-        cooccurrence_edges(_triples(sf_dir, enabled=set(SQLPRED_ENABLED))),
-        driver_max_arcs=0,
-    )
+    return pagerank(cooccurrence_edges(triples), driver_max_arcs=0)
 
 
 def _q_doc_token_counts(sf_dir: str):

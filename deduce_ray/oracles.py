@@ -76,15 +76,20 @@ _POSTBUS_PAT = r"[Pp]ostbus[ \t\n][0-9]{1,5}(\.[0-9]{2,4})?"
 _POSTAL_PAT = r"(\d{4}([A-Za-z]{2}| [A-Z]{2}))([^A-Za-z0-9_]|$)"
 
 
-def _mentions_cte() -> str:
-    """CTE chain ending in ``mentions(doc_id, repo, lang, content, pred, obj)``."""
+def _mentions_cte(source: str = "documents") -> str:
+    """CTE chain ending in ``mentions(doc_id, repo, lang, content, pred, obj)``.
+
+    ``source``: the (doc_id, text, lang) relation to decorate — the
+    ``documents`` view by default; planted-augmentation oracles pass a
+    UNION CTE instead (e.g. kg_pagerank's synthetic co-occurrence docs).
+    """
     content = sql_content_expr()
     repo = sql_repo_expr()
     return f"""
         docs AS (
           SELECT lower(sha256({content})) AS doc_id, {repo} AS repo, lang,
                  {content} AS content
-          FROM documents
+          FROM {source}
         ),
         date_m AS (
           SELECT doc_id, repo, lang, content, 'datum' AS pred,
@@ -711,13 +716,45 @@ def media_features_sql(dim: int = 32) -> str:
     """
 
 
+#: planted co-occurrence corpus for the pagerank oracle — mirrored
+#: byte-for-byte by __ray_entry__._planted_repo_table
+PAGERANK_PLANT_K = 13
+PAGERANK_PLANT_M = 52
+PAGERANK_PLANT_BASE_DOC = 10_000_000
+PAGERANK_PLANT_BASE_ENT = 90_000_000
+
+
+def pagerank_planted_docs_sql() -> str:
+    """(doc_id, text, lang) rows of the planted co-occurrence corpus:
+    52 synthetic docs, each mentioning three of 13 planted 8-digit
+    ``id`` entities (a = j%13, b = (3j+1)%13, c = (7j+2)%13) — an
+    IRREGULAR multi-degree graph, so the oracle checks genuinely
+    non-uniform PageRank scores (the natural sqlpreds graph at small
+    sf decomposes into per-doc cliques whose fixpoint is uniform — a
+    weak check).  8-digit runs hit the ``id`` predicate and can never
+    collide with the 9-digit bsn elfproef class."""
+    k, ent = PAGERANK_PLANT_K, PAGERANK_PLANT_BASE_ENT
+    return f"""
+        SELECT {PAGERANK_PLANT_BASE_DOC} + j AS doc_id,
+               'planted ' || CAST({ent} + (j % {k}) AS VARCHAR)
+                 || ' en ' || CAST({ent} + ((3*j + 1) % {k}) AS VARCHAR)
+                 || ' en ' || CAST({ent} + ((7*j + 2) % {k}) AS VARCHAR)
+                 AS text,
+               'en' AS lang
+        FROM UNNEST(generate_series(0, {PAGERANK_PLANT_M - 1})) AS t(j)
+    """
+
+
 def kg_pagerank_sqlpreds_sql(
     damping: float = 0.85, n_iter: int = 5
 ) -> str:
-    """PageRank over the sqlpreds co-occurrence graph, the recurrence
+    """PageRank over the sqlpreds co-occurrence graph AUGMENTED with the
+    planted irregular corpus (pagerank_planted_docs_sql), the recurrence
     UNROLLED (fixed n_iter, so plain CTE chaining suffices — no
     recursive CTE needed): arcs are both directions of the distinct
     within-doc mention pairs, rank_0 = 1/N over nodes with >= 1 edge,
+    planted ids separated by filler words (adjacent same-tag mentions
+    would otherwise be MERGED by the engine's merge_adjacent pass),
     rank_t = (1-d)/N + d * SUM(rank_{t-1}(src)/outdeg(src)) over
     in-arcs.  The symmetrized graph has no dangling nodes, so the
     recurrence needs no dangling-mass term; the final score rounds to
@@ -737,7 +774,12 @@ def kg_pagerank_sqlpreds_sql(
           GROUP BY e.dp, e.dob, nn.n
         )""")
     return f"""
-        WITH {_mentions_cte()},
+        WITH synth AS ({pagerank_planted_docs_sql()}),
+        docs_src AS (
+          SELECT doc_id, text, lang FROM documents
+          UNION ALL SELECT doc_id, text, lang FROM synth
+        ),
+        {_mentions_cte(source="docs_src")},
         m AS (SELECT DISTINCT doc_id, pred, obj FROM linked),
         und AS (
           SELECT a.pred AS pa_, a.obj AS oa_, b.pred AS pb_, b.obj AS ob_
