@@ -243,6 +243,24 @@ def cmd_analyze(args) -> int:
             for r in merged.itertuples()
         ],
     }
+    if args.communities:
+        from deduce_ray.rayops.kg import label_propagation
+
+        labs = label_propagation(edges, n_iter=args.iterations)
+        lsizes = labs.groupby(["label_pred", "label_obj"]).count()
+        result["communities"] = int(lsizes.count())
+        largest = (
+            lsizes.map_batches(
+                lambda t: t.sort_by([("count()", "descending")]).slice(0, k),
+                batch_format="pyarrow",
+            )
+            .to_pandas()
+            .sort_values("count()", ascending=False)
+            .head(k)
+        )
+        result["largest_communities"] = [
+            int(x) for x in largest["count()"].tolist()
+        ]
     if args.components:
         from deduce_ray.rayops.kg import graph_components
 
@@ -673,6 +691,12 @@ def main() -> int:
         action="store_true",
         help="also report connected-component count and the largest "
         "component sizes",
+    )
+    p.add_argument(
+        "--communities",
+        action="store_true",
+        help="also report label-propagation community count and the "
+        "largest community sizes (synchronous LPA, --iterations rounds)",
     )
     p.add_argument("--num-cpus", type=int)
     p.add_argument("--lookup-data-path")

@@ -1436,3 +1436,283 @@ def graph_components(
         .groupby("shard")
         .map_groups(join_shard, batch_format="pandas")
     )
+
+
+def label_propagation(
+    edges_ds,
+    n_iter: int = 5,
+    n_shards: int | None = None,
+    src_cols: tuple[str, str] = ("pred_a", "obj_a"),
+    dst_cols: tuple[str, str] = ("pred_b", "obj_b"),
+    driver_max_arcs: int = 2_000_000,
+):
+    """Synchronous label propagation over the (undirected) entity
+    co-occurrence graph — community detection, the third member of the
+    KG-analytics family (pagerank: centrality; graph_components:
+    reachability; this: density).
+
+    DETERMINISTIC semantics (so an unrolled SQL oracle can reproduce it
+    — see tests/test_ray_pipeline.py's DuckDB parity test): every node
+    starts labelled with itself; each round, every node simultaneously
+    adopts the most frequent label among its neighbours, ties broken by
+    the lexicographically smallest (pred, obj) label; a FIXED ``n_iter``
+    rounds (synchronous LPA can oscillate on bipartite structures, so
+    the contract is "labels after k rounds", not a fixpoint).  The
+    symmetrized graph gives every node >= 1 neighbour.
+
+    Scale shape mirrors :func:`pagerank`: arcs sharded ONCE by src-hash
+    and materialized; each round is two narrow exchanges — labels ride
+    a tagged union into the arc shards (vectorized pandas merge turns
+    them into per-arc votes, pre-counted per (dst, label) inside the
+    shard), then the partial counts merge under a dst-hash shard
+    groupby whose argmax/min-tie-break output IS next round's label
+    table.  Per-round payload is O(arcs) narrow string rows.
+    ``driver_max_arcs``: same bounded fast path convention as pagerank
+    (identical recurrence vectorized on the driver; 0 forces the
+    distributed rounds; equality-tested on the same graph).
+    """
+    import pandas as pd
+    import ray.data
+
+    from deduce_ray.ops.agg import merge_shards
+
+    if n_shards is None:
+        n_shards = merge_shards()
+
+    def _shards_of(pred, obj) -> list[int]:
+        return [
+            zlib.crc32(f"{p}\x1f{o}".encode()) % n_shards
+            for p, o in zip(pred, obj)
+        ]
+
+    # shared tagged schema: arcs tag 0 (pred/obj = src, dpred/dobj = dst),
+    # labels tag 2 (pred/obj = node, lpred/lobj = its current label)
+    def _empty() -> pa.Table:
+        return pa.table(
+            {
+                "shard": pa.array([], type=pa.int64()),
+                "pred": pa.array([], type=pa.string()),
+                "obj": pa.array([], type=pa.string()),
+                "dpred": pa.array([], type=pa.string()),
+                "dobj": pa.array([], type=pa.string()),
+                "lpred": pa.array([], type=pa.string()),
+                "lobj": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "tag": pa.array([], type=pa.int8()),
+            }
+        )
+
+    def to_arcs(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return _empty()
+        sp = batch.column(src_cols[0]).to_numpy(zero_copy_only=False)
+        so = batch.column(src_cols[1]).to_numpy(zero_copy_only=False)
+        dp = batch.column(dst_cols[0]).to_numpy(zero_copy_only=False)
+        do = batch.column(dst_cols[1]).to_numpy(zero_copy_only=False)
+        m = len(sp)
+        ap = np.concatenate([sp, dp])
+        ao = np.concatenate([so, do])
+        nulls = pa.array([None] * (2 * m), type=pa.string())
+        return pa.table(
+            {
+                "shard": pa.array(_shards_of(ap, ao), type=pa.int64()),
+                "pred": pa.array(ap, type=pa.string()),
+                "obj": pa.array(ao, type=pa.string()),
+                "dpred": pa.array(np.concatenate([dp, sp]), type=pa.string()),
+                "dobj": pa.array(np.concatenate([do, so]), type=pa.string()),
+                "lpred": nulls,
+                "lobj": nulls,
+                "n": pa.array(np.zeros(2 * m, dtype=np.int64)),
+                "tag": pa.array(np.zeros(2 * m, dtype=np.int8)),
+            }
+        )
+
+    arcs = edges_ds.map_batches(
+        to_arcs, batch_format="pyarrow", num_cpus=0.9
+    ).materialize()
+
+    def _result(df: pd.DataFrame):
+        out = pa.table(
+            {
+                "pred": pa.array(df["pred"], type=pa.string()),
+                "obj": pa.array(df["obj"], type=pa.string()),
+                "label_pred": pa.array(df["lpred"], type=pa.string()),
+                "label_obj": pa.array(df["lobj"], type=pa.string()),
+            }
+        )
+        return ray.data.from_arrow(out)
+
+    if driver_max_arcs and arcs.count() <= driver_max_arcs:
+        # bounded driver fast path: identical synchronous recurrence
+        parts = {c: [] for c in ("pred", "obj", "dpred", "dobj")}
+        for b in arcs.iter_batches(batch_format="pyarrow"):
+            for c in parts:
+                parts[c].append(b.column(c).to_numpy(zero_copy_only=False))
+        if not parts["pred"]:
+            return _result(
+                pd.DataFrame(columns=["pred", "obj", "lpred", "lobj"])
+            )
+        keys = list(
+            zip(
+                np.concatenate(parts["pred"] + parts["dpred"]).tolist(),
+                np.concatenate(parts["obj"] + parts["dobj"]).tolist(),
+            )
+        )
+        n_arcs = len(keys) // 2
+        key_arr = np.empty(len(keys), dtype=object)
+        key_arr[:] = keys
+        codes, uniq = pd.factorize(key_arr)
+        src_idx, dst_idx = codes[:n_arcs], codes[n_arcs:]
+        # label code order must be LEXICOGRAPHIC on the (pred, obj)
+        # TUPLE for min-tie-breaks (true tuple sort, not a joined string
+        # — matching the distributed path's two-column sort exactly)
+        order = sorted(range(len(uniq)), key=lambda i: uniq[i])
+        rank_of = np.empty(len(uniq), dtype=np.int64)
+        rank_of[np.asarray(order)] = np.arange(len(uniq))
+        labels = rank_of.copy()  # node's own rank-coded label
+        for _ in range(int(n_iter)):
+            df = pd.DataFrame(
+                {"dst": dst_idx, "lab": labels[src_idx]}
+            )
+            counts = (
+                df.groupby(["dst", "lab"], sort=False)
+                .size()
+                .reset_index(name="c")
+                .sort_values(
+                    ["dst", "c", "lab"], ascending=[True, False, True]
+                )
+                .drop_duplicates("dst")
+            )
+            new = labels.copy()
+            new[counts["dst"].to_numpy()] = counts["lab"].to_numpy()
+            labels = new
+        inv = np.empty(len(uniq), dtype=np.int64)
+        inv[rank_of] = np.arange(len(uniq))
+        lab_nodes = [uniq[inv[r]] for r in labels]
+        return _result(
+            pd.DataFrame(
+                {
+                    "pred": [k[0] for k in uniq],
+                    "obj": [k[1] for k in uniq],
+                    "lpred": [k[0] for k in lab_nodes],
+                    "lobj": [k[1] for k in lab_nodes],
+                }
+            )
+        )
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        # distinct src nodes of the shard's arcs -> self-labelled rows
+        t = batch.group_by(["shard", "pred", "obj"]).aggregate([])
+        m = t.num_rows
+        return pa.table(
+            {
+                "shard": t.column("shard"),
+                "pred": t.column("pred"),
+                "obj": t.column("obj"),
+                "dpred": pa.array([None] * m, type=pa.string()),
+                "dobj": pa.array([None] * m, type=pa.string()),
+                "lpred": t.column("pred"),
+                "lobj": t.column("obj"),
+                "n": pa.array(np.zeros(m, dtype=np.int64)),
+                "tag": pa.array(np.full(m, 2, dtype=np.int8)),
+            }
+        )
+
+    def dedup_labels(df: pd.DataFrame) -> pa.Table:
+        # Arrow output: the union with the Arrow arc blocks must keep
+        # ONE block type (a mixed union breaks the sort's boundary
+        # sampling with a pandas-vs-arrow assertion); explicit schema —
+        # the all-None dpred/dobj columns would otherwise infer as the
+        # Arrow null type instead of string
+        return pa.Table.from_pandas(
+            df.drop_duplicates(["pred", "obj"]),
+            schema=_empty().schema,
+            preserve_index=False,
+        )
+
+    labels = (
+        arcs.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("shard")
+        .map_groups(dedup_labels, batch_format="pandas")
+        .materialize()
+    )
+
+    def votes(df: pd.DataFrame) -> pa.Table:
+        out_empty = pa.table(
+            {
+                "shard": pa.array([], type=pa.int64()),
+                "dpred": pa.array([], type=pa.string()),
+                "dobj": pa.array([], type=pa.string()),
+                "lpred": pa.array([], type=pa.string()),
+                "lobj": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+            }
+        )
+        key = ["pred", "obj"]
+        lab = df[df["tag"] == 2]
+        ed = df[df["tag"] == 0]
+        if ed.empty or lab.empty:
+            return out_empty
+        m = ed[key + ["dpred", "dobj"]].merge(
+            lab[key + ["lpred", "lobj"]], on=key
+        )
+        part = (
+            m.groupby(["dpred", "dobj", "lpred", "lobj"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        return pa.table(
+            {
+                "shard": pa.array(
+                    _shards_of(part["dpred"], part["dobj"]), type=pa.int64()
+                ),
+                "dpred": pa.array(part["dpred"], type=pa.string()),
+                "dobj": pa.array(part["dobj"], type=pa.string()),
+                "lpred": pa.array(part["lpred"], type=pa.string()),
+                "lobj": pa.array(part["lobj"], type=pa.string()),
+                "n": pa.array(part["n"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    def adopt(df: pd.DataFrame) -> pa.Table:
+        g = (
+            df.groupby(["dpred", "dobj", "lpred", "lobj"], sort=False)
+            .agg(shard=("shard", "first"), n=("n", "sum"))
+            .reset_index()
+            .sort_values(
+                ["dpred", "dobj", "n", "lpred", "lobj"],
+                ascending=[True, True, False, True, True],
+            )
+            .drop_duplicates(["dpred", "dobj"])
+        )
+        m = len(g)
+        return pa.table(
+            {
+                "shard": pa.array(g["shard"], type=pa.int64()),
+                "pred": pa.array(g["dpred"], type=pa.string()),
+                "obj": pa.array(g["dobj"], type=pa.string()),
+                "dpred": pa.array([None] * m, type=pa.string()),
+                "dobj": pa.array([None] * m, type=pa.string()),
+                "lpred": pa.array(g["lpred"], type=pa.string()),
+                "lobj": pa.array(g["lobj"], type=pa.string()),
+                "n": pa.array(np.zeros(m, dtype=np.int64)),
+                "tag": pa.array(np.full(m, 2, dtype=np.int8)),
+            }
+        )
+
+    for _ in range(int(n_iter)):
+        labels = (
+            arcs.union(labels)
+            .groupby("shard")
+            .map_groups(votes, batch_format="pandas")
+            .groupby("shard")
+            .map_groups(adopt, batch_format="pandas")
+            .materialize()
+        )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return batch.select(["pred", "obj", "lpred", "lobj"]).rename_columns(
+            ["pred", "obj", "label_pred", "label_obj"]
+        )
+
+    return labels.map_batches(finish, batch_format="pyarrow")

@@ -2077,6 +2077,116 @@ class TestPageRank:
         assert set(empty.schema().names) == {"pred", "obj", "score"}
 
 
+class TestLabelPropagation:
+    @staticmethod
+    def _brute_lpa(edges, n_iter=5):
+        """Synchronous LPA with min-label tie-breaks, dense python."""
+        adj: dict = {}
+        for a, b in edges:
+            adj.setdefault(a, []).append(b)
+            adj.setdefault(b, []).append(a)
+        labels = {v: v for v in adj}
+        for _ in range(n_iter):
+            new = {}
+            for v, nbrs in adj.items():
+                counts: dict = {}
+                for u in nbrs:
+                    counts[labels[u]] = counts.get(labels[u], 0) + 1
+                best = max(counts.values())
+                new[v] = min(l for l, c in counts.items() if c == best)
+            labels = new
+        return labels
+
+    def test_matches_brute_force_both_paths(self, ray_session):
+        import ray.data
+
+        from deduce_ray.rayops.kg import label_propagation
+
+        rng = np.random.default_rng(9)
+        edges = set()
+        while len(edges) < 60:
+            a, b = rng.integers(0, 35, size=2)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        rows = [
+            {"pred_a": "p", "obj_a": f"e{a:02d}", "pred_b": "p",
+             "obj_b": f"e{b:02d}"}
+            for a, b in sorted(edges)
+        ]
+        want = self._brute_lpa(
+            [(("p", f"e{a:02d}"), ("p", f"e{b:02d}")) for a, b in edges]
+        )
+        ds = ray.data.from_items(rows).repartition(7)
+        for kwargs in ({"driver_max_arcs": 0}, {}):
+            got = {
+                (r["pred"], r["obj"]): (r["label_pred"], r["label_obj"])
+                for r in label_propagation(ds, **kwargs).take_all()
+            }
+            assert got == want, kwargs
+
+    def test_matches_duckdb_unrolled(self, ray_session):
+        """The deterministic recurrence reproduced independently in SQL:
+        per round, each node adopts the most frequent neighbour label,
+        ties to the smallest (pred, obj) — unrolled CTE chain."""
+        import duckdb
+        import pandas as pd
+        import ray.data
+
+        from deduce_ray.rayops.kg import label_propagation
+
+        edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (2, 3), (5, 6)]
+        rows = [
+            {"pred_a": "p", "obj_a": f"n{a}", "pred_b": "p", "obj_b": f"n{b}"}
+            for a, b in edges
+        ]
+        n_iter = 4
+        got = (
+            label_propagation(
+                ray.data.from_items(rows), n_iter=n_iter, driver_max_arcs=0
+            )
+            .to_pandas()
+            .sort_values(["pred", "obj"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("und", pd.DataFrame(rows))
+        rounds = []
+        for t in range(1, n_iter + 1):
+            rounds.append(f"""
+            l{t} AS (
+              SELECT dp AS pred, dob AS obj, lpred AS label_pred,
+                     lobj AS label_obj
+              FROM (
+                SELECT e.dp, e.dob, l.label_pred AS lpred,
+                       l.label_obj AS lobj,
+                       row_number() OVER (
+                         PARTITION BY e.dp, e.dob
+                         ORDER BY COUNT(*) DESC, l.label_pred, l.label_obj
+                       ) AS rn
+                FROM e JOIN l{t - 1} l
+                  ON l.pred = e.sp AND l.obj = e.so
+                GROUP BY e.dp, e.dob, l.label_pred, l.label_obj
+              ) WHERE rn = 1
+            )""")
+        want = con.execute(f"""
+            WITH e AS (
+              SELECT pred_a AS sp, obj_a AS so, pred_b AS dp, obj_b AS dob
+              FROM und
+              UNION ALL
+              SELECT pred_b, obj_b, pred_a, obj_a FROM und
+            ),
+            l0 AS (
+              SELECT DISTINCT sp AS pred, so AS obj,
+                     sp AS label_pred, so AS label_obj
+              FROM e
+            ),
+            {",".join(rounds)}
+            SELECT pred, obj, label_pred, label_obj FROM l{n_iter}
+            ORDER BY pred, obj
+        """).df().reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
+
+
 class TestGraphComponents:
     def test_components_match_bfs(self, ray_session):
         """Transitive entity components over a random edge set equal a
