@@ -208,6 +208,11 @@ def cmd_analyze(args) -> int:
     edges = cooccurrence_edges(
         triples, max_mentions_per_doc=args.max_mentions_per_doc
     )
+    if args.communities or args.components:
+        # several consumers read the edge set: materialize ONCE so the
+        # extraction actor pool and the co-occurrence shuffle do not
+        # re-execute per consumer (Ray re-runs lineage on each use)
+        edges = edges.materialize()
     ranks = pagerank(
         edges,
         damping=args.damping,
@@ -230,44 +235,35 @@ def cmd_analyze(args) -> int:
         return pa.Table.from_pandas(df.head(k), preserve_index=False)
 
     n_entities = ranks.count()
-    merged = (
-        ranks.map_batches(local_top, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values(["score", "pred", "obj"], ascending=[False, True, True])
-        .head(k)
-    )
-    result = {
-        "entities": int(n_entities),
-        "top": [
-            {"pred": r.pred, "obj": r.obj, "score": float(r.score)}
-            for r in merged.itertuples()
-        ],
-    }
-    if args.communities:
-        from deduce_ray.rayops.kg import label_propagation
-
-        labs = label_propagation(edges, n_iter=args.iterations)
-        lsizes = labs.groupby(["label_pred", "label_obj"]).count()
-        result["communities"] = int(lsizes.count())
-        largest = (
-            lsizes.map_batches(
-                lambda t: t.sort_by([("count()", "descending")]).slice(0, k),
-                batch_format="pyarrow",
-            )
+    if n_entities:
+        merged = (
+            ranks.map_batches(local_top, batch_format="pyarrow")
             .to_pandas()
-            .sort_values("count()", ascending=False)
+            .sort_values(
+                ["score", "pred", "obj"], ascending=[False, True, True]
+            )
             .head(k)
         )
-        result["largest_communities"] = [
-            int(x) for x in largest["count()"].tolist()
+        top = [
+            {"pred": r.pred, "obj": r.obj, "score": float(r.score)}
+            for r in merged.itertuples()
         ]
-    if args.components:
-        from deduce_ray.rayops.kg import graph_components
-
-        comps = graph_components(edges)
-        sizes = comps.groupby("component_id").count()
-        n_comps = sizes.count()
-        # largest sizes via the same local-prune + tiny-merge shape
+    else:
+        # an edge-free graph (e.g. every doc yields < 2 distinct
+        # mentions): to_pandas on the empty dataset drops the schema,
+        # so short-circuit instead of sorting nonexistent columns
+        top = []
+    result = {
+        "entities": int(n_entities),
+        "top": top,
+    }
+    def _group_sizes(ds, key_cols: list[str]) -> tuple[int, list[int]]:
+        """(group count, k largest sizes) — one materialized size table,
+        local prune + tiny driver merge; empty input -> (0, [])."""
+        sizes = ds.groupby(key_cols).count().materialize()
+        n = sizes.count()
+        if not n:
+            return 0, []
         largest = (
             sizes.map_batches(
                 lambda t: t.sort_by([("count()", "descending")]).slice(0, k),
@@ -277,10 +273,21 @@ def cmd_analyze(args) -> int:
             .sort_values("count()", ascending=False)
             .head(k)
         )
-        result["components"] = int(n_comps)
-        result["largest_components"] = [
-            int(x) for x in largest["count()"].tolist()
-        ]
+        return int(n), [int(x) for x in largest["count()"].tolist()]
+
+    if args.communities:
+        from deduce_ray.rayops.kg import label_propagation
+
+        labs = label_propagation(edges, n_iter=args.iterations)
+        n, largest = _group_sizes(labs, ["label_pred", "label_obj"])
+        result["communities"] = n
+        result["largest_communities"] = largest
+    if args.components:
+        from deduce_ray.rayops.kg import graph_components
+
+        n, largest = _group_sizes(graph_components(edges), ["component_id"])
+        result["components"] = n
+        result["largest_components"] = largest
     print(json.dumps(result))
     ray.shutdown()
     return 0

@@ -1342,7 +1342,6 @@ def graph_components(
     against the labels — never a driver pull of either side.
     """
     import pandas as pd
-    import ray.data
 
     from deduce_ray.ops.agg import merge_shards
     from deduce_ray.ops.dedup import neardup_clusters

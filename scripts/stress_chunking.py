@@ -4,7 +4,7 @@ over a replicated corpus.
 Checks the conservation invariant at scale (total packed words ==
 total chunk words == sum of per-doc word counts) and reports
 throughput.  Usage: python scripts/stress_chunking.py [replicate] [cpus]
-Defaults: 64 replicas of sf0.1 documents (~320k docs), 16 CPUs.
+Defaults: 256 replicas of sf0.1 documents (~1.28M docs), 16 CPUs.
 """
 
 from __future__ import annotations
