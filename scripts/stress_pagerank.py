@@ -1,4 +1,4 @@
-"""Scale stress for the distributed PageRank rounds
+"""Scale stress for the distributed graph-analytics rounds
 (deduce_ray.rayops.kg.pagerank with driver_max_arcs=0).
 
 Builds a random undirected graph (power-law-ish degree skew via
@@ -8,8 +8,9 @@ path — and checks score equality before reporting wall times.  The
 distributed path's per-round cost should stay linear in |arcs| and the
 two paths must agree exactly (both round to 6 decimals at output).
 
-Usage: python scripts/stress_pagerank.py [n_nodes] [n_edges] [cpus]
-Defaults: 200_000 nodes, 1_000_000 edges, 16 CPUs.
+Usage: python scripts/stress_pagerank.py [n_nodes] [n_edges] [cpus] [--lpa]
+Defaults: 200_000 nodes, 1_000_000 edges, 16 CPUs; --lpa stresses the
+label-propagation rounds (same machinery) instead of PageRank.
 """
 
 from __future__ import annotations
@@ -25,9 +26,11 @@ import pyarrow as pa
 
 
 def main() -> int:
-    n_nodes = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    n_edges = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
-    cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    args = [a for a in sys.argv[1:] if a != "--lpa"]
+    lpa = "--lpa" in sys.argv[1:]
+    n_nodes = int(args[0]) if len(args) > 0 else 200_000
+    n_edges = int(args[1]) if len(args) > 1 else 1_000_000
+    cpus = int(args[2]) if len(args) > 2 else 16
 
     import ray
     import ray.data
@@ -38,7 +41,7 @@ def main() -> int:
     from deduce_ray.raytune import tune_data_context
 
     tune_data_context()
-    from deduce_ray.rayops.kg import pagerank
+    from deduce_ray.rayops.kg import label_propagation, pagerank
 
     rng = np.random.default_rng(13)
     # skewed endpoints: square a uniform draw so low ids act as hubs
@@ -63,6 +66,36 @@ def main() -> int:
     )
     blocks = [tbl.slice(i, 65536) for i in range(0, tbl.num_rows, 65536)]
     ds = ray.data.from_arrow(blocks)
+
+    if lpa:
+        t0 = time.time()
+        dist = {
+            (r["pred"], r["obj"]): (r["label_pred"], r["label_obj"])
+            for r in label_propagation(ds, driver_max_arcs=0).take_all()
+        }
+        t_dist = time.time() - t0
+        print(f"LPA distributed rounds: {t_dist:.1f} s "
+              f"({len(dist)} nodes, {2 * len(lo) / t_dist:.0f} arcs/s)")
+        t0 = time.time()
+        fast = {
+            (r["pred"], r["obj"]): (r["label_pred"], r["label_obj"])
+            for r in label_propagation(
+                ds, driver_max_arcs=10 * len(lo) + 10
+            ).take_all()
+        }
+        print(f"LPA driver fast path:   {time.time() - t0:.1f} s")
+        if set(dist) != set(fast):
+            print("FAIL: node sets diverge")
+            return 1
+        diff = sum(1 for k in dist if dist[k] != fast[k])
+        print(f"label equality: {len(dist) - diff}/{len(dist)} exact")
+        if diff:
+            print("FAIL: paths diverge (labels are exact strings — no "
+                  "rounding tolerance applies)")
+            return 1
+        print("OK")
+        ray.shutdown()
+        return 0
 
     t0 = time.time()
     dist = {
