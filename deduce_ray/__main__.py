@@ -313,10 +313,11 @@ def cmd_prep(args) -> int:
             "use the library (deduce_ray.ops.funnel.prep_corpus + "
             "Dataset.write_parquet) directly"
         )
-    if out_dir.exists() and any(out_dir.iterdir()):
+    if not args.resume and out_dir.exists() and any(out_dir.iterdir()):
         raise SystemExit(
             f"--output {args.output} exists and is not empty — survivors "
-            "would mix with stale files; point prep at a fresh directory"
+            "would mix with stale files; point prep at a fresh directory "
+            "(or pass --resume to continue a manifest-tracked run)"
         )
 
     _init_ray(args.num_cpus)
@@ -437,6 +438,41 @@ def cmd_prep(args) -> int:
         raise SystemExit(
             "--pack-words / --chunk-stride require --chunk-words"
         )
+
+    if args.resume:
+        from deduce_ray.sinks import write_parquet_resumable
+
+        # rows are packs after --pack-words, chunks after --chunk-words
+        # (bucketed by doc_id so a document's windows stay together),
+        # documents otherwise
+        if args.pack_words:
+            id_col, sort_cols = "pack_id", ("pack_id",)
+        elif args.chunk_words:
+            id_col, sort_cols = "doc_id", ("doc_id", "chunk_id")
+        else:
+            id_col, sort_cols = "doc_id", ("doc_id",)
+        summary = write_parquet_resumable(
+            out,
+            out_dir,
+            id_col=id_col,
+            sort_cols=sort_cols,
+            n_buckets=args.resume_buckets,
+            run_id=label,
+        )
+        for commit in commits:
+            commit()
+        print(
+            json.dumps(
+                {
+                    "survivors": summary["rows_total"],
+                    "output": str(args.output),
+                    "buckets_written": summary["buckets_written"],
+                    "buckets_skipped": summary["buckets_skipped"],
+                }
+            )
+        )
+        ray.shutdown()
+        return 0
 
     out.write_parquet(args.output)
     for commit in commits:
@@ -813,6 +849,23 @@ def main() -> int:
         default=None,
         help="greedily pack chunks into sequences of at most this many "
         "words (per-block first-fit; requires --chunk-words)",
+    )
+    p.add_argument(
+        "--resume",
+        action="store_true",
+        help="write output as hash-bucketed parquet units with completion "
+        "manifests (deduce_ray.sinks): a restarted run skips finished "
+        "buckets instead of refusing a non-empty directory; the funnel "
+        "still re-executes to regenerate the missing rows.  Pairs with "
+        "the state stores' deferred commits: a crashed run leaves its "
+        "--state-label uncommitted, so the resumed run may reuse it",
+    )
+    p.add_argument(
+        "--resume-buckets",
+        type=int,
+        default=64,
+        help="bucket count for --resume (fixed for the output dir's "
+        "lifetime; size so corpus/buckets fits one worker's heap)",
     )
     p.add_argument("--num-cpus", type=int)
     p.set_defaults(fn=cmd_prep)

@@ -49,3 +49,34 @@ for label, batch in (("b1", b1), ("b2", b2)):
     print(f"prep+stores {label}: survivors {sorted(r['doc_id'] for r in out.take_all())}", flush=True)
 shutil.rmtree(work, ignore_errors=True)
 ray.shutdown()
+
+# prep --resume CLI end-to-end (own subprocess Ray, so after shutdown):
+# run, crash-simulate (drop one bucket's manifest + data), resume
+import json as _json, os, subprocess
+import pyarrow as _pa, pyarrow.parquet as _pq
+work = tempfile.mkdtemp(prefix="drive_smoke_resume_")
+corpus = f"{work}/corpus.parquet"
+docs = [" ".join(f"tok{i}w{j}" for j in range(30)) for i in range(40)]
+_pq.write_table(
+    _pa.table({"doc_id": _pa.array(range(80), type=_pa.int64()),
+               "text": [docs[i % 40] for i in range(80)]}),
+    corpus,
+)
+out_dir = f"{work}/out"
+cli = [sys.executable, "-m", "deduce_ray", "prep", "--input", corpus,
+       "--output", out_dir, "--resume", "--resume-buckets", "4",
+       "--minhash-threshold", "0", "--num-cpus", "4"]
+env = {**os.environ, "RAY_ADDRESS": "local"}
+r1 = subprocess.run(cli, capture_output=True, text=True, env=env, cwd="/root/repo")
+assert r1.returncode == 0, r1.stderr[-2000:]
+s1 = _json.loads(r1.stdout.strip().splitlines()[-1])
+mf = sorted(__import__("pathlib").Path(out_dir, "_manifests").glob("part-*.json"))[0]
+bucket = _json.loads(mf.read_text())["bucket"]
+mf.unlink(); os.unlink(f"{out_dir}/part-{bucket:05d}.parquet")
+r2 = subprocess.run(cli, capture_output=True, text=True, env=env, cwd="/root/repo")
+assert r2.returncode == 0, r2.stderr[-2000:]
+s2 = _json.loads(r2.stdout.strip().splitlines()[-1])
+assert s2["buckets_skipped"] == s1["buckets_written"] - 1, (s1, s2)
+assert s2["survivors"] == s1["survivors"] == 40, (s1, s2)
+print(f"prep --resume CLI: run1 {s1} | resumed {s2}", flush=True)
+shutil.rmtree(work, ignore_errors=True)
