@@ -138,6 +138,11 @@ def write_parquet_resumable(
     )
 
     schema = ds.schema()  # ray.data.Schema: parallel .names / .types
+    if "__bucket" in schema.names:
+        raise ValueError(
+            "write_parquet_resumable: input already has a __bucket column "
+            "(reserved for routing)"
+        )
     id_type = dict(zip(schema.names, schema.types))[id_col]
     if not (isinstance(id_type, pa.DataType) and pa.types.is_integer(id_type)):
         raise TypeError(
@@ -145,6 +150,12 @@ def write_parquet_resumable(
             f"integer-typed for stable bucket routing, got {id_type}"
         )
     sort_by = list(sort_cols) if sort_cols else [id_col]
+    missing = [c for c in sort_by if c not in schema.names]
+    if missing:
+        raise ValueError(
+            f"write_parquet_resumable: sort_cols {missing} not in schema "
+            f"{schema.names}"
+        )
 
     done_arr = pa.array(sorted(done), type=pa.int64()) if done else None
 
