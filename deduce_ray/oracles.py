@@ -802,3 +802,46 @@ def kg_pagerank_sqlpreds_sql(
         SELECT p AS pred, o AS obj, ROUND(r, 6) AS score
         FROM r{int(n_iter)}
     """
+
+
+def lm_perplexity_sql() -> str:
+    """DuckDB mirror of :func:`deduce_ray.ops.lm.lm_perplexity` at
+    ``min_count=1`` (self-perplexity: the bigram model is trained on the
+    same documents table it scores).  Must track ops/lm.py exactly:
+    words = WORD_CLASS_SQL tokens, V = count(DISTINCT word) corpus-wide,
+    ctx(w1) = sum of pair counts with left word w1, add-one smoothing,
+    natural log, avg rounded to 4 / exp(-avg) rounded to 2, docs with
+    < 2 words absent (no bigram -> no row, the JOIN gives it for free)."""
+    return f"""
+        WITH words AS (
+          SELECT doc_id,
+                 regexp_extract_all(coalesce(text, ''),
+                                    '{WORD_CLASS_SQL}') AS w
+          FROM documents
+        ),
+        toks AS (SELECT unnest(w) AS tok FROM words),
+        v AS (SELECT count(DISTINCT tok) AS vocab FROM toks),
+        bi AS (
+          SELECT doc_id, w[pos + 1] AS w1, w[pos + 2] AS w2
+          FROM (SELECT doc_id, w, unnest(range(len(w) - 1)) AS pos
+                FROM words WHERE len(w) >= 2)
+        ),
+        counts AS (
+          SELECT w1, w2, count(*)::BIGINT AS n FROM bi GROUP BY 1, 2
+        ),
+        ctx AS (SELECT w1, sum(n)::BIGINT AS n1 FROM counts GROUP BY 1),
+        scored AS (
+          SELECT bi.doc_id,
+                 ln((c.n + 1)::DOUBLE
+                    / (x.n1 + (SELECT vocab FROM v))) AS lp
+          FROM bi
+          JOIN counts c USING (w1, w2)
+          JOIN ctx x USING (w1)
+        )
+        SELECT doc_id,
+               count(*)::BIGINT AS n_bigrams,
+               round(avg(lp), 4) AS avg_logprob,
+               round(exp(-avg(lp)), 2) AS ppl
+        FROM scored
+        GROUP BY doc_id
+    """
