@@ -374,6 +374,7 @@ def cmd_prep(args) -> int:
         minhash_threshold=threshold,
         strip_dup_ngrams=args.strip_dup_ngrams or None,
         max_bucket=args.minhash_max_bucket or None,
+        max_ppl=args.max_ppl,
     )
     if args.decontaminate:
         # benchmark file: one document per line; the small side of the
@@ -768,6 +769,15 @@ def main() -> int:
         type=float,
         default=0.7,
         help="near-dup Jaccard threshold; <=0 disables the near-dup stage",
+    )
+    p.add_argument(
+        "--max-ppl",
+        type=float,
+        default=None,
+        help="CCNet-style LM quality filter: drop documents whose bigram "
+        "perplexity against a model self-trained on the deduplicated "
+        "survivors exceeds this value (omit: no LM filter; documents "
+        "with <2 words always survive)",
     )
     p.add_argument(
         "--state-dir",

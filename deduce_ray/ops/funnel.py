@@ -127,6 +127,8 @@ def prep_corpus(
     minhash_threshold: float | None = 0.7,
     strip_dup_ngrams: int | None = None,
     max_bucket: int | None = None,
+    max_ppl: float | None = None,
+    lm_min_count: int = 1,
     checkpoint: bool = True,
     loser_broadcast_max: int = 50_000_000,
 ):
@@ -152,6 +154,15 @@ def prep_corpus(
     stay exact; boilerplate-heavy corpora should set it (the prep CLI
     defaults to 4096, disclosed in its --help) or enable
     ``strip_dup_ngrams``, which removes the shared mass before LSH.
+
+    ``max_ppl`` enables the CCNet-style LM quality filter as the LAST
+    stage: a bigram model self-trains on the deduplicated survivors
+    (training before dedup would let duplicate mass bias the counts)
+    and documents whose perplexity exceeds the threshold are dropped.
+    Documents with < 2 words have no perplexity and always survive this
+    stage (no evidence either way).  ``lm_min_count`` prunes the model's
+    bigram tail at scale (ops/lm.py — pruning keeps results
+    deterministic but is output-changing, so it is 1/off by default).
 
     The input must satisfy the module-wide doc-id contract (unique,
     non-null, non-negative int64 ids) and be re-readable (it is consumed
@@ -198,19 +209,50 @@ def prep_corpus(
         if checkpoint and minhash_threshold is not None:
             survivors = survivors.materialize()
     if minhash_threshold is None:
-        return survivors
-    # near-dup pass runs over the exact-dedup (and, when enabled,
-    # substring-stripped) SURVIVORS: collapse already removed
-    # byte-identical copies and the strip removed shared boilerplate, so
-    # LSH buckets reflect each document's real body
-    refs = _neardup_loser_refs(
-        survivors,
-        text_col,
-        id_col,
-        minhash_threshold,
-        loser_broadcast_max,
-        max_bucket=max_bucket,
+        out = survivors
+    else:
+        # near-dup pass runs over the exact-dedup (and, when enabled,
+        # substring-stripped) SURVIVORS: collapse already removed
+        # byte-identical copies and the strip removed shared boilerplate,
+        # so LSH buckets reflect each document's real body
+        refs = _neardup_loser_refs(
+            survivors,
+            text_col,
+            id_col,
+            minhash_threshold,
+            loser_broadcast_max,
+            max_bucket=max_bucket,
+        )
+        out = _drop_ids(survivors, refs, id_col) if refs else survivors
+    if max_ppl is None:
+        return out
+    return _lm_ppl_filter(
+        out, text_col, id_col, float(max_ppl), lm_min_count,
+        loser_broadcast_max, checkpoint,
     )
-    if not refs:
-        return survivors
-    return _drop_ids(survivors, refs, id_col)
+
+
+def _lm_ppl_filter(out, text_col, id_col, max_ppl, lm_min_count,
+                   loser_broadcast_max, checkpoint):
+    """Drop documents whose self-trained bigram perplexity exceeds
+    ``max_ppl`` (see :mod:`deduce_ray.ops.lm`).  The survivor set is
+    consumed three times here (model train, scoring, final anti-join),
+    so it is checkpointed first."""
+    import pyarrow.compute as pc
+
+    from deduce_ray.ops.dedup import _chunked_id_refs, _drop_ids
+    from deduce_ray.ops.lm import lm_perplexity
+
+    if checkpoint:
+        out = out.materialize()
+    scored = lm_perplexity(
+        out, text_col=text_col, id_col=id_col, min_count=lm_min_count
+    )
+
+    def high_ppl_ids(batch: pa.Table) -> pa.Table:
+        bad = batch.filter(pc.greater(batch.column("ppl"), max_ppl))
+        return bad.select(["doc_id"]).rename_columns([id_col])
+
+    bad_ids = scored.map_batches(high_ppl_ids, batch_format="pyarrow")
+    refs = _chunked_id_refs(bad_ids, id_col, loser_broadcast_max)
+    return _drop_ids(out, refs, id_col) if refs else out

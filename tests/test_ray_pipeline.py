@@ -1875,6 +1875,34 @@ class TestPrepFunnel:
         )
         assert sorted(r["doc_id"] for r in out.take_all()) == [1]
 
+    def test_lm_ppl_filter_stage(self, ray_session):
+        # max_ppl adds the CCNet-style LM stage LAST: the bigram model
+        # self-trains on the deduplicated survivors, so the gibberish doc
+        # (all-unique words -> every pair at the add-one floor,
+        # ppl = (1+V)/2) scores far above the repetitive-pattern docs
+        # (ppl < 2); docs with < 2 words have no perplexity and survive
+        import ray.data
+
+        from deduce_ray.ops.funnel import prep_corpus
+
+        rows = [
+            {"doc_id": 1, "text": "a b " * 10},
+            {"doc_id": 2, "text": "a b " * 10 + "c"},
+            {"doc_id": 3, "text": " ".join(f"g{i}" for i in range(13))},
+            {"doc_id": 4, "text": "solo"},
+        ]
+        out = prep_corpus(
+            ray.data.from_items(rows),
+            minhash_threshold=None,
+            max_ppl=5.0,
+        )
+        assert sorted(r["doc_id"] for r in out.take_all()) == [1, 2, 4]
+        # control: without max_ppl the gibberish doc survives
+        out2 = prep_corpus(
+            ray.data.from_items(rows), minhash_threshold=None
+        )
+        assert sorted(r["doc_id"] for r in out2.take_all()) == [1, 2, 3, 4]
+
     def test_strip_runs_before_neardup(self, ray_session):
         # docs share a 13-word header but have DISTINCT bodies: with the
         # strip stage on, the header is removed before MinHash, so the
