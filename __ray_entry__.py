@@ -265,6 +265,16 @@ def _q_doc_langid(sf_dir: str):
     )
 
 
+def _q_doc_lm_ppl(sf_dir: str):
+    from deduce_ray.ops.lm import lm_perplexity
+
+    return lm_perplexity(
+        read_parquet_sliced(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+    )
+
+
 def _q_top_terms(sf_dir: str):
     import ray.data
 
@@ -717,6 +727,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     vs a DuckDB self-join) was added and the rows-only ``media_frames``
     retired — frame sampling stays fully covered by the multimodal
     byte-level round-trip tests, and two media queries remain registered.
+    Finally ``doc_lm_ppl`` (CCNet-style bigram LM self-perplexity, the
+    quality-filter signal behind ``prep --max-ppl``) took the slot of
+    ``kg_postbus``: the postbus annotator stays value-checked inside the
+    sqlpreds flagship family (it is one of the five SQL-decidable
+    predicates in ``kg_triples_sqlpreds``) and regression-exact in
+    conformance, so the standalone mentions query was redundant.
 
     Two round-2 entries were retired earlier to make room:
     ``kg_redacted`` (its machinery is value-checked by
@@ -746,8 +762,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_emails": _mentions_query({"email_addresses", "email"}, "emailadres"),
         "kg_identifiers": _mentions_query({"identifiers", "identifier"}, "id"),
         "kg_urls": _mentions_query({"urls", "url"}, "url"),
-        "kg_postbus": _mentions_query({"locations", "postbus"}, "locatie"),
         # --- text analysis (value-checked) ---
+        "doc_lm_ppl": _q_doc_lm_ppl,
         "doc_token_counts": _q_doc_token_counts,
         "doc_quality": _q_doc_quality,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -926,7 +942,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_emails": _mention_oracle(_EMAIL_RE_SQL),
         "kg_identifiers": _mention_oracle("[0-9]{7,}"),
         "kg_urls": _mention_oracle(_URL_RE_SQL),
-        "kg_postbus": _mention_oracle("[Pp]ostbus[ \\t\\n][0-9]{1,5}(\\.[0-9]{2,4})?"),
+        "doc_lm_ppl": oracles.lm_perplexity_sql(),
         "doc_token_counts": f"""
             SELECT doc_id,
                    CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
