@@ -265,6 +265,14 @@ def _q_doc_langid(sf_dir: str):
     )
 
 
+def _q_doc_repetition(sf_dir: str):
+    from deduce_ray.ops.textstats import repetition_batch
+
+    return read_parquet_sliced(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(repetition_batch, batch_format="pyarrow")
+
+
 def _q_doc_lm_ppl(sf_dir: str):
     from deduce_ray.ops.lm import lm_perplexity
 
@@ -728,11 +736,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     retired — frame sampling stays fully covered by the multimodal
     byte-level round-trip tests, and two media queries remain registered.
     Finally ``doc_lm_ppl`` (CCNet-style bigram LM self-perplexity, the
-    quality-filter signal behind ``prep --max-ppl``) took the slot of
-    ``kg_postbus``: the postbus annotator stays value-checked inside the
-    sqlpreds flagship family (it is one of the five SQL-decidable
+    quality-filter signal behind ``prep --max-ppl``) and
+    ``doc_repetition`` (Gopher-style duplicate-line / n-gram-mass
+    signals) took the slots of ``kg_postbus`` and ``kg_identifiers``:
+    both annotators stay value-checked inside the sqlpreds flagship
+    family (postbus and identifier are two of the five SQL-decidable
     predicates in ``kg_triples_sqlpreds``) and regression-exact in
-    conformance, so the standalone mentions query was redundant.
+    conformance, so the standalone mentions queries were redundant.
 
     Two round-2 entries were retired earlier to make room:
     ``kg_redacted`` (its machinery is value-checked by
@@ -760,10 +770,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_bsn": _mentions_query({"identifiers", "bsn"}, "bsn"),
         "kg_postal": _mentions_query({"locations", "postal_code"}, "locatie"),
         "kg_emails": _mentions_query({"email_addresses", "email"}, "emailadres"),
-        "kg_identifiers": _mentions_query({"identifiers", "identifier"}, "id"),
         "kg_urls": _mentions_query({"urls", "url"}, "url"),
         # --- text analysis (value-checked) ---
         "doc_lm_ppl": _q_doc_lm_ppl,
+        "doc_repetition": _q_doc_repetition,
         "doc_token_counts": _q_doc_token_counts,
         "doc_quality": _q_doc_quality,
         "doc_fingerprints": _q_doc_fingerprints,
@@ -940,7 +950,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_clusters": oracles.neardup_clusters_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),
         "kg_emails": _mention_oracle(_EMAIL_RE_SQL),
-        "kg_identifiers": _mention_oracle("[0-9]{7,}"),
+        "doc_repetition": oracles.repetition_sql(),
         "kg_urls": _mention_oracle(_URL_RE_SQL),
         "doc_lm_ppl": oracles.lm_perplexity_sql(),
         "doc_token_counts": f"""

@@ -97,6 +97,82 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+    third classic quality-filter family next to the heuristic ratios
+    (:func:`quality_batch`) and the LM perplexity score (ops/lm.py) —
+    mass-duplicated lines and n-grams mark boilerplate/template text
+    that both of the others can miss.
+
+    Deterministic integer contract (every ratio a floor-division ppm so
+    the DuckDB oracle reproduces values exactly, the repo convention):
+
+    - lines = the '\\n'-separated non-empty segments of the text;
+      ``dup_line_ppm`` = occurrences beyond each line's first, per
+      million lines; ``dup_line_char_ppm`` = the characters of those
+      beyond-first occurrences, per million line characters.
+    - grams(n) = the word n-grams (shared WORD_RE words joined by one
+      space); each gram occurrence weighs its joined character length.
+      ``top_2gram_ppm`` = the heaviest 2-gram's total mass per million
+      of all 2-gram mass (c(g) * len(g), maxed over g — a max over
+      products needs no tie-break); ``dup_5gram_ppm`` = the mass of
+      5-grams occurring >= 2 times per million of all 5-gram mass.
+      Docs with < n words (or no lines) report 0 — no evidence.
+    """
+    from collections import Counter
+
+    texts = batch.column(text_col).to_pylist()
+    cols: dict[str, list[int]] = {
+        "n_lines": [],
+        "dup_line_ppm": [],
+        "dup_line_char_ppm": [],
+        "top_2gram_ppm": [],
+        "dup_5gram_ppm": [],
+    }
+
+    def gram_ppms(ws: list[str], n: int) -> tuple[int, int]:
+        if len(ws) < n:
+            return 0, 0
+        cnt = Counter(
+            " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+        )
+        top = dup = total = 0
+        for g, c in cnt.items():
+            mass = c * len(g)
+            total += mass
+            if mass > top:
+                top = mass
+            if c >= 2:
+                dup += mass
+        return (top * 1_000_000) // total, (dup * 1_000_000) // total
+
+    for t in texts:
+        t = t or ""
+        lines = [ln for ln in t.split("\n") if ln]
+        lc = Counter(lines)
+        n_lines = len(lines)
+        line_chars = sum(len(ln) for ln in lines)
+        dup_chars = sum((c - 1) * len(ln) for ln, c in lc.items())
+        cols["n_lines"].append(n_lines)
+        cols["dup_line_ppm"].append(
+            ((n_lines - len(lc)) * 1_000_000) // n_lines if n_lines else 0
+        )
+        cols["dup_line_char_ppm"].append(
+            (dup_chars * 1_000_000) // line_chars if line_chars else 0
+        )
+        ws = split_words(t)
+        top2, _ = gram_ppms(ws, 2)
+        _, dup5 = gram_ppms(ws, 5)
+        cols["top_2gram_ppm"].append(top2)
+        cols["dup_5gram_ppm"].append(dup5)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            **{k: pa.array(v, type=pa.int64()) for k, v in cols.items()},
+        }
+    )
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Exact document fingerprint (md5 hex, matches DuckDB's md5())."""
     texts = batch.column(text_col).to_pylist()

@@ -845,3 +845,74 @@ def lm_perplexity_sql() -> str:
         FROM scored
         GROUP BY doc_id
     """
+
+
+def repetition_sql() -> str:
+    """DuckDB mirror of
+    :func:`deduce_ray.ops.textstats.repetition_batch` (Gopher-style
+    repetition signals).  Must track it exactly: lines = non-empty
+    chr(10)-separated segments, grams = WORD_CLASS_SQL words joined by
+    one space, every ratio an integer floor-division ppm, docs with no
+    lines / < n words report 0."""
+
+    def gram_stats(n: int, alias: str, agg: str) -> str:
+        # per-doc gram mass stats for word n-grams (slice w[i:i+n-1] is
+        # inclusive, the decontaminate oracle's convention)
+        return f"""
+        {alias}_g AS (
+          SELECT doc_id, array_to_string(w[i:i+{n - 1}], ' ') AS g
+          FROM words, UNNEST(generate_series(1, len(w) - {n - 1})) AS t(i)
+          WHERE len(w) >= {n}
+        ),
+        {alias} AS (
+          SELECT doc_id, ({agg})::BIGINT AS mass,
+                 sum(c * len)::BIGINT AS total
+          FROM (SELECT doc_id, g, count(*)::BIGINT AS c,
+                       length(g)::BIGINT AS len
+                FROM {alias}_g GROUP BY doc_id, g)
+          GROUP BY doc_id
+        )"""
+
+    return f"""
+        WITH lines AS (
+          SELECT doc_id, l, length(l)::BIGINT AS len
+          FROM (SELECT doc_id,
+                       unnest(string_split(coalesce(text, ''), chr(10))) AS l
+                FROM documents)
+          WHERE length(l) > 0
+        ),
+        line_stats AS (
+          SELECT doc_id,
+                 count(*)::BIGINT AS n_lines,
+                 (count(*) - count(DISTINCT l))::BIGINT AS n_dup,
+                 sum(len)::BIGINT AS line_chars
+          FROM lines GROUP BY doc_id
+        ),
+        line_dup AS (
+          SELECT doc_id, sum((c - 1) * len)::BIGINT AS dup_chars
+          FROM (SELECT doc_id, l, count(*)::BIGINT AS c, len
+                FROM lines GROUP BY doc_id, l, len)
+          GROUP BY doc_id
+        ),
+        words AS (
+          SELECT doc_id,
+                 regexp_extract_all(coalesce(text, ''),
+                                    '{WORD_CLASS_SQL}') AS w
+          FROM documents
+        ),
+        {gram_stats(2, "g2", "max(c * len)")},
+        {gram_stats(5, "g5", "sum(CASE WHEN c >= 2 THEN c * len ELSE 0 END)")}
+        SELECT d.doc_id,
+               coalesce(ls.n_lines, 0) AS n_lines,
+               coalesce((ls.n_dup * 1000000) // ls.n_lines, 0)
+                 AS dup_line_ppm,
+               coalesce((ld.dup_chars * 1000000) // ls.line_chars, 0)
+                 AS dup_line_char_ppm,
+               coalesce((g2.mass * 1000000) // g2.total, 0) AS top_2gram_ppm,
+               coalesce((g5.mass * 1000000) // g5.total, 0) AS dup_5gram_ppm
+        FROM documents d
+        LEFT JOIN line_stats ls USING (doc_id)
+        LEFT JOIN line_dup ld USING (doc_id)
+        LEFT JOIN g2 USING (doc_id)
+        LEFT JOIN g5 USING (doc_id)
+    """
