@@ -371,6 +371,9 @@ def cmd_prep(args) -> int:
         langs=tuple(args.langs.split(",")) if args.langs else None,
         min_chars=args.min_chars,
         max_digit_ppm=args.max_digit_ppm,
+        max_dup_line_ppm=args.max_dup_line_ppm,
+        max_top_2gram_ppm=args.max_top_2gram_ppm,
+        max_dup_5gram_ppm=args.max_dup_5gram_ppm,
         minhash_threshold=threshold,
         strip_dup_ngrams=args.strip_dup_ngrams or None,
         max_bucket=args.minhash_max_bucket or None,
@@ -764,6 +767,28 @@ def main() -> int:
     )
     p.add_argument("--min-chars", type=int, default=1)
     p.add_argument("--max-digit-ppm", type=int, default=None)
+    p.add_argument(
+        "--max-dup-line-ppm",
+        type=int,
+        default=None,
+        help="Gopher-style repetition filter: drop documents whose "
+        "duplicate-line fraction exceeds this (parts per million; e.g. "
+        "300000 = 30%%)",
+    )
+    p.add_argument(
+        "--max-top-2gram-ppm",
+        type=int,
+        default=None,
+        help="drop documents whose most frequent word 2-gram covers more "
+        "than this fraction of 2-gram character mass (ppm)",
+    )
+    p.add_argument(
+        "--max-dup-5gram-ppm",
+        type=int,
+        default=None,
+        help="drop documents whose duplicated word 5-grams cover more "
+        "than this fraction of 5-gram character mass (ppm)",
+    )
     p.add_argument(
         "--minhash-threshold",
         type=float,

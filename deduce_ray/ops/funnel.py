@@ -45,8 +45,20 @@ def _failing_ids_fn(
     langs: tuple[str, ...] | None,
     min_chars: int,
     max_digit_ppm: int | None,
+    max_dup_line_ppm: int | None = None,
+    max_top_2gram_ppm: int | None = None,
+    max_dup_5gram_ppm: int | None = None,
 ):
-    from deduce_ray.ops.textstats import _DIGIT_RE, predict_lang
+    from deduce_ray.ops.textstats import (
+        _DIGIT_RE,
+        predict_lang,
+        repetition_signals,
+    )
+
+    rep_on = any(
+        v is not None
+        for v in (max_dup_line_ppm, max_top_2gram_ppm, max_dup_5gram_ppm)
+    )
 
     def failing(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
@@ -67,6 +79,17 @@ def _failing_ids_fn(
             if langs is not None and predict_lang(t) not in langs:
                 mask.append(True)
                 continue
+            if rep_on:
+                _, dl, _, t2, d5 = repetition_signals(t)
+                if (
+                    (max_dup_line_ppm is not None and dl > max_dup_line_ppm)
+                    or (max_top_2gram_ppm is not None
+                        and t2 > max_top_2gram_ppm)
+                    or (max_dup_5gram_ppm is not None
+                        and d5 > max_dup_5gram_ppm)
+                ):
+                    mask.append(True)
+                    continue
             mask.append(False)
         return pa.table(
             {id_col: batch.column(id_col).filter(pa.array(mask, type=pa.bool_()))}
@@ -124,6 +147,9 @@ def prep_corpus(
     langs: tuple[str, ...] | None = None,
     min_chars: int = 1,
     max_digit_ppm: int | None = None,
+    max_dup_line_ppm: int | None = None,
+    max_top_2gram_ppm: int | None = None,
+    max_dup_5gram_ppm: int | None = None,
     minhash_threshold: float | None = 0.7,
     strip_dup_ngrams: int | None = None,
     max_bucket: int | None = None,
@@ -155,6 +181,14 @@ def prep_corpus(
     defaults to 4096, disclosed in its --help) or enable
     ``strip_dup_ngrams``, which removes the shared mass before LSH.
 
+    ``max_dup_line_ppm`` / ``max_top_2gram_ppm`` / ``max_dup_5gram_ppm``
+    enable the Gopher-style repetition filters inside the SAME single
+    expensive predicate pass as the language/digit gates (one streaming
+    read, failing ids broadcast once): documents whose duplicate-line
+    fraction, heaviest-2-gram mass, or duplicated-5-gram mass exceeds
+    the ppm threshold are dropped (textstats.repetition_signals — the
+    exact contract the oracled ``doc_repetition`` query value-checks).
+
     ``max_ppl`` enables the CCNet-style LM quality filter as the LAST
     stage: a bigram model self-trains on the deduplicated survivors
     (training before dedup would let duplicate mass bias the counts)
@@ -175,9 +209,17 @@ def prep_corpus(
         dedup_survivors,
     )
 
-    if langs is not None or min_chars > 1 or max_digit_ppm is not None:
+    rep_caps = (max_dup_line_ppm, max_top_2gram_ppm, max_dup_5gram_ppm)
+    if (
+        langs is not None
+        or min_chars > 1
+        or max_digit_ppm is not None
+        or any(v is not None for v in rep_caps)
+    ):
         fail_ds = ds.map_batches(
-            _failing_ids_fn(text_col, id_col, langs, min_chars, max_digit_ppm),
+            _failing_ids_fn(
+                text_col, id_col, langs, min_chars, max_digit_ppm, *rep_caps
+            ),
             batch_format="pyarrow",
         )
         refs = _chunked_id_refs(fail_ds, id_col, loser_broadcast_max)

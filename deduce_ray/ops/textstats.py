@@ -97,6 +97,49 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def _gram_ppms(ws: list[str], n: int) -> tuple[int, int]:
+    """(top-gram mass ppm, duplicated-gram mass ppm) over the word
+    n-grams of ``ws`` — 0s below n words (no evidence)."""
+    from collections import Counter
+
+    if len(ws) < n:
+        return 0, 0
+    cnt = Counter(" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1))
+    top = dup = total = 0
+    for g, c in cnt.items():
+        mass = c * len(g)
+        total += mass
+        if mass > top:
+            top = mass
+        if c >= 2:
+            dup += mass
+    return (top * 1_000_000) // total, (dup * 1_000_000) // total
+
+
+def repetition_signals(t: str) -> tuple[int, int, int, int, int]:
+    """One document's repetition signals: (n_lines, dup_line_ppm,
+    dup_line_char_ppm, top_2gram_ppm, dup_5gram_ppm) — the per-doc core
+    shared by :func:`repetition_batch` and the prep funnel's filter
+    pass (see repetition_batch for the exact contract)."""
+    from collections import Counter
+
+    lines = [ln for ln in t.split("\n") if ln]
+    lc = Counter(lines)
+    n_lines = len(lines)
+    line_chars = sum(len(ln) for ln in lines)
+    dup_chars = sum((c - 1) * len(ln) for ln, c in lc.items())
+    ws = split_words(t)
+    top2, _ = _gram_ppms(ws, 2)
+    _, dup5 = _gram_ppms(ws, 5)
+    return (
+        n_lines,
+        ((n_lines - len(lc)) * 1_000_000) // n_lines if n_lines else 0,
+        (dup_chars * 1_000_000) // line_chars if line_chars else 0,
+        top2,
+        dup5,
+    )
+
+
 def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
     third classic quality-filter family next to the heuristic ratios
@@ -119,8 +162,6 @@ def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
       5-grams occurring >= 2 times per million of all 5-gram mass.
       Docs with < n words (or no lines) report 0 — no evidence.
     """
-    from collections import Counter
-
     texts = batch.column(text_col).to_pylist()
     cols: dict[str, list[int]] = {
         "n_lines": [],
@@ -129,42 +170,9 @@ def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         "top_2gram_ppm": [],
         "dup_5gram_ppm": [],
     }
-
-    def gram_ppms(ws: list[str], n: int) -> tuple[int, int]:
-        if len(ws) < n:
-            return 0, 0
-        cnt = Counter(
-            " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
-        )
-        top = dup = total = 0
-        for g, c in cnt.items():
-            mass = c * len(g)
-            total += mass
-            if mass > top:
-                top = mass
-            if c >= 2:
-                dup += mass
-        return (top * 1_000_000) // total, (dup * 1_000_000) // total
-
     for t in texts:
-        t = t or ""
-        lines = [ln for ln in t.split("\n") if ln]
-        lc = Counter(lines)
-        n_lines = len(lines)
-        line_chars = sum(len(ln) for ln in lines)
-        dup_chars = sum((c - 1) * len(ln) for ln, c in lc.items())
-        cols["n_lines"].append(n_lines)
-        cols["dup_line_ppm"].append(
-            ((n_lines - len(lc)) * 1_000_000) // n_lines if n_lines else 0
-        )
-        cols["dup_line_char_ppm"].append(
-            (dup_chars * 1_000_000) // line_chars if line_chars else 0
-        )
-        ws = split_words(t)
-        top2, _ = gram_ppms(ws, 2)
-        _, dup5 = gram_ppms(ws, 5)
-        cols["top_2gram_ppm"].append(top2)
-        cols["dup_5gram_ppm"].append(dup5)
+        for k, v in zip(cols, repetition_signals(t or "")):
+            cols[k].append(v)
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),

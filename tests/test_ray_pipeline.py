@@ -1875,6 +1875,40 @@ class TestPrepFunnel:
         )
         assert sorted(r["doc_id"] for r in out.take_all()) == [1]
 
+    def test_repetition_filters(self, ray_session):
+        # the Gopher-style caps ride the same single predicate pass as
+        # the language/digit gates: doc 2 (every line duplicated), doc 3
+        # ("a a ..." top-2-gram mass 100%), and doc 4 (repeated 5-gram
+        # block) each trip exactly one cap; doc 1 passes all three
+        import ray.data
+
+        from deduce_ray.ops.funnel import prep_corpus
+
+        rows = [
+            {"doc_id": 1, "text": "one two\nthree four five six seven"},
+            {"doc_id": 2, "text": "same line\nsame line\nsame line"},
+            {"doc_id": 3, "text": "a a a a a a a a"},
+            # three repeats of the 5-word block: every 5-gram is a
+            # rotation occurring >= 2 times -> dup_5gram_ppm = 1e6,
+            # while the top 2-gram holds only 9/42 of 2-gram mass
+            {"doc_id": 4, "text": "v w x y z v w x y z v w x y z"},
+        ]
+        out = prep_corpus(
+            ray.data.from_items(rows),
+            minhash_threshold=None,
+            max_dup_line_ppm=500_000,
+            max_top_2gram_ppm=900_000,
+            max_dup_5gram_ppm=500_000,
+        )
+        assert sorted(r["doc_id"] for r in out.take_all()) == [1]
+        # each cap alone drops only its own doc
+        out2 = prep_corpus(
+            ray.data.from_items(rows),
+            minhash_threshold=None,
+            max_dup_line_ppm=500_000,
+        )
+        assert sorted(r["doc_id"] for r in out2.take_all()) == [1, 3, 4]
+
     def test_lm_ppl_filter_stage(self, ray_session):
         # max_ppl adds the CCNet-style LM stage LAST: the bigram model
         # self-trains on the deduplicated survivors, so the gibberish doc
