@@ -961,7 +961,18 @@ def minhash_lsh_pairs(
 
     Default banding 32x2 puts the S-curve knee near J~0.2, so candidate
     recall at J>=0.5 is effectively 1; the in-bucket verification check
-    removes the extra candidates.
+    removes the extra candidates.  Corollary at scale (measured,
+    scripts/stress_funnel.py): with only r=2 rows per band, a short
+    phrase shared by a constant fraction of ALL documents (ubiquitous
+    boilerplate below strip_dup_spans' n-gram window, e.g. a 3-word
+    footer) concentrates band values — each perm's min lands on the
+    shared shingle with p ~ 1/shingles_per_doc, so bucket sizes grow
+    Theta(n) and the rejected-candidate stage Theta(n^2) (5M candidates
+    at 96k short docs; ~24 GB of object spill at 700k).  ``max_bucket``
+    bounds it once buckets exceed the cap; below the cap, prefer more
+    rows per band (``bands=16`` -> r=4 moves the knee to J~0.45 and
+    drives the shared-min probability to p^4) for corpora with
+    ubiquitous short phrases.
 
     shingle -> minhash -> band -> bucket groupby -> in-bucket verify.
 
