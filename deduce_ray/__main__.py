@@ -377,6 +377,7 @@ def cmd_prep(args) -> int:
         minhash_threshold=threshold,
         strip_dup_ngrams=args.strip_dup_ngrams or None,
         max_bucket=args.minhash_max_bucket or None,
+        minhash_bands=args.minhash_bands,
         max_ppl=args.max_ppl,
     )
     if args.decontaminate:
@@ -788,6 +789,14 @@ def main() -> int:
         default=None,
         help="drop documents whose duplicated word 5-grams cover more "
         "than this fraction of 5-gram character mass (ppm)",
+    )
+    p.add_argument(
+        "--minhash-bands",
+        type=int,
+        default=None,
+        help="LSH band count override (default: library 32x2 banding); "
+        "use fewer/wider bands (e.g. 16 -> 4 rows/band) for corpora "
+        "where a short phrase appears in nearly every document",
     )
     p.add_argument(
         "--minhash-threshold",

@@ -105,6 +105,7 @@ def _neardup_loser_refs(
     minhash_threshold: float,
     loser_broadcast_max: int,
     max_bucket: int | None = None,
+    bands: int | None = None,
 ):
     """ray.put sorted-id chunk refs for every near-dup cluster member
     except its minimum id.  The clusters table is bounded by the corpus's
@@ -116,12 +117,14 @@ def _neardup_loser_refs(
         neardup_clusters,
     )
 
+    kwargs = {} if bands is None else {"bands": bands}
     pairs = minhash_lsh_pairs(
         survivors,
         text_col=text_col,
         id_col=id_col,
         threshold=minhash_threshold,
         max_bucket=max_bucket,
+        **kwargs,
     )
     labels = neardup_clusters(pairs)
 
@@ -153,6 +156,7 @@ def prep_corpus(
     minhash_threshold: float | None = 0.7,
     strip_dup_ngrams: int | None = None,
     max_bucket: int | None = None,
+    minhash_bands: int | None = None,
     max_ppl: float | None = None,
     lm_min_count: int = 1,
     checkpoint: bool = True,
@@ -180,6 +184,12 @@ def prep_corpus(
     stay exact; boilerplate-heavy corpora should set it (the prep CLI
     defaults to 4096, disclosed in its --help) or enable
     ``strip_dup_ngrams``, which removes the shared mass before LSH.
+    ``minhash_bands`` overrides the LSH banding (None keeps the library
+    default 32x2): corpora where a short phrase appears in nearly every
+    document should use fewer/wider bands (e.g. 16 -> r=4) — with r=2
+    the ubiquitous-phrase band buckets grow Theta(n) and the rejected
+    candidates Theta(n^2) (measured; see minhash_lsh_pairs and
+    scripts/stress_funnel.py).
 
     ``max_dup_line_ppm`` / ``max_top_2gram_ppm`` / ``max_dup_5gram_ppm``
     enable the Gopher-style repetition filters inside the SAME single
@@ -264,6 +274,7 @@ def prep_corpus(
             minhash_threshold,
             loser_broadcast_max,
             max_bucket=max_bucket,
+            bands=minhash_bands,
         )
         out = _drop_ids(survivors, refs, id_col) if refs else survivors
     if max_ppl is None:
