@@ -379,6 +379,7 @@ def cmd_prep(args) -> int:
         max_bucket=args.minhash_max_bucket or None,
         minhash_bands=args.minhash_bands,
         max_ppl=args.max_ppl,
+        lm_min_count=args.lm_min_count,
     )
     if args.decontaminate:
         # benchmark file: one document per line; the small side of the
@@ -812,6 +813,16 @@ def main() -> int:
         "perplexity against a model self-trained on the deduplicated "
         "survivors exceeds this value (omit: no LM filter; documents "
         "with <2 words always survive)",
+    )
+    p.add_argument(
+        "--lm-min-count",
+        type=int,
+        default=1,
+        help="prune LM bigrams below this training count at the merge "
+        "(the --max-ppl model-size knob: the broadcast model must fit "
+        "one worker heap; raise this when build_model refuses with "
+        "'model exceeds driver_max_rows'.  Pruning is deterministic "
+        "but output-changing, so the default is 1/off)",
     )
     p.add_argument(
         "--state-dir",

@@ -51,9 +51,49 @@ def _failing_ids_fn(
 ):
     from deduce_ray.ops.textstats import (
         _DIGIT_RE,
+        _gram_ppms,
         predict_lang,
         repetition_signals,
+        split_words,
     )
+
+    rep_all = all(
+        v is not None
+        for v in (max_dup_line_ppm, max_top_2gram_ppm, max_dup_5gram_ppm)
+    )
+
+    def rep_fails(t: str) -> bool:
+        # compute only the enabled signals: the gram Counters dominate
+        # this pass's per-doc cost, so a line-cap-only run must not pay
+        # for 2-gram AND 5-gram counting it will discard
+        if rep_all:
+            _, dl, _, t2, d5 = repetition_signals(t)
+            return (
+                dl > max_dup_line_ppm
+                or t2 > max_top_2gram_ppm
+                or d5 > max_dup_5gram_ppm
+            )
+        if max_dup_line_ppm is not None:
+            lines = [ln for ln in t.split("\n") if ln]
+            if lines:
+                dl = ((len(lines) - len(set(lines))) * 1_000_000) // len(
+                    lines
+                )
+                if dl > max_dup_line_ppm:
+                    return True
+        if max_top_2gram_ppm is not None or max_dup_5gram_ppm is not None:
+            ws = split_words(t)
+            if (
+                max_top_2gram_ppm is not None
+                and _gram_ppms(ws, 2)[0] > max_top_2gram_ppm
+            ):
+                return True
+            if (
+                max_dup_5gram_ppm is not None
+                and _gram_ppms(ws, 5)[1] > max_dup_5gram_ppm
+            ):
+                return True
+        return False
 
     rep_on = any(
         v is not None
@@ -79,17 +119,9 @@ def _failing_ids_fn(
             if langs is not None and predict_lang(t) not in langs:
                 mask.append(True)
                 continue
-            if rep_on:
-                _, dl, _, t2, d5 = repetition_signals(t)
-                if (
-                    (max_dup_line_ppm is not None and dl > max_dup_line_ppm)
-                    or (max_top_2gram_ppm is not None
-                        and t2 > max_top_2gram_ppm)
-                    or (max_dup_5gram_ppm is not None
-                        and d5 > max_dup_5gram_ppm)
-                ):
-                    mask.append(True)
-                    continue
+            if rep_on and rep_fails(t):
+                mask.append(True)
+                continue
             mask.append(False)
         return pa.table(
             {id_col: batch.column(id_col).filter(pa.array(mask, type=pa.bool_()))}

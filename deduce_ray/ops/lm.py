@@ -161,7 +161,10 @@ def build_model(counts_ds, driver_max_rows: int = 10_000_000) -> dict:
 
 # per-worker-process model cache: the scoring tasks receive an ObjectRef
 # and materialize the dict once per worker, not once per batch (the same
-# pattern as the annotate stage's lexicon cache)
+# pattern as the annotate stage's lexicon cache).  Capacity 2 (current +
+# previous job's model) with oldest-first eviction: the sizing guidance
+# is "one model fits worker heap", so holding many heap-sized dicts
+# would defeat it.
 _MODEL_CACHE: dict[str, dict] = {}
 
 
@@ -172,8 +175,8 @@ def _resolve_model(model) -> dict:
         key = model.hex()
         cached = _MODEL_CACHE.get(key)
         if cached is None:
-            if len(_MODEL_CACHE) >= 4:
-                _MODEL_CACHE.clear()
+            while len(_MODEL_CACHE) >= 2:
+                _MODEL_CACHE.pop(next(iter(_MODEL_CACHE)))
             cached = _MODEL_CACHE[key] = ray.get(model)
         return cached
     return model
@@ -197,6 +200,15 @@ def score_bigram_logprob(ds, model, text_col: str = "text",
             ws = split_words(t or "")
             if len(ws) < 2:
                 continue
+            if vocab == 0:
+                # P(w2|w1) = (c+1)/(ctx+V) with V=0 and ctx=0 would be a
+                # ZeroDivisionError deep inside a Ray task; say what the
+                # actual problem is instead
+                raise ValueError(
+                    "LM model has an empty vocabulary (trained on an "
+                    "empty or all-null corpus) but the corpus being "
+                    "scored has multi-word documents"
+                )
             total = 0.0
             n_pairs = len(ws) - 1
             for pair in zip(ws, ws[1:]):

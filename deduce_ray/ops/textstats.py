@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from collections import Counter
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -100,8 +101,6 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def _gram_ppms(ws: list[str], n: int) -> tuple[int, int]:
     """(top-gram mass ppm, duplicated-gram mass ppm) over the word
     n-grams of ``ws`` — 0s below n words (no evidence)."""
-    from collections import Counter
-
     if len(ws) < n:
         return 0, 0
     cnt = Counter(" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1))
@@ -121,8 +120,6 @@ def repetition_signals(t: str) -> tuple[int, int, int, int, int]:
     dup_line_char_ppm, top_2gram_ppm, dup_5gram_ppm) — the per-doc core
     shared by :func:`repetition_batch` and the prep funnel's filter
     pass (see repetition_batch for the exact contract)."""
-    from collections import Counter
-
     lines = [ln for ln in t.split("\n") if ln]
     lc = Counter(lines)
     n_lines = len(lines)

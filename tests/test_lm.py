@@ -88,6 +88,17 @@ class TestBigramModel:
         with pytest.raises(ValueError, match="driver_max_rows"):
             build_model(train_bigram_counts(ds), driver_max_rows=3)
 
+    def test_empty_vocab_model_refused(self, ray_session):
+        # a model trained on an all-null corpus has vocab 0; scoring a
+        # multi-word doc against it must say so, not ZeroDivisionError
+        # deep inside a Ray task
+        model = build_model(train_bigram_counts(_docs([(1, None)])))
+        assert model["vocab"] == 0
+        with pytest.raises(Exception, match="empty vocabulary"):
+            _rows(score_bigram_logprob(_docs([(2, "a b")]), model))
+        # scoring only <2-word docs emits nothing and must NOT raise
+        assert _rows(score_bigram_logprob(_docs([(3, "solo")]), model)) == []
+
     def test_bad_min_count_refused(self, ray_session):
         with pytest.raises(ValueError, match="min_count"):
             train_bigram_counts(_docs([(1, "a b")]), min_count=0)
