@@ -1901,13 +1901,21 @@ class TestPrepFunnel:
             max_dup_5gram_ppm=500_000,
         )
         assert sorted(r["doc_id"] for r in out.take_all()) == [1]
-        # each cap alone drops only its own doc
-        out2 = prep_corpus(
-            ray.data.from_items(rows),
-            minhash_threshold=None,
-            max_dup_line_ppm=500_000,
-        )
-        assert sorted(r["doc_id"] for r in out2.take_all()) == [1, 3, 4]
+        # each cap alone drops only its own doc — these exercise the
+        # selective single-cap branches (only the enabled signals are
+        # computed), which must agree with the all-caps path
+        for kwargs, expect in [
+            (dict(max_dup_line_ppm=500_000), [1, 3, 4]),
+            (dict(max_top_2gram_ppm=900_000), [1, 2, 4]),
+            (dict(max_dup_5gram_ppm=500_000), [1, 2]),  # 3 also all-dup
+            (dict(max_top_2gram_ppm=900_000, max_dup_5gram_ppm=500_000),
+             [1, 2]),
+        ]:
+            out2 = prep_corpus(
+                ray.data.from_items(rows), minhash_threshold=None, **kwargs
+            )
+            got = sorted(r["doc_id"] for r in out2.take_all())
+            assert got == expect, (kwargs, got)
 
     def test_lm_ppl_filter_stage(self, ray_session):
         # max_ppl adds the CCNet-style LM stage LAST: the bigram model
