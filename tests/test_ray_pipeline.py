@@ -1917,6 +1917,29 @@ class TestPrepFunnel:
             got = sorted(r["doc_id"] for r in out2.take_all())
             assert got == expect, (kwargs, got)
 
+    def test_minhash_bands_override(self, ray_session):
+        # bands=16 (r=4, the ubiquitous-short-phrase mitigation) must
+        # still catch high-Jaccard near-dups: docs 1/2 differ by one
+        # trailing word over 40 (shingle J ~ 0.85 -> per-band match
+        # p^4 ~ 0.52, 16 bands -> detection is deterministic for these
+        # fixed texts); doc 3 is unrelated and must survive
+        import ray.data
+
+        from deduce_ray.ops.funnel import prep_corpus
+
+        base = " ".join(f"w{j}" for j in range(40))
+        rows = [
+            {"doc_id": 1, "text": base + " tail"},
+            {"doc_id": 2, "text": base + " othertail"},
+            {"doc_id": 3, "text": " ".join(f"z{j}" for j in range(40))},
+        ]
+        out = prep_corpus(
+            ray.data.from_items(rows),
+            minhash_threshold=0.7,
+            minhash_bands=16,
+        )
+        assert sorted(r["doc_id"] for r in out.take_all()) == [1, 3]
+
     def test_lm_ppl_filter_stage(self, ray_session):
         # max_ppl adds the CCNet-style LM stage LAST: the bigram model
         # self-trains on the deduplicated survivors, so the gibberish doc
