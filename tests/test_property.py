@@ -403,3 +403,31 @@ def test_window_spans_invariants(n, window, stride):
     if stride == window:
         # disjoint chunks partition the word sequence exactly
         assert sum(e - s for s, e in spans) == n
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_repetition_signal_invariants(text):
+    from deduce_ray.ops.textstats import repetition_signals
+
+    n_lines, dl, dlc, t2, d5 = repetition_signals(text)
+    for v in (dl, dlc, t2, d5):
+        assert 0 <= v <= 1_000_000
+    assert n_lines == sum(1 for ln in text.split("\n") if ln)
+    # unique lines -> zero duplicate-line mass (both measures)
+    lines = [ln for ln in text.split("\n") if ln]
+    if len(set(lines)) == len(lines):
+        assert dl == 0 and dlc == 0
+    # doubling the whole text line-wise makes every line a duplicate
+    if lines:
+        _, dl2, dlc2, _, _ = repetition_signals(
+            "\n".join(lines) + "\n" + "\n".join(lines)
+        )
+        assert dl2 >= 500_000 - 1  # floor division of exactly half
+        assert dlc2 >= 500_000 - 1
+    # a doc that is one run of a single word saturates the gram masses
+    words = text.split()
+    if words:
+        _, _, _, t2s, d5s = repetition_signals((words[0] + " ") * 12)
+        assert t2s == 1_000_000
+        assert d5s == 1_000_000
