@@ -265,6 +265,17 @@ def _q_doc_langid(sf_dir: str):
     )
 
 
+def _q_doc_tfidf(sf_dir: str):
+    from deduce_ray.ops.vectorize import tfidf_terms
+
+    return tfidf_terms(
+        read_parquet_sliced(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        vocab_size=64,
+    )
+
+
 def _q_doc_repetition(sf_dir: str):
     from deduce_ray.ops.textstats import repetition_batch
 
@@ -743,6 +754,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     family (postbus and identifier are two of the five SQL-decidable
     predicates in ``kg_triples_sqlpreds``) and regression-exact in
     conformance, so the standalone mentions queries were redundant.
+    ``doc_tfidf`` (long-format TF-IDF vectorization, the text -> vector
+    bridge into the ANN family) took ``doc_fingerprints``' slot — the
+    md5-of-document machinery stays value-checked by ``exact_dedup``'s
+    oracle (its content_hash column IS md5(text)), and winnowing-style
+    fingerprints remain oracled via ``doc_shingle_fingerprints``.
 
     Two round-2 entries were retired earlier to make room:
     ``kg_redacted`` (its machinery is value-checked by
@@ -776,7 +792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "doc_token_counts": _q_doc_token_counts,
         "doc_quality": _q_doc_quality,
-        "doc_fingerprints": _q_doc_fingerprints,
+        "doc_tfidf": _q_doc_tfidf,
         "doc_shingle_fingerprints": _q_doc_shingle_fingerprints,
         "doc_langid": _q_doc_langid,
         "top_terms": _q_top_terms,
@@ -982,7 +998,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (n_digit * 1000000) // n_chars END AS digit_ppm
             FROM counted
         """,
-        "doc_fingerprints": "SELECT doc_id, md5(text) AS fingerprint FROM documents",
+        "doc_tfidf": oracles.tfidf_sql(vocab_size=64),
         "exact_dedup": """
             SELECT md5(text) AS content_hash,
                    MIN(doc_id) AS keep_id,

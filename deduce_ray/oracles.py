@@ -847,6 +847,47 @@ def lm_perplexity_sql() -> str:
     """
 
 
+def tfidf_sql(vocab_size: int = 128) -> str:
+    """DuckDB mirror of :func:`deduce_ray.ops.vectorize.tfidf_terms`.
+    Must track it exactly: lowercased WORD_CLASS_SQL terms, N = count of
+    ALL document rows, vocab = top-k by (df DESC, term ASC), smoothed
+    idf ln((N+1)/(df+1)) + 1, per-doc L2 norm over vocab terms only,
+    weight rounded to 6 (ln/sqrt match numpy's libm to <= 1 ulp)."""
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                   regexp_extract_all(coalesce(text, ''),
+                                      '{WORD_CLASS_SQL}'),
+                   x -> lower(x))) AS term
+          FROM documents
+        ),
+        tc AS (
+          SELECT doc_id, term, count(*)::BIGINT AS c
+          FROM w GROUP BY doc_id, term
+        ),
+        n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        vocab AS (
+          SELECT term,
+                 ln(((SELECT n_docs FROM n) + 1)::DOUBLE / (df + 1)) + 1
+                   AS idf
+          FROM (SELECT term, count(*)::BIGINT AS df FROM tc GROUP BY term)
+          ORDER BY df DESC, term ASC LIMIT {int(vocab_size)}
+        ),
+        weights AS (
+          SELECT tc.doc_id, tc.term, tc.c * v.idf AS wt
+          FROM tc JOIN vocab v USING (term)
+        ),
+        nrm AS (
+          SELECT doc_id, sqrt(sum(wt * wt)) AS l2 FROM weights
+          GROUP BY doc_id
+        )
+        SELECT weights.doc_id, weights.term,
+               round(weights.wt / nrm.l2, 6) AS weight
+        FROM weights JOIN nrm USING (doc_id)
+    """
+
+
 def repetition_sql() -> str:
     """DuckDB mirror of
     :func:`deduce_ray.ops.textstats.repetition_batch` (Gopher-style
