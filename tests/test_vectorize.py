@@ -94,6 +94,44 @@ class TestWeights:
         )
 
 
+class TestAnnBridge:
+    def test_dense_vectors_feed_ann_topk(self, ray_session):
+        # the advertised bridge: text -> tfidf_dense -> the ANN ops,
+        # using the embeddings-table column names.  Querying with doc
+        # 1's own vector must rank doc 1 first (cosine 1.0) and the
+        # vocabulary-overlapping doc 2 above the disjoint doc 3.
+        import numpy as np
+
+        from deduce_ray.ops.similarity import brute_force_topk
+
+        ds = _docs(
+            [
+                (1, "apple banana cherry apple"),
+                (2, "apple banana plum"),
+                (3, "qq rr ss tt"),
+            ]
+        )
+        dense = tfidf_dense(
+            ds, vocab_size=8
+        ).map_batches(  # ANN ops use the embeddings-table column names
+            lambda b: b.rename_columns(
+                ["vec_id" if c == "doc_id" else c for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+        rows = {r["vec_id"]: r["embedding"] for r in dense.take_all()}
+        assert set(rows) == {1, 2, 3}
+        out = sorted(
+            (r["rank"], r["vec_id"], r["score"])
+            for r in brute_force_topk(
+                dense, np.array([rows[1]]), k=3
+            ).take_all()
+        )
+        assert [v for _, v, _ in out] == [1, 2, 3]
+        assert out[0][2] == pytest.approx(1.0)
+        assert out[2][2] == pytest.approx(0.0)  # disjoint vocabulary
+
+
 class TestDuckDBParity:
     def test_matches_duckdb_on_testdata(self, ray_session):
         import duckdb
