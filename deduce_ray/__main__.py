@@ -326,43 +326,7 @@ def cmd_prep(args) -> int:
 
     text_col = _corpus_text_col(ds)
 
-    names = set(ds.schema().names)
-    if "doc_id" not in names and {"repo", "path", "commit"} <= names:
-        # the derived id is sha256(repo|path|commit): refuse corpora whose
-        # rows carry NO identity (bare {"content": ...} JSONL fills all
-        # three with "") — every row would share one id, and the dedup
-        # anti-join would then erase the whole corpus on the first
-        # duplicated text
-        probe = ds.limit(1).take_all()
-        if probe and not any(
-            (probe[0].get(k) or "") for k in ("repo", "path", "commit")
-        ):
-            raise SystemExit(
-                "prep needs per-row identity to derive stable doc ids: "
-                "give the corpus repo/path/commit (or doc_id) columns — "
-                "bare content-only rows would all hash to one id"
-            )
-
-    def add_id(batch: pa.Table) -> pa.Table:
-        # deterministic 63-bit id from (repo|path|commit): stable across
-        # the funnel's multiple passes over this re-executable pipeline
-        # (a positional id would differ between executions).  Requires
-        # unique (repo, path, commit) rows — the corpus-row identity.
-        ids = [
-            int.from_bytes(
-                hashlib.sha256(f"{r}|{p}|{c}".encode()).digest()[:8], "big"
-            )
-            >> 1
-            for r, p, c in zip(
-                batch.column("repo").to_pylist(),
-                batch.column("path").to_pylist(),
-                batch.column("commit").to_pylist(),
-            )
-        ]
-        return batch.append_column("doc_id", pa.array(ids, type=pa.int64()))
-
-    if "doc_id" not in set(ds.schema().names):
-        ds = ds.map_batches(add_id, batch_format="pyarrow")
+    ds = _ensure_doc_id(ds, "prep")
 
     threshold = None if args.minhash_threshold <= 0 else args.minhash_threshold
     out = prep_corpus(
@@ -496,6 +460,50 @@ def cmd_prep(args) -> int:
     return 0
 
 
+def _ensure_doc_id(ds, cmd: str):
+    """Derive stable 63-bit doc ids from (repo|path|commit) when the
+    corpus has no doc_id column — shared by prep and vectorize (both run
+    re-executable multi-pass pipelines, so positional ids would differ
+    between executions)."""
+    import hashlib
+
+    import pyarrow as pa
+
+    names = set(ds.schema().names)
+    if "doc_id" not in names and {"repo", "path", "commit"} <= names:
+        # refuse corpora whose rows carry NO identity (bare
+        # {"content": ...} JSONL fills all three with "") — every row
+        # would share one id, and id-keyed stages would then conflate
+        # the whole corpus
+        probe = ds.limit(1).take_all()
+        if probe and not any(
+            (probe[0].get(k) or "") for k in ("repo", "path", "commit")
+        ):
+            raise SystemExit(
+                f"{cmd} needs per-row identity to derive stable doc ids: "
+                "give the corpus repo/path/commit (or doc_id) columns — "
+                "bare content-only rows would all hash to one id"
+            )
+
+    def add_id(batch: pa.Table) -> pa.Table:
+        ids = [
+            int.from_bytes(
+                hashlib.sha256(f"{r}|{p}|{c}".encode()).digest()[:8], "big"
+            )
+            >> 1
+            for r, p, c in zip(
+                batch.column("repo").to_pylist(),
+                batch.column("path").to_pylist(),
+                batch.column("commit").to_pylist(),
+            )
+        ]
+        return batch.append_column("doc_id", pa.array(ids, type=pa.int64()))
+
+    if "doc_id" not in set(ds.schema().names):
+        ds = ds.map_batches(add_id, batch_format="pyarrow")
+    return ds
+
+
 def cmd_report(args) -> int:
     import ray
 
@@ -505,6 +513,43 @@ def cmd_report(args) -> int:
     # no decoration: statistics must describe the corpus bytes as given
     ds = _read_corpus(args, decorate=False)
     print(json.dumps(corpus_report(ds, text_col=_corpus_text_col(ds))))
+    ray.shutdown()
+    return 0
+
+
+def cmd_vectorize(args) -> int:
+    """Corpus -> dense TF-IDF vector parquet in the embeddings-table
+    shape (vec_id, embedding) — feed the output to ``ann --build`` for
+    the partitioned on-disk IVF index, or read it with the similarity
+    ops directly."""
+    import ray
+
+    from deduce_ray.ops.vectorize import build_tfidf_vocab, tfidf_dense
+
+    _init_ray(args.num_cpus)
+    # no decoration: vectors must describe the corpus bytes as given
+    ds = _read_corpus(args, decorate=False)
+    text_col = _corpus_text_col(ds)
+    ds = _ensure_doc_id(ds, "vectorize")
+    vocab = build_tfidf_vocab(
+        ds, text_col=text_col, vocab_size=args.vocab_size
+    )
+    dense = tfidf_dense(ds, text_col=text_col, vocab=vocab).map_batches(
+        lambda b: b.rename_columns(
+            ["vec_id" if c == "doc_id" else c for c in b.column_names]
+        ),
+        batch_format="pyarrow",
+    )
+    dense.write_parquet(args.output)
+    print(
+        json.dumps(
+            {
+                "n_docs": vocab["n_docs"],
+                "dim": len(vocab["terms"]),
+                "output": args.output,
+            }
+        )
+    )
     ray.shutdown()
     return 0
 
@@ -937,6 +982,28 @@ def main() -> int:
         "stats (single-writer maintenance; do not run during an ingest)",
     )
     p.set_defaults(fn=cmd_dedup_state)
+
+    p = sub.add_parser(
+        "vectorize",
+        help="corpus -> dense TF-IDF vector parquet (vec_id, embedding): "
+        "the model-free text -> vector bridge; feed the output to "
+        "`ann --build`",
+    )
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--format", choices=["parquet", "jsonl", "csv", "orc", "text-tree"])
+    p.add_argument("--text-key", default="text")
+    p.add_argument("--extensions")
+    p.add_argument("--on-decode-error", default="skip")
+    p.add_argument(
+        "--vocab-size",
+        type=int,
+        default=4096,
+        help="TF-IDF vocabulary / vector dimension (top-k terms by "
+        "document frequency, ties by term)",
+    )
+    p.add_argument("--num-cpus", type=int)
+    p.set_defaults(fn=cmd_vectorize)
 
     p = sub.add_parser(
         "ann",
