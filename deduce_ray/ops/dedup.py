@@ -264,6 +264,23 @@ def _hot_bucket_pairs(
             max_bucket,
             dropped_pairs,
         )
+    n_cand = sum(len(p) for p in ia_parts)
+    if n_cand > 5_000_000:
+        # observability for the ubiquitous-short-phrase shape (measured,
+        # scripts/stress_funnel.py): a phrase in nearly every doc +
+        # narrow bands concentrates band values, so per-shard rejected
+        # candidates grow Theta(n^2) while every bucket stays BELOW
+        # max_bucket.  No output change — just say where the time and
+        # object-store bytes are going and which knobs bound them.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "_hot_bucket_pairs: one shard generated %d candidate pairs — "
+            "if most are rejected by verify, the corpus likely shares a "
+            "short phrase across most documents; consider wider bands "
+            "(bands=16 -> 4 rows/band), max_bucket, or strip_dup_spans",
+            n_cand,
+        )
     uniq = np.unique(
         np.stack(
             [np.concatenate(ia_parts), np.concatenate(ib_parts)], axis=1
