@@ -241,16 +241,6 @@ def _q_doc_quality(sf_dir: str):
     ).map_batches(quality_batch, batch_format="pyarrow")
 
 
-def _q_doc_fingerprints(sf_dir: str):
-    import ray.data
-
-    from deduce_ray.ops.textstats import fingerprint_batch
-
-    return read_parquet_sliced(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(fingerprint_batch, batch_format="pyarrow")
-
-
 def _q_doc_langid(sf_dir: str):
     import ray.data
 

@@ -297,9 +297,6 @@ def cmd_prep(args) -> int:
     """LLM data-prep funnel over any supported corpus format: language /
     quality filters -> exact dedup -> MinHash near-dup removal ->
     surviving rows as parquet."""
-    import hashlib
-
-    import pyarrow as pa
     import ray
 
     from deduce_ray.ops.funnel import prep_corpus
@@ -521,19 +518,40 @@ def cmd_vectorize(args) -> int:
     """Corpus -> dense TF-IDF vector parquet in the embeddings-table
     shape (vec_id, embedding) — feed the output to ``ann --build`` for
     the partitioned on-disk IVF index, or read it with the similarity
-    ops directly."""
+    ops directly.  The vocabulary (term -> position + idf, and N) is
+    written to ``<output>/_vocab.json``; vectorize QUERY text with
+    ``--vocab-in <that file>`` so both sides share one vector space."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
     import ray
 
     from deduce_ray.ops.vectorize import build_tfidf_vocab, tfidf_dense
+
+    out_dir = Path(args.output)
+    if out_dir.exists() and any(out_dir.iterdir()):
+        raise SystemExit(
+            f"--output {args.output} exists and is not empty — vectors "
+            "of a different vocabulary/dimension would mix with stale "
+            "files; point vectorize at a fresh directory"
+        )
 
     _init_ray(args.num_cpus)
     # no decoration: vectors must describe the corpus bytes as given
     ds = _read_corpus(args, decorate=False)
     text_col = _corpus_text_col(ds)
     ds = _ensure_doc_id(ds, "vectorize")
-    vocab = build_tfidf_vocab(
-        ds, text_col=text_col, vocab_size=args.vocab_size
-    )
+    if args.vocab_in:
+        with open(args.vocab_in, encoding="utf-8") as f:
+            raw = json.load(f)
+        vocab = {
+            "terms": {t: (int(i), float(idf)) for t, i, idf in raw["terms"]},
+            "n_docs": int(raw["n_docs"]),
+        }
+    else:
+        vocab = build_tfidf_vocab(
+            ds, text_col=text_col, vocab_size=args.vocab_size
+        )
     dense = tfidf_dense(ds, text_col=text_col, vocab=vocab).map_batches(
         lambda b: b.rename_columns(
             ["vec_id" if c == "doc_id" else c for c in b.column_names]
@@ -541,11 +559,33 @@ def cmd_vectorize(args) -> int:
         batch_format="pyarrow",
     )
     dense.write_parquet(args.output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    with open(out_dir / "_vocab.json", "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "n_docs": vocab["n_docs"],
+                "terms": [
+                    [t, i, idf] for t, (i, idf) in vocab["terms"].items()
+                ],
+            },
+            f,
+        )
+    n_vectors = sum(
+        pq.read_metadata(fp).num_rows
+        for fp in out_dir.glob("*.parquet")
+    )
+    # docs whose text holds no vocabulary term have no direction and
+    # emit no vector — count them instead of dropping silently
     print(
         json.dumps(
             {
                 "n_docs": vocab["n_docs"],
+                "n_vectors": n_vectors,
+                "n_no_vocab_term": vocab["n_docs"] - n_vectors
+                if not args.vocab_in
+                else None,
                 "dim": len(vocab["terms"]),
+                "vocab": str(out_dir / "_vocab.json"),
                 "output": args.output,
             }
         )
@@ -992,15 +1032,23 @@ def main() -> int:
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--format", choices=["parquet", "jsonl", "csv", "orc", "text-tree"])
-    p.add_argument("--text-key", default="text")
+    p.add_argument("--text-key", default="content")
     p.add_argument("--extensions")
-    p.add_argument("--on-decode-error", default="skip")
+    p.add_argument("--on-decode-error", choices=["raise", "skip"], default="raise")
     p.add_argument(
         "--vocab-size",
         type=int,
         default=4096,
         help="TF-IDF vocabulary / vector dimension (top-k terms by "
         "document frequency, ties by term)",
+    )
+    p.add_argument(
+        "--vocab-in",
+        help="reuse the _vocab.json a previous vectorize run wrote into "
+        "its output dir, instead of building a new vocabulary — REQUIRED "
+        "when vectorizing queries against an existing index (a fresh "
+        "vocabulary would assign different term positions/idf, making "
+        "the spaces incomparable)",
     )
     p.add_argument("--num-cpus", type=int)
     p.set_defaults(fn=cmd_vectorize)

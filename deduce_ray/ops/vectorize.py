@@ -192,12 +192,11 @@ def tfidf_dense(
         vocab = build_tfidf_vocab(
             ds, text_col=text_col, vocab_size=vocab_size, n_shards=n_shards
         )
-    dim = len(vocab["terms"]) if not hasattr(vocab, "hex") else None
     vocab_ref = vocab if isinstance(vocab, ray.ObjectRef) else ray.put(vocab)
 
     def score(batch: pa.Table) -> pa.Table:
         terms = _resolve_model(vocab_ref)["terms"]
-        d = len(terms) if dim is None else dim
+        d = len(terms)
         ids = batch.column(id_col)
         texts = batch.column(text_col).to_pylist()
         out_ids, out_vecs = [], []
