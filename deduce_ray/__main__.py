@@ -293,6 +293,42 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def _probe_ubiquitous_shingle(
+    ds, text_col: str, sample: int = 1000, frac: float = 0.25
+) -> None:
+    """Bounded pre-flight for the measured LSH hazard: a short phrase
+    present in a constant fraction of ALL documents concentrates r=2
+    band buckets, making the near-dup candidate stage Theta(n^2) in
+    rejected pairs even below max_bucket (see minhash_lsh_pairs and
+    scripts/stress_funnel.py).  One ``limit(sample)`` driver pull; when
+    the most document-frequent 3-shingle appears in >= ``frac`` of the
+    sample, say so and name the knobs BEFORE the expensive pass runs."""
+    from collections import Counter
+
+    from deduce_ray.ops.textstats import split_words
+
+    rows = ds.limit(sample).take_all()
+    if len(rows) < 50:  # too small to call a fraction ubiquitous
+        return
+    df: Counter = Counter()
+    for r in rows:
+        ws = split_words((r.get(text_col) or "").lower())
+        df.update({" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)})
+    if not df:
+        return
+    top, n = df.most_common(1)[0]
+    if n >= frac * len(rows):
+        print(
+            f"prep: the 3-gram {top!r} appears in {n}/{len(rows)} sampled "
+            "documents — ubiquitous shared phrases make the near-dup "
+            "candidate stage quadratic under the default 32x2 banding "
+            "(rejected candidates grow with corpus^2 even below "
+            "--minhash-max-bucket); consider --minhash-bands 16, "
+            "--strip-dup-ngrams, or a tighter --minhash-max-bucket",
+            file=sys.stderr,
+        )
+
+
 def cmd_prep(args) -> int:
     """LLM data-prep funnel over any supported corpus format: language /
     quality filters -> exact dedup -> MinHash near-dup removal ->
@@ -326,6 +362,8 @@ def cmd_prep(args) -> int:
     ds = _ensure_doc_id(ds, "prep")
 
     threshold = None if args.minhash_threshold <= 0 else args.minhash_threshold
+    if threshold is not None and args.minhash_bands is None:
+        _probe_ubiquitous_shingle(ds, text_col)
     out = prep_corpus(
         ds,
         text_col=text_col,
