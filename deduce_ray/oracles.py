@@ -87,39 +87,41 @@ def _mentions_cte(source: str = "documents") -> str:
     repo = sql_repo_expr()
     return f"""
         docs AS (
-          SELECT lower(sha256({content})) AS doc_id, {repo} AS repo, lang,
+          SELECT lower(sha256({content})) AS doc_id,
+                 row_number() OVER () AS rk,
+                 {repo} AS repo, lang,
                  {content} AS content
           FROM {source}
         ),
         date_m AS (
-          SELECT doc_id, repo, lang, content, 'datum' AS pred,
+          SELECT doc_id, rk, repo, lang, content, 'datum' AS pred,
                  unnest(regexp_extract_all(content,
                         '(?i)(^|[^0-9])(({_DATE_PAT}))([^0-9]|$)', 2)) AS obj
           FROM docs
         ),
         digit_runs AS (
-          SELECT doc_id, repo, lang, content,
+          SELECT doc_id, rk, repo, lang, content,
                  unnest(regexp_extract_all(content, '[0-9]+')) AS d
           FROM docs
         ),
         bsn_m AS (
-          SELECT doc_id, repo, lang, content, 'bsn' AS pred, d AS obj
+          SELECT doc_id, rk, repo, lang, content, 'bsn' AS pred, d AS obj
           FROM digit_runs WHERE length(d) = 9 AND {_ELFPROEF}
         ),
         id_m AS (
-          SELECT doc_id, repo, lang, content, 'id' AS pred, d AS obj
+          SELECT doc_id, rk, repo, lang, content, 'id' AS pred, d AS obj
           FROM digit_runs
           WHERE length(d) >= 7 AND NOT (length(d) = 9 AND {_ELFPROEF})
         ),
         postbus_m AS (
-          SELECT doc_id, repo, lang, content, 'locatie' AS pred,
+          SELECT doc_id, rk, repo, lang, content, 'locatie' AS pred,
                  unnest(regexp_extract_all(content, '{_POSTBUS_PAT}')) AS obj
           FROM docs
         ),
         postal_m AS (
-          SELECT doc_id, repo, lang, content, 'locatie' AS pred, obj
+          SELECT doc_id, rk, repo, lang, content, 'locatie' AS pred, obj
           FROM (
-            SELECT doc_id, repo, lang, content,
+            SELECT doc_id, rk, repo, lang, content,
                    unnest(regexp_extract_all(content, '{_POSTAL_PAT}', 1)) AS obj
             FROM docs
           ) WHERE substring(obj, length(obj) - 1, 2) NOT IN ('mg','MG','gr','ie')
@@ -132,9 +134,15 @@ def _mentions_cte(source: str = "documents") -> str:
           UNION ALL SELECT * FROM postal_m
         ),
         linked AS (
+          -- partition by the physical row (rk), NOT the content-derived
+          -- doc_id: two document rows with byte-identical content share
+          -- a doc_id, but the engine links entities per ROW — a
+          -- doc_id-partitioned window would number the duplicate row's
+          -- mention ID-2 where the engine (correctly) repeats ID-1
+          -- (found by the sf0.1 sweep: duplicated decorated contents)
           SELECT doc_id, repo, lang, pred, obj,
                  upper(pred) || '-' || CAST(row_number() OVER (
-                   PARTITION BY doc_id, pred
+                   PARTITION BY rk, pred
                    ORDER BY strpos(content, obj) + length(obj)
                  ) AS VARCHAR) AS entity_id,
                  strpos(content, obj) - 1 AS start_char
