@@ -900,8 +900,10 @@ def oracle_sql() -> dict[str, str]:
         "top_terms": """
             WITH w AS (
               SELECT unnest(list_transform(
-                       regexp_extract_all(text, '[^ \t\n\r\f]+'),
-                       x -> lower(x))) AS term
+                       regexp_extract_all(coalesce(text, ''),
+                                          '[^ \t\n\r\f\x0b]+'),
+                       x -> translate(x, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                      'abcdefghijklmnopqrstuvwxyz'))) AS term
               FROM documents
             )
             SELECT term, CAST(COUNT(*) AS BIGINT) AS n

@@ -28,6 +28,23 @@ WORD_RE = re.compile(r"[^ \t\n\r\f\v]+")
 
 def split_words(text: str) -> list[str]:
     return WORD_RE.findall(text)
+
+
+# ASCII-only case fold, exactly mirrored in SQL by oracles.sql_ascii_lower
+# (translate A-Z -> a-z).  Deliberately NOT str.lower(): Python and
+# DuckDB's ICU lower() disagree on locale-special characters (Turkish
+# dotted I lowers to 'i' + combining dot in Python but plain 'i' in
+# DuckDB; Greek final sigma differs likewise), which silently breaks
+# value-exact parity for any op that compares lowered strings — found by
+# an adversarial-unicode parity probe.  Same precedent as _WORDISH_RE's
+# "ASCII word semantics on purpose".
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
+
+
+def ascii_fold(s: str) -> str:
+    return s.translate(_ASCII_LOWER)
 _ALPHA_RE = re.compile(r"[A-Za-z]")
 _DIGIT_RE = re.compile(r"[0-9]")
 
@@ -210,7 +227,7 @@ def predict_lang(text: str) -> str:
     for ch in text[:400]:
         if "一" <= ch <= "鿿":
             return "zh"
-    words = set(w.lower() for w in split_words(text)[:200])
+    words = set(w.translate(_ASCII_LOWER) for w in split_words(text)[:200])
     best_lang, best_score = "unknown", 0
     for lang in sorted(_LANG_PROFILES):
         score = len(words & _LANG_PROFILES[lang])
@@ -251,7 +268,7 @@ def top_terms(ds, k: int = 100, n_shards: int | None = None, text_col: str = "te
         texts = batch.column(text_col).to_pylist()
         counts: dict[str, int] = {}
         for t in texts:
-            for w in split_words((t or "").lower()):
+            for w in split_words(ascii_fold(t or "")):
                 counts[w] = counts.get(w, 0) + 1
         terms = list(counts)
         shards = [

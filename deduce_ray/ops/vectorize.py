@@ -4,7 +4,8 @@ form exactly like the embeddings table).
 
 Semantics (mirrored exactly by :func:`deduce_ray.oracles.tfidf_sql`):
 
-    terms(d)   = lowercased WORD_RE tokens (top_terms' convention)
+    terms(d)   = ASCII-case-folded WORD_RE tokens (top_terms' convention;
+                 see textstats.ascii_fold for why not str.lower())
     df(t)      = number of documents containing t
     N          = total document count (null/empty texts included)
     vocab      = top ``vocab_size`` terms by (df DESC, term ASC)
@@ -36,7 +37,7 @@ from collections import Counter
 import numpy as np
 import pyarrow as pa
 
-from deduce_ray.ops.textstats import split_words
+from deduce_ray.ops.textstats import ascii_fold, split_words
 
 _N_SENTINEL = ""  # WORD_RE tokens are non-empty, so "" cannot collide
 
@@ -65,7 +66,7 @@ def build_tfidf_vocab(
         texts = batch.column(text_col).to_pylist()
         df: dict[str, int] = {}
         for t in texts:
-            for w in set(split_words((t or "").lower())):
+            for w in set(split_words(ascii_fold(t or ""))):
                 df[w] = df.get(w, 0) + 1
         terms = list(df)
         counts = list(df.values())
@@ -146,7 +147,7 @@ def tfidf_terms(
         out_ids, out_terms, out_w = [], [], []
         for i, t in enumerate(texts):
             cnt = Counter(
-                w for w in split_words((t or "").lower()) if w in terms
+                w for w in split_words(ascii_fold(t or "")) if w in terms
             )
             if not cnt:
                 continue
@@ -202,7 +203,7 @@ def tfidf_dense(
         out_ids, out_vecs = [], []
         for i, t in enumerate(texts):
             cnt = Counter(
-                w for w in split_words((t or "").lower()) if w in terms
+                w for w in split_words(ascii_fold(t or "")) if w in terms
             )
             if not cnt:
                 continue

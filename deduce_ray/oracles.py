@@ -271,7 +271,14 @@ def kg_redacted_sqlpreds_sql() -> str:
 
 #: must mirror deduce_ray.ops.textstats.WORD_RE exactly
 WORD_CLASS_SQL = r"[^ \t\n\r\f\x0b]+"
-_WORDS = f"regexp_extract_all(text, '{WORD_CLASS_SQL}')"
+
+#: ASCII-only case fold — must mirror textstats.ascii_fold exactly
+#: (lower() would use ICU locale-special mappings Python lacks)
+SQL_ASCII_LOWER = (
+    "translate({}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+    " 'abcdefghijklmnopqrstuvwxyz')"
+)
+_WORDS = f"regexp_extract_all(coalesce(text, ''), '{WORD_CLASS_SQL}')"
 
 # must mirror deduce_ray.ops.textstats._LANG_PROFILES exactly
 _LANG_PROFILES_SQL = {
@@ -302,8 +309,8 @@ def doc_langid_sql() -> str:
         WITH w AS (
           SELECT doc_id,
                  list_distinct(list_transform(({_WORDS})[1:200],
-                               x -> lower(x))) AS ws,
-                 regexp_matches(substring(text, 1, 400), '[一-鿿]') AS zh
+                               x -> {SQL_ASCII_LOWER.format('x')})) AS ws,
+                 regexp_matches(substring(coalesce(text, ''), 1, 400), '[一-鿿]') AS zh
           FROM documents
         ),
         scores AS (SELECT doc_id, zh, {score_cols} FROM w),
@@ -857,7 +864,7 @@ def lm_perplexity_sql() -> str:
 
 def tfidf_sql(vocab_size: int = 128) -> str:
     """DuckDB mirror of :func:`deduce_ray.ops.vectorize.tfidf_terms`.
-    Must track it exactly: lowercased WORD_CLASS_SQL terms, N = count of
+    Must track it exactly: ASCII-case-folded WORD_CLASS_SQL terms, N = count of
     ALL document rows, vocab = top-k by (df DESC, term ASC), smoothed
     idf ln((N+1)/(df+1)) + 1, per-doc L2 norm over vocab terms only,
     weight rounded to 6 (ln/sqrt match numpy's libm to <= 1 ulp)."""
@@ -867,7 +874,7 @@ def tfidf_sql(vocab_size: int = 128) -> str:
                  unnest(list_transform(
                    regexp_extract_all(coalesce(text, ''),
                                       '{WORD_CLASS_SQL}'),
-                   x -> lower(x))) AS term
+                   x -> {SQL_ASCII_LOWER.format('x')})) AS term
           FROM documents
         ),
         tc AS (
