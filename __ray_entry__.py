@@ -992,11 +992,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_tfidf": oracles.tfidf_sql(vocab_size=64),
         "exact_dedup": """
-            SELECT md5(text) AS content_hash,
+            SELECT md5(coalesce(text, '')) AS content_hash,
                    MIN(doc_id) AS keep_id,
                    COUNT(*) AS n_dupes
             FROM documents
-            GROUP BY md5(text)
+            GROUP BY md5(coalesce(text, ''))
         """,
         "embedding_neardup": """
             WITH base AS (
@@ -1019,7 +1019,7 @@ def oracle_sql() -> dict[str, str]:
             WITH ranked AS (
               SELECT doc_id, lang,
                      row_number() OVER (
-                       PARTITION BY md5(text) ORDER BY doc_id
+                       PARTITION BY md5(coalesce(text, '')) ORDER BY doc_id
                      ) AS rk
               FROM documents
             )
