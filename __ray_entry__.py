@@ -1034,10 +1034,18 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings WHERE vec_id < 5
             ),
             scored AS (
-              -- zero-norm vectors: engine scores them 0.0; SQL cosine is
-              -- NaN, so normalize to 0 before ranking
+              -- zero-norm vectors: the engine scores them 0.0 (no
+              -- direction -> no similarity); DuckDB 1.0's
+              -- list_cosine_similarity returns -1.0 for them (NOT NaN
+              -- — verified directly), so test the norms explicitly and
+              -- keep the isnan guard as belt-and-braces
               SELECT q.query_id, e.vec_id,
-                     round(CASE WHEN isnan(list_cosine_similarity(
+                     round(CASE WHEN list_inner_product(
+                                    e.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]) = 0
+                                  OR list_inner_product(q.qv, q.qv) = 0
+                                THEN 0.0
+                                WHEN isnan(list_cosine_similarity(
                                     e.embedding::DOUBLE[], q.qv))
                                 THEN 0.0
                                 ELSE list_cosine_similarity(
