@@ -74,8 +74,14 @@ def grouped_agg(
             elif kind == "sum_sq":
                 sq = df.assign(__sq=df[in_col] * df[in_col])
                 out[out_col] = (
-                    sq.groupby(keys, sort=True, dropna=False)["__sq"].sum().values
+                    sq.groupby(keys, sort=True, dropna=False)["__sq"]
+                    .sum(min_count=1)
+                    .values
                 )
+            elif kind == "sum":
+                # min_count=1 = SQL SUM semantics: nulls are skipped and
+                # an all-null group is NULL, not 0 (pandas' default)
+                out[out_col] = grouped[in_col].sum(min_count=1)[in_col].values
             else:
                 out[out_col] = getattr(grouped[in_col], kind)()[in_col].values
         # deterministic shard of the key tuple (fixed pandas hash_key)
@@ -89,7 +95,13 @@ def grouped_agg(
         grouped = df.groupby(keys, as_index=False, sort=True, dropna=False)
         out = grouped.size()[keys].copy()
         for out_col, (_, kind) in aggs.items():
-            out[out_col] = getattr(grouped[out_col], _PARTIAL_KIND[kind])()[out_col].values
+            pk = _PARTIAL_KIND[kind]
+            if pk == "sum":
+                # a partial that is NULL (all-null combine output) must
+                # not zero the merged total; an all-NULL set stays NULL
+                out[out_col] = grouped[out_col].sum(min_count=1)[out_col].values
+            else:
+                out[out_col] = getattr(grouped[out_col], pk)()[out_col].values
         return out
 
     # batch_size here also COALESCES: map_batches concatenates small
@@ -143,6 +155,13 @@ def approx_distinct(
         regs: list[bytes] = []
         for kv, grp in df.groupby(keys, sort=False, dropna=False):
             key_tuple = kv if isinstance(kv, tuple) else (kv,)
+            # pandas surfaces a null group key as float NaN even in an
+            # object column; convert back to None so the Arrow key
+            # column stays its real type (mixing NaN into a string
+            # array raises ArrowInvalid)
+            key_tuple = tuple(
+                None if (x is None or x != x) else x for x in key_tuple
+            )
             reg = np.zeros(m, dtype=np.uint8)
             for i in grp.index:
                 v = values[i]

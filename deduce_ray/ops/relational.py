@@ -136,6 +136,16 @@ def pricing_summary_sql() -> str:
     """
 
 
+def _int_or_float(col: pd.Series) -> pd.Series:
+    """int64 when null-free, float64 (NaN for nulls) otherwise — the same
+    dtype DuckDB's .df() produces for a BIGINT column, so dtype-strict
+    comparisons agree in both the clean and null-bearing cases (pandas
+    extension dtypes like Int64 break numpy-based hash/compare paths)."""
+    return (
+        col.astype("float64") if col.isna().any() else col.astype("int64")
+    )
+
+
 def top_customers(sf_dir: str, k: int = 10):
     """Top-k customers by order revenue: partial agg over orders, then a
     broadcast join against the small customer dimension."""
@@ -146,7 +156,39 @@ def top_customers(sf_dir: str, k: int = 10):
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
 
+    # the SQL contract is an INNER join: orders whose custkey matches no
+    # customer (or is null) must not reach the ranking — filtering AFTER
+    # the top-k would let a dangling key displace a legitimate customer.
+    # The key set is the join's small side, broadcast once.
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    cust_keys = np.sort(
+        _pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+        .column("c_custkey")
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    import ray as _ray
+
+    cust_keys_ref = _ray.put(cust_keys)
+
     def project(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+        import ray as _ray2
+
+        keys = _ray2.get(cust_keys_ref)
+        ck = batch.column("o_custkey")
+        valid = pc.is_valid(ck)
+        ints = _np.where(
+            valid.to_numpy(zero_copy_only=False),
+            ck.fill_null(0).to_numpy(zero_copy_only=False),
+            -1,
+        ).astype(_np.int64)
+        pos = _np.searchsorted(keys, ints)
+        pos_c = _np.clip(pos, 0, len(keys) - 1)
+        keep = pa.array((keys[pos_c] == ints) & (ints >= 0))
+        batch = batch.filter(keep)
         return pa.table(
             {
                 "o_custkey": batch.column("o_custkey"),
@@ -336,7 +378,8 @@ def events_hourly(sf_dir: str):
         out = pd.DataFrame(
             {
                 "event_type": df["event_type"],
-                "hour_epoch": df["hour_epoch"].astype("int64"),
+                # null ts -> NULL hour group (SQL); dtype mirrors DuckDB
+                "hour_epoch": _int_or_float(df["hour_epoch"]),
                 "n_events": df["n_events"].astype("int64"),
                 "sum_value": df["sum_cents"] / 100.0,
             }
@@ -381,6 +424,11 @@ def brand_volume(sf_dir: str):
     def join_project(batch: pa.Table) -> pa.Table:
         key_arr, val_arr = ray.get(brand_ref)
         idx = pc.index_in(batch.column("l_partkey"), value_set=key_arr)
+        # INNER join: drop lineitems with no matching part (incl. null
+        # keys); a matched part with a NULL brand keeps its NULL group
+        keep = pc.is_valid(idx)
+        batch = batch.filter(keep)
+        idx = idx.filter(keep)
         return pa.table(
             {
                 "p_brand": val_arr.take(idx),
@@ -402,7 +450,9 @@ def brand_volume(sf_dir: str):
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["sum_qty"] = df["sum_qty"].astype("int64")
+        # an all-null-quantity group sums to NULL (SQL); dtype mirrors
+        # DuckDB (int64 clean, float64+NaN when a null exists)
+        df["sum_qty"] = _int_or_float(df["sum_qty"])
         df["n_items"] = df["n_items"].astype("int64")
         return df.sort_values("p_brand").reset_index(drop=True)
 
@@ -651,7 +701,12 @@ def events_props_stats(sf_dir: str):
             raw = props.to_pylist()
             for i in misses:
                 try:
-                    ks[i] = int(jsonlib.loads(raw[i])["k"])
+                    v = jsonlib.loads(raw[i])["k"]
+                    # exact JSON integers only (the SQL mirror is
+                    # TRY_CAST of the raw json text, which rejects
+                    # floats/strings/bools); type(v) is int also
+                    # excludes bool, an int subclass
+                    ks[i] = v if type(v) is int else -1
                 except (TypeError, ValueError, KeyError):
                     ks[i] = -1
         buckets = np.where(ks >= 0, ks % 10, -1)
@@ -682,12 +737,24 @@ def events_props_stats(sf_dir: str):
 
 
 def events_props_stats_sql() -> str:
+    # json_valid guard + TRY_CAST of the RAW json text: malformed props,
+    # null props, missing keys, floats, bools, and string-typed numbers
+    # ('"5"' keeps its quotes through CAST AS VARCHAR) all land in the
+    # engine's -1 fallback bucket instead of erroring the query
     return """
-        SELECT CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT)
-                 AS k_bucket,
+        WITH parsed AS (
+          SELECT TRY_CAST(CAST(CASE WHEN props IS NOT NULL
+                                     AND json_valid(props)
+                                    THEN json_extract(props, '$.k')
+                               END AS VARCHAR) AS BIGINT) AS k,
+                 value
+          FROM events
+        )
+        SELECT CAST(CASE WHEN k IS NOT NULL AND k >= 0 THEN k % 10
+                         ELSE -1 END AS BIGINT) AS k_bucket,
                COUNT(*) AS n_events,
                SUM(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
-        FROM events
+        FROM parsed
         GROUP BY 1
         ORDER BY 1
     """
@@ -707,14 +774,19 @@ def region_customers(sf_dir: str):
             region.column("r_name").to_pylist(),
         )
     )
-    # pre-compose the two small dims driver-side, broadcast one arrow pair
-    nat_keys = pa.array(nation.column("n_nationkey").to_pylist(), type=pa.int64())
-    nat_region = pa.array(
-        [
-            region_names[r]
-            for r in nation.column("n_regionkey").to_pylist()
-        ]
-    )
+    # pre-compose the two small dims driver-side, broadcast one arrow
+    # pair.  INNER chain: a nation whose regionkey is null or matches no
+    # region is dropped here (its customers then drop at the probe)
+    pairs = [
+        (k, region_names[r])
+        for k, r in zip(
+            nation.column("n_nationkey").to_pylist(),
+            nation.column("n_regionkey").to_pylist(),
+        )
+        if k is not None and r in region_names
+    ]
+    nat_keys = pa.array([k for k, _ in pairs], type=pa.int64())
+    nat_region = pa.array([v for _, v in pairs], type=pa.string())
     lookup_ref = ray.put((nat_keys, nat_region))
 
     customers = read_parquet_sliced(
@@ -726,6 +798,7 @@ def region_customers(sf_dir: str):
         idx = pc.index_in(
             pc.cast(batch.column("c_nationkey"), pa.int64()), value_set=key_arr
         )
+        idx = idx.filter(pc.is_valid(idx))  # INNER: unmatched drop
         return pa.table({"r_name": val_arr.take(idx)})
 
     agged = grouped_agg(
@@ -880,24 +953,44 @@ def events_value_quantiles(sf_dir: str, qs=(0.5, 0.95)):
 
     def quantiles(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for etype, grp in df.groupby("event_type"):
+        # dropna=False: SQL keeps the NULL-type group; NaN cents sort
+        # last under sort_values (= the window's NULLS LAST), so an
+        # all-null-value group reports NULL quantiles like the oracle
+        for etype, grp in df.groupby("event_type", dropna=False):
+            if etype != etype:  # pandas yields NaN for the null key
+                etype = None
             grp = grp.sort_values("cents")
             cum = grp["n"].cumsum()
             total = int(grp["n"].sum())
             row = {"event_type": etype}
             for q in qs:
                 need = math.ceil(q * total)
+                hit = grp["cents"][cum >= need]
                 row[f"p{int(q * 100)}"] = (
-                    float(grp["cents"][cum >= need].iloc[0]) / 100.0
+                    float(hit.iloc[0]) / 100.0 if len(hit) else float("nan")
                 )
             rows.append(row)
         cols = ["event_type"] + [f"p{int(q * 100)}" for q in qs]
         return pd.DataFrame(rows, columns=cols)
 
     # per-type histograms are tiny (distinct cent values), so a single
-    # type-keyed groupby is not a skew concern
-    return hist.groupby("event_type").map_groups(
-        lambda df: quantiles(df), batch_format="pandas"
+    # type-keyed groupby is not a skew concern.  Group on a computed
+    # shard of the type rather than the raw column: Ray's groupby drops
+    # null keys, which would silently erase the NULL-type group
+    def add_shard(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__shard"] = (
+            pd.util.hash_pandas_object(df["event_type"], index=False) % 64
+        ).astype("int64")
+        return df
+
+    return (
+        hist.map_batches(add_shard, batch_format="pandas")
+        .groupby("__shard")
+        .map_groups(
+            lambda df: quantiles(df.drop(columns=["__shard"])),
+            batch_format="pandas",
+        )
     )
 
 
@@ -1030,26 +1123,37 @@ def events_sliding(sf_dir: str, window_hours: int = 3, slide_hours: int = 1):
     )
 
     def expand(batch: pa.Table) -> pa.Table:
-        micros = pc.cast(batch.column("ts"), pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
+        import numpy as np
+
+        ts_col = pc.cast(batch.column("ts"), pa.int64())
+        ts_null = pc.is_null(ts_col).to_numpy(zero_copy_only=False)
+        micros = ts_col.fill_null(0).to_numpy(zero_copy_only=False)
         slot = (micros // 1_000_000) // slide_s  # slide-aligned slot index
-        cents = (
-            _cents(batch.column("value")).to_numpy(zero_copy_only=False)
-        )
+        cents_col = _cents(batch.column("value"))
+        c_null = pc.is_null(cents_col).to_numpy(zero_copy_only=False)
+        cents = cents_col.fill_null(0).to_numpy(zero_copy_only=False)
         types = batch.column("event_type").to_pylist()
-        out_type, out_win, out_cents = [], [], []
+        win_parts, cent_parts, out_type = [], [], []
         for j in range(n_covering):
-            # window starting at (slot - j) covers this event
-            starts = (slot - j) * slide_s
-            out_win.extend(starts.tolist())
+            # window starting at (slot - j) covers this event; null ts
+            # stays a NULL window group (SQL arithmetic on NULL)
+            win_parts.append((slot - j) * slide_s)
+            cent_parts.append(cents)
             out_type.extend(types)
-            out_cents.extend(cents.tolist())
+        n = len(win_parts)
         return pa.table(
             {
                 "event_type": pa.array(out_type),
-                "window_start": pa.array(out_win, type=pa.int64()),
-                "cents": pa.array(out_cents, type=pa.int64()),
+                "window_start": pa.array(
+                    np.concatenate(win_parts),
+                    type=pa.int64(),
+                    mask=np.tile(ts_null, n),
+                ),
+                "cents": pa.array(
+                    np.concatenate(cent_parts),
+                    type=pa.int64(),
+                    mask=np.tile(c_null, n),
+                ),
             }
         )
 
@@ -1063,7 +1167,7 @@ def events_sliding(sf_dir: str, window_hours: int = 3, slide_hours: int = 1):
         return pd.DataFrame(
             {
                 "event_type": df["event_type"],
-                "window_start": df["window_start"].astype("int64"),
+                "window_start": _int_or_float(df["window_start"]),
                 "n_events": df["n_events"].astype("int64"),
                 "sum_value": df["sum_cents"] / 100.0,
             }

@@ -65,6 +65,96 @@ class TestDegenerateVectors:
             assert _run(q, str(tmp_path), con) == 50
 
 
+class TestNullInjectedRelational:
+    def test_relational_family_with_nulls(self, ray_session, tmp_path):
+        """Every relational + sketch query stays oracle-exact when the
+        TPC-H-ish tables carry null keys, null measures, null
+        timestamps, dangling foreign keys, and malformed JSON — the
+        row shapes 100 TB of real data WILL contain (pinned after a
+        sweep found 9 of 14 queries crashed or diverged on them)."""
+        import datetime as dt
+        import glob
+        import shutil
+
+        import duckdb
+        import pandas as pd
+
+        src = "/root/testdata/sf0.001"
+        for p in glob.glob(f"{src}/*.parquet"):
+            shutil.copy(p, tmp_path)
+
+        def extend(name, rows):
+            path = str(tmp_path / f"{name}.parquet")
+            t = pq.read_table(path)
+            extra = pa.table(
+                {
+                    f.name: pa.array(
+                        [r.get(f.name) for r in rows], type=f.type
+                    )
+                    for f in t.schema
+                }
+            )
+            pq.write_table(pa.concat_tables([t, extra]), path)
+
+        TS = dt.datetime(2024, 1, 1)
+        extend("lineitem", [
+            dict(l_orderkey=999001, l_partkey=1, l_suppkey=1,
+                 l_linenumber=1, l_quantity=None, l_extendedprice=None,
+                 l_discount=None, l_tax=None, l_returnflag=None,
+                 l_linestatus=None, l_shipdate=None),
+            dict(l_orderkey=999002, l_partkey=None, l_suppkey=None,
+                 l_linenumber=2, l_quantity=0.0, l_extendedprice=0.0,
+                 l_discount=0.0, l_tax=0.0, l_returnflag="Z",
+                 l_linestatus="Z", l_shipdate=TS),
+        ])
+        extend("orders", [
+            dict(o_orderkey=999101, o_custkey=None, o_orderstatus=None,
+                 o_totalprice=None, o_orderdate=None,
+                 o_orderpriority=None),
+            dict(o_orderkey=999102, o_custkey=999999, o_orderstatus="X",
+                 o_totalprice=1e15, o_orderdate=TS,
+                 o_orderpriority="9-ZZZ"),  # dangling custkey
+        ])
+        extend("customer", [
+            dict(c_custkey=999201, c_name=None, c_nationkey=None,
+                 c_acctbal=None, c_mktsegment=None),
+        ])
+        extend("events", [
+            dict(event_id=999301, ts=None, user_id=None, event_type=None,
+                 value=None, props=None),
+            dict(event_id=999302, ts=TS, user_id=424242,
+                 event_type="weird", value=-1e12,
+                 props="not json at all"),
+            dict(event_id=999303, ts=TS, user_id=424242,
+                 event_type="weird", value=3.5, props='{"k":null}'),
+        ])
+        extend("part", [dict(p_partkey=999401, p_name=None, p_brand=None,
+                             p_type=None, p_size=None,
+                             p_retailprice=None)])
+        extend("supplier", [dict(s_suppkey=999501, s_name=None,
+                                 s_nationkey=None, s_acctbal=None)])
+        extend("nation", [dict(n_nationkey=9996, n_name=None,
+                               n_regionkey=None)])
+        extend("region", [dict(r_regionkey=9997, r_name=None)])
+
+        con = duckdb.connect()
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events documents embeddings").split():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/{t}.parquet')"
+            )
+        for q in (
+            "pricing_summary", "top_customers", "events_by_type",
+            "events_hourly", "events_sliding", "user_sessions",
+            "events_props_stats", "brand_volume", "bucketed_join_revenue",
+            "region_customers", "click_attribution",
+            "events_value_quantiles", "campaign_attribution",
+            "events_user_sketch",
+        ):
+            assert _run(q, str(tmp_path), con) > 0, q
+
+
 class TestNullTextDedup:
     def test_null_keys_as_empty(self, ray_session, tmp_path):
         import duckdb
