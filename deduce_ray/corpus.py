@@ -57,8 +57,11 @@ def commit_for_doc_id(doc_id: int) -> str:
     return hashlib.sha256(f"commit:{doc_id}".encode()).hexdigest()[:40]
 
 
-def content_for(doc_id: int, text: str) -> str:
-    return text + " " + SNIPPETS[doc_id % len(SNIPPETS)]
+def content_for(doc_id: int, text: str | None) -> str:
+    # null text decorates as empty (the corpus-wide `text or ""`
+    # convention; the SQL mirror coalesces identically — bare || would
+    # make the whole content NULL)
+    return (text or "") + " " + SNIPPETS[doc_id % len(SNIPPETS)]
 
 
 def decorate_batch(batch):
@@ -195,8 +198,8 @@ def sql_content_expr(text_col: str = "text", doc_id_col: str = "doc_id") -> str:
         for i, s in enumerate(SNIPPETS)
     )
     return (
-        f"({text_col} || ' ' || (CASE ({doc_id_col} % {len(SNIPPETS)}) "
-        f"{cases} END))"
+        f"(coalesce({text_col}, '') || ' ' || "
+        f"(CASE ({doc_id_col} % {len(SNIPPETS)}) {cases} END))"
     )
 
 

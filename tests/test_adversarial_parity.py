@@ -155,6 +155,58 @@ class TestNullInjectedRelational:
             assert _run(q, str(tmp_path), con) > 0, q
 
 
+class TestNullUnicodeKG:
+    def test_kg_family_null_and_unicode_docs(self, ray_session, tmp_path):
+        """The KG query family stays oracle-exact over null texts,
+        unicode/emoji, boundary-hugging mentions, and a doc that IS its
+        mention (pinned after a sweep found null text crashed the
+        repo-table decoration engine-side and NULLed the whole content
+        SQL-side).  The corpus respects the oracle's two documented
+        preconditions (oracles.py module docstring): no two matches
+        share a boundary character, and no two same-pred mentions of
+        one doc within edit distance 1."""
+        import duckdb
+
+        texts = [
+            None, "",
+            "İstanbul bsn 111222333 end",
+            "datum 01-02-2019 en id 12345678",
+            "unicode 🎉 postbus Postbus 123 🎉",
+            "dubbele datum 01-02-2019 en verder 05-06-2021 hier",
+            "grens 1234AB tail",
+            "02-03-2020",  # the document IS the mention
+            "a" * 5,
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        range(1, len(texts) + 1), type=pa.int64()
+                    ),
+                    "text": pa.array(texts, type=pa.string()),
+                    "lang": pa.array(["nl"] * len(texts)),
+                    "source": pa.array(["adv"] * len(texts)),
+                    "n_chars": pa.array(
+                        [len(t or "") for t in texts], type=pa.int64()
+                    ),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/documents.parquet')"
+        )
+        for q in (
+            "kg_dates", "kg_bsn", "kg_postal", "kg_emails", "kg_urls",
+            "kg_triples_sqlpreds", "kg_graph_sqlpreds",
+            "kg_entities_sqlpreds", "kg_entities_canonical_sqlpreds",
+            "kg_cooccurrence_sqlpreds", "kg_redacted_sqlpreds",
+        ):
+            assert _run(q, str(tmp_path), con) > 0, q
+
+
 class TestNullTextDedup:
     def test_null_keys_as_empty(self, ray_session, tmp_path):
         import duckdb
