@@ -104,7 +104,7 @@ def pricing_summary(sf_dir: str):
             {
                 "l_returnflag": df["l_returnflag"],
                 "l_linestatus": df["l_linestatus"],
-                "sum_qty": df["sum_qty"].astype("int64"),
+                "sum_qty": _int_or_float(df["sum_qty"]),
                 "sum_base_price": df["sum_base_cents"] / 100.0,
                 "sum_disc_price": df["sum_disc_units"] / 10000.0,
                 "avg_qty": df["sum_qty"] / df["count_order"],
@@ -159,35 +159,40 @@ def top_customers(sf_dir: str, k: int = 10):
     # the SQL contract is an INNER join: orders whose custkey matches no
     # customer (or is null) must not reach the ranking — filtering AFTER
     # the top-k would let a dangling key displace a legitimate customer.
-    # The key set is the join's small side, broadcast once.
-    import numpy as np
+    # One driver read of the small side serves both the key filter and
+    # the name attach; null c_custkey rows are excluded up front (NaN
+    # would astype to INT64_MIN, a phantom join key).
     import pyarrow.parquet as _pq
 
-    cust_keys = np.sort(
-        _pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
-        .column("c_custkey")
-        .to_numpy(zero_copy_only=False)
-        .astype(np.int64)
+    _raw = _pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
     )
-    import ray as _ray
-
-    cust_keys_ref = _ray.put(cust_keys)
+    # drop null KEYS only — a customer with a valid key but NULL name
+    # still joins (SQL emits the NULL name)
+    cust_tbl = _raw.filter(
+        pc.is_valid(_raw.column("c_custkey"))
+    ).combine_chunks()
+    cust_keys = np.sort(
+        cust_tbl.column("c_custkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+    )
+    cust_keys_ref = ray.put(cust_keys)
 
     def project(batch: pa.Table) -> pa.Table:
-        import numpy as _np
-        import ray as _ray2
-
-        keys = _ray2.get(cust_keys_ref)
+        keys = ray.get(cust_keys_ref)
         ck = batch.column("o_custkey")
-        valid = pc.is_valid(ck)
-        ints = _np.where(
-            valid.to_numpy(zero_copy_only=False),
-            ck.fill_null(0).to_numpy(zero_copy_only=False),
-            -1,
-        ).astype(_np.int64)
-        pos = _np.searchsorted(keys, ints)
-        pos_c = _np.clip(pos, 0, len(keys) - 1)
-        keep = pa.array((keys[pos_c] == ints) & (ints >= 0))
+        valid_np = pc.is_valid(ck).to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            keep = pa.array(np.zeros(len(batch), dtype=bool))
+        else:
+            ints = ck.fill_null(0).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            pos = np.clip(np.searchsorted(keys, ints), 0, len(keys) - 1)
+            # validity is its own mask (no sentinel value — a genuine
+            # negative custkey must still be joinable)
+            keep = pa.array((keys[pos] == ints) & valid_np)
         batch = batch.filter(keep)
         return pa.table(
             {
@@ -224,17 +229,10 @@ def top_customers(sf_dir: str, k: int = 10):
         .map_groups(global_top, batch_format="pandas")
     )
 
-    # broadcast the (small) customer name map; at scale this is ray.put once
-    import pyarrow.parquet as pq
-
-    names_tbl = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
-    )
+    # broadcast the (small) customer name map; at scale this is ray.put
+    # once — reusing the single driver read above
     names_ref = ray.put(
-        (
-            names_tbl.column("c_custkey").combine_chunks(),
-            names_tbl.column("c_name").combine_chunks(),
-        )
+        (cust_tbl.column("c_custkey"), cust_tbl.column("c_name"))
     )
 
     def attach_names(batch: pa.Table) -> pa.Table:
@@ -410,11 +408,14 @@ def brand_volume(sf_dir: str):
     part_tbl = pq.read_table(
         f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
     )
+    # drop null-keyed parts: pc.index_in matches null probes TO a null
+    # value-set entry, which would join a null l_partkey to that part's
+    # brand where SQL's NULL = NULL never matches
+    part_tbl = part_tbl.filter(
+        pc.is_valid(part_tbl.column("p_partkey"))
+    ).combine_chunks()
     brand_ref = ray.put(
-        (
-            part_tbl.column("p_partkey").combine_chunks(),
-            part_tbl.column("p_brand").combine_chunks(),
-        )
+        (part_tbl.column("p_partkey"), part_tbl.column("p_brand"))
     )
 
     lineitem = read_parquet_sliced(
@@ -687,7 +688,11 @@ def events_props_stats(sf_dir: str):
         # document (nested objects, floats, extra keys) falls back to the
         # exact per-row json.loads path instead of a lossy regex guess.
         props = batch.column("props")
-        ex = pc.extract_regex(props, pattern=r'^\{"k": (?P<k>-?\d+)\}$')
+        # <= 18 digits so the int64 cast cannot overflow; longer ints
+        # fall through to the json path, which range-checks explicitly
+        ex = pc.extract_regex(
+            props, pattern=r'^\{"k": (?P<k>-?\d{1,18})\}$'
+        )
         k_str = pc.struct_field(ex, "k")
         # fill misses with "0" BEFORE the cast so the numpy array stays
         # int64 end-to-end (a null-bearing int64 column converts through
@@ -702,12 +707,16 @@ def events_props_stats(sf_dir: str):
             for i in misses:
                 try:
                     v = jsonlib.loads(raw[i])["k"]
-                    # exact JSON integers only (the SQL mirror is
-                    # TRY_CAST of the raw json text, which rejects
-                    # floats/strings/bools); type(v) is int also
-                    # excludes bool, an int subclass
-                    ks[i] = v if type(v) is int else -1
-                except (TypeError, ValueError, KeyError):
+                    # exact in-range JSON integers only (the SQL mirror
+                    # is TRY_CAST of the raw json text, which rejects
+                    # floats/strings/bools and overflows to NULL);
+                    # type(v) is int also excludes bool, an int subclass
+                    ks[i] = (
+                        v
+                        if type(v) is int and -(2**63) <= v < 2**63
+                        else -1
+                    )
+                except (TypeError, ValueError, KeyError, OverflowError):
                     ks[i] = -1
         buckets = np.where(ks >= 0, ks % 10, -1)
         return pa.table(
@@ -768,12 +777,14 @@ def region_customers(sf_dir: str):
 
     nation = pq.read_table(f"{sf_dir}/nation.parquet")
     region = pq.read_table(f"{sf_dir}/region.parquet")
-    region_names = dict(
-        zip(
+    region_names = {
+        k: v
+        for k, v in zip(
             region.column("r_regionkey").to_pylist(),
             region.column("r_name").to_pylist(),
         )
-    )
+        if k is not None  # NULL r_regionkey matches no nation (SQL)
+    }
     # pre-compose the two small dims driver-side, broadcast one arrow
     # pair.  INNER chain: a nation whose regionkey is null or matches no
     # region is dropped here (its customers then drop at the probe)
@@ -1056,17 +1067,28 @@ def campaign_attribution(sf_dir: str, n_campaigns: int = 40):
         s, e = ray.get(windows_ref)
         ts = df["ts"].to_numpy()
         # floor(x + 0.5) = SQL round() for non-negative values (np.rint
-        # rounds half to even and would diverge on exact half-cents)
-        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        # rounds half to even and would diverge on exact half-cents).
+        # NULL values: COUNT(*) counts the row but SUM skips it — a bare
+        # astype would turn NaN into INT64_MIN and poison the sum
+        vals = df["value"].to_numpy(dtype=np.float64)
+        has_val = ~np.isnan(vals)
+        cents = np.floor(np.where(has_val, vals, 0.0) * 100.0 + 0.5).astype(
+            np.int64
+        )
         rows = []
         for cid in range(len(s)):
             mask = (ts >= s[cid]) & (ts < e[cid])
             if mask.any():
+                mv = mask & has_val
                 rows.append(
                     {
                         "campaign_id": cid,
                         "n_events": int(mask.sum()),
-                        "sum_cents": int(cents[mask].sum()),
+                        # a window whose every event has NULL value sums
+                        # to NULL (SQL), not 0
+                        "sum_cents": (
+                            int(cents[mv].sum()) if mv.any() else np.nan
+                        ),
                     }
                 )
         return pd.DataFrame(rows, columns=["campaign_id", "n_events", "sum_cents"])

@@ -19,7 +19,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _canon(df):
+    import numpy as np
+
     df = df[sorted(df.columns)]
+    # normalize null-likes: the engine emits NaN in object columns where
+    # DuckDB's .df() emits None — pandas' assert_frame_equal warns today
+    # and will raise on a future major version
+    df = df.where(df.notna(), other=np.nan)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
@@ -106,6 +112,12 @@ class TestNullInjectedRelational:
                  l_linenumber=2, l_quantity=0.0, l_extendedprice=0.0,
                  l_discount=0.0, l_tax=0.0, l_returnflag="Z",
                  l_linestatus="Z", l_shipdate=TS),
+            # valid shipdate + all-NULL measures: its ('Q','Q') group
+            # must report NULL sums (SQL), not 0 / INT64_MIN
+            dict(l_orderkey=999003, l_partkey=2, l_suppkey=2,
+                 l_linenumber=3, l_quantity=None, l_extendedprice=None,
+                 l_discount=None, l_tax=None, l_returnflag="Q",
+                 l_linestatus="Q", l_shipdate=TS),
         ])
         extend("orders", [
             dict(o_orderkey=999101, o_custkey=None, o_orderstatus=None,
@@ -118,6 +130,9 @@ class TestNullInjectedRelational:
         extend("customer", [
             dict(c_custkey=999201, c_name=None, c_nationkey=None,
                  c_acctbal=None, c_mktsegment=None),
+            # null KEY: must not become a phantom INT64_MIN join key
+            dict(c_custkey=None, c_name="nullkey", c_nationkey=1,
+                 c_acctbal=1.0, c_mktsegment="X"),
         ])
         extend("events", [
             dict(event_id=999301, ts=None, user_id=None, event_type=None,
@@ -127,15 +142,27 @@ class TestNullInjectedRelational:
                  props="not json at all"),
             dict(event_id=999303, ts=TS, user_id=424242,
                  event_type="weird", value=3.5, props='{"k":null}'),
+            # in-window NULL value (SUM skips, COUNT counts) + a JSON
+            # int beyond int64 (both sides: the -1 fallback bucket)
+            dict(event_id=999304, ts=TS, user_id=7, event_type="weird",
+                 value=None, props='{"k": 99999999999999999999}'),
         ])
-        extend("part", [dict(p_partkey=999401, p_name=None, p_brand=None,
-                             p_type=None, p_size=None,
-                             p_retailprice=None)])
+        extend("part", [
+            dict(p_partkey=999401, p_name=None, p_brand=None,
+                 p_type=None, p_size=None, p_retailprice=None),
+            # null part KEY: index_in must not match a null l_partkey
+            dict(p_partkey=None, p_name="nullkey", p_brand="PHANTOM",
+                 p_type="t", p_size=1, p_retailprice=1.0),
+        ])
         extend("supplier", [dict(s_suppkey=999501, s_name=None,
                                  s_nationkey=None, s_acctbal=None)])
         extend("nation", [dict(n_nationkey=9996, n_name=None,
                                n_regionkey=None)])
-        extend("region", [dict(r_regionkey=9997, r_name=None)])
+        extend("region", [
+            dict(r_regionkey=9997, r_name=None),
+            # null region KEY: a null n_regionkey must not join to it
+            dict(r_regionkey=None, r_name="NULLREGION"),
+        ])
 
         con = duckdb.connect()
         for t in ("region nation customer supplier part orders lineitem "
