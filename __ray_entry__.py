@@ -1000,12 +1000,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neardup": """
             WITH base AS (
+              -- SQL-null contract: NULL ids/vectors are dropped by the
+              -- engine's drop_invalid_vector_rows (mirrored here)
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
             ),
             planted AS (
               SELECT vec_id + 10000000 AS vec_id,
                      list_transform(embedding::DOUBLE[], x -> x * 1.5) AS v
-              FROM embeddings WHERE vec_id % 10 = 0
+              FROM embeddings
+              WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+                AND vec_id % 10 = 0
             ),
             allv AS (
               SELECT * FROM base UNION ALL SELECT * FROM planted
@@ -1052,6 +1057,8 @@ def oracle_sql() -> dict[str, str]:
                                     e.embedding::DOUBLE[], q.qv) END, 6)
                        AS score
               FROM embeddings e CROSS JOIN q
+              -- SQL-null contract: engine drops NULL id/vector rows
+              WHERE e.vec_id IS NOT NULL AND e.embedding IS NOT NULL
             ),
             ranked AS (
               SELECT query_id, vec_id, score,

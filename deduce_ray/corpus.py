@@ -191,6 +191,14 @@ def read_repo_table(sf_dir: str, columns: list[str] | None = None):
     return ds
 
 
+def _sql_floormod(expr: str, n: int) -> str:
+    """SQL for Python's floored ``expr % n``: SQL ``%`` truncates toward
+    zero, so a negative doc_id picks a DIFFERENT snippet/repo than the
+    Python decoration (found by the adversarial-sf sweep: doc_id=-1
+    misaligned every downstream KG row)."""
+    return f"((({expr}) % {n} + {n}) % {n})"
+
+
 def sql_content_expr(text_col: str = "text", doc_id_col: str = "doc_id") -> str:
     """DuckDB expression that reconstructs ``content`` exactly."""
     cases = " ".join(
@@ -199,12 +207,13 @@ def sql_content_expr(text_col: str = "text", doc_id_col: str = "doc_id") -> str:
     )
     return (
         f"(coalesce({text_col}, '') || ' ' || "
-        f"(CASE ({doc_id_col} % {len(SNIPPETS)}) {cases} END))"
+        f"(CASE {_sql_floormod(doc_id_col, len(SNIPPETS))} {cases} END))"
     )
 
 
 def sql_repo_expr(doc_id_col: str = "doc_id") -> str:
     return (
-        f"(CASE WHEN {doc_id_col} % 100 < {HOT_REPO_PCT} THEN 'org/monorepo' "
-        f"ELSE 'org/repo-' || lpad(CAST({doc_id_col} % {N_COLD_REPOS} AS VARCHAR), 4, '0') END)"
+        f"(CASE WHEN {_sql_floormod(doc_id_col, 100)} < {HOT_REPO_PCT} "
+        f"THEN 'org/monorepo' ELSE 'org/repo-' || "
+        f"lpad(CAST({_sql_floormod(doc_id_col, N_COLD_REPOS)} AS VARCHAR), 4, '0') END)"
     )

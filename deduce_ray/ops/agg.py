@@ -61,13 +61,29 @@ def grouped_agg(
     if n_shards is None:
         n_shards = merge_shards()
 
+    def _restore_key_dtypes(out: pd.DataFrame, ref: pd.DataFrame):
+        """pandas groupby degrades an all-null OBJECT key column to
+        float64 NaN.  That is wrong twice over: (a) the output should be
+        a typed NULL (None), matching SQL's NULL group, and (b)
+        hash_pandas_object hashes float64-NaN DIFFERENTLY from
+        object-NaN/None, so a null group whose combine block degraded
+        could land on a different shard than one that kept object dtype
+        — splitting one SQL group into two output rows.  Restore the
+        input dtype and represent nulls as real None."""
+        for k in keys:
+            if ref[k].dtype == object and out[k].dtype != object:
+                out[k] = out[k].astype(object)
+            if out[k].dtype == object:
+                out[k] = out[k].where(out[k].notna(), None)
+        return out
+
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         out = {}
         # dropna=False: SQL GROUP BY keeps null-keyed groups and COUNT(*)
         # counts their rows; the pandas default silently drops them
         grouped = df.groupby(keys, as_index=False, sort=True, dropna=False)
         base = grouped.size().rename(columns={"size": "__n"})
-        out = base[keys].copy()
+        out = _restore_key_dtypes(base[keys].copy(), df)
         for out_col, (in_col, kind) in aggs.items():
             if kind == "count":
                 out[out_col] = base["__n"].astype("int64")
@@ -93,7 +109,7 @@ def grouped_agg(
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop(columns=["__shard"])
         grouped = df.groupby(keys, as_index=False, sort=True, dropna=False)
-        out = grouped.size()[keys].copy()
+        out = _restore_key_dtypes(grouped.size()[keys].copy(), df)
         for out_col, (_, kind) in aggs.items():
             pk = _PARTIAL_KIND[kind]
             if pk == "sum":
@@ -198,6 +214,12 @@ def approx_distinct(
         rows = []
         for kv, grp in df.groupby(keys, sort=True, dropna=False):
             key_tuple = kv if isinstance(kv, tuple) else (kv,)
+            # pandas groupby represents a null object key as float NaN;
+            # emit a real None so the Arrow column stays typed and the
+            # output matches SQL's NULL group (not the string 'nan')
+            key_tuple = tuple(
+                None if (x is None or x != x) else x for x in key_tuple
+            )
             merged = np.zeros(m, dtype=np.uint8)
             for blob in grp["registers"]:
                 np.maximum(merged, np.frombuffer(blob, dtype=np.uint8), out=merged)

@@ -479,8 +479,9 @@ def _expand_dup_pairs(
     over mass-duplicated corpora should pass a cap (the stress harness
     uses 8192).
 
-    Requires non-negative ids (the join stages use -1 as their pair-row
-    sentinel, matching embedding_neardup_pairs' convention).
+    Safe for the full signed int64 id range: the join stages carry an
+    explicit ``is_edge`` discriminator column, and the -1 values in the
+    unused member/other slots are plain fills, never tested.
 
     Two physical plans: a DRIVER fast path when the edge list and the
     intra-pair output are both small (the common corpus: a handful of
@@ -1141,17 +1142,6 @@ def minhash_lsh_pairs(
         ids_arr, sig_rows, _ = _minhash_sig_matrix(
             texts, ids_in, k, n_perm, a, b
         )
-        if len(ids_arr) and int(np.min(ids_arr)) < 0:
-            # same fail-fast as embedding_neardup_pairs: the sharded
-            # verify-join fallback tags signature rows with negative
-            # id_a, so a negative input id would be misclassified there
-            # (sig=None request rows -> frombuffer TypeError or silently
-            # dropped pairs) — and only at scale, past the driver path
-            raise ValueError(
-                "minhash_lsh_pairs (signature mode) requires non-negative "
-                "ids: the verify join reserves negative id_a as its "
-                "signature-row tag"
-            )
         return pa.table(
             {
                 "id": pa.array(ids_arr, type=pa.int64()),
@@ -1332,8 +1322,13 @@ def minhash_lsh_pairs(
             )
 
     # verify join, leg 1: requests (one row per pair side) + signatures,
-    # co-sharded on id.  Sentinel -1 instead of nulls: Ray's arrow->pandas
-    # conversion widens nullable int64 to float64 (rounds 63-bit ids).
+    # co-sharded on id.  An explicit int8 ``kind`` column (0 = request,
+    # 1 = signature) discriminates the legs — a negative-id_a sentinel
+    # would misclassify real negative ids (hash-derived doc ids are
+    # signed int64, so half of them ARE negative).  id_a/id_b on the
+    # signature leg are plain -1 FILL values, never tested: Ray's
+    # arrow->pandas conversion widens nullable int64 to float64 (rounds
+    # 63-bit ids), so nulls are not an option.
     def requests(batch: pa.Table) -> pa.Table:
         a_ = batch.column("id_a").to_numpy(zero_copy_only=False).astype(
             np.int64
@@ -1348,6 +1343,9 @@ def minhash_lsh_pairs(
                 "join_id": pa.array(join_id, type=pa.int64()),
                 "id_a": pa.array(np.concatenate([a_, a_]), type=pa.int64()),
                 "id_b": pa.array(np.concatenate([b_, b_]), type=pa.int64()),
+                "kind": pa.array(
+                    np.zeros(2 * len(a_), dtype=np.int8), type=pa.int8()
+                ),
                 "sig": pa.nulls(2 * len(a_), type=pa.binary()),
             }
         )
@@ -1368,6 +1366,7 @@ def minhash_lsh_pairs(
                 "join_id": pa.array(ids_np, type=pa.int64()),
                 "id_a": pa.array(np.full(n, -1), type=pa.int64()),
                 "id_b": pa.array(np.full(n, -1), type=pa.int64()),
+                "kind": pa.array(np.ones(n, dtype=np.int8), type=pa.int8()),
                 "sig": sigs_col,
             }
         )
@@ -1377,10 +1376,10 @@ def minhash_lsh_pairs(
     )
 
     def attach_sigs(df: pd.DataFrame) -> pd.DataFrame:
-        have = df[df["id_a"] < 0][["join_id", "sig"]].drop_duplicates(
+        have = df[df["kind"] == 1][["join_id", "sig"]].drop_duplicates(
             subset=["join_id"]
         )
-        reqs = df[df["id_a"] >= 0][["join_id", "id_a", "id_b"]]
+        reqs = df[df["kind"] == 0][["join_id", "id_a", "id_b"]]
         out = reqs.merge(have, on="join_id")[
             ["id_a", "id_b", "join_id", "sig"]
         ]
@@ -1900,6 +1899,12 @@ def plant_embedding_neardups(
     op value-checkable against a brute-force SQL oracle."""
 
     def augment(batch: pa.Table) -> pa.Table:
+        from deduce_ray.ops.similarity import drop_invalid_vector_rows
+
+        # NULL id/vector rows can't host a planted copy and would crash
+        # the int casts below; drop them here (the downstream neardup op
+        # applies the same SQL-null contract to un-augmented rows)
+        batch = drop_invalid_vector_rows(batch, id_col, vec_col)
         ids = batch.column(id_col).to_pylist()
         vecs = batch.column(vec_col).to_pylist()
         add_ids, add_vecs = [], []
@@ -2044,6 +2049,14 @@ def embedding_neardup_pairs(
         n_tables,
     )
     from deduce_ray.ops.agg import merge_shards
+    from deduce_ray.ops.similarity import drop_invalid_vector_rows
+
+    # SQL-null contract at the op boundary: one fused filter stage covers
+    # the collapse keyer, signature pass and both vector-fetch legs
+    ds_embeddings = ds_embeddings.map_batches(
+        lambda b: drop_invalid_vector_rows(b, id_col, vec_col),
+        batch_format="pyarrow",
+    )
 
     dup_edges = None
     if collapse_exact:
@@ -2062,13 +2075,11 @@ def embedding_neardup_pairs(
         )
         if batch.num_rows == 0:
             return empty
+        batch = drop_invalid_vector_rows(batch, id_col, vec_col)
+        if batch.num_rows == 0:
+            return empty
         vecs = _vec_matrix(batch.column(vec_col))
         ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        if ids.size and int(ids.min()) < 0:
-            raise ValueError(
-                "embedding_neardup_pairs requires non-negative ids: the "
-                "verify join reserves negative id_a as its vector-row tag"
-            )
         out_shard, out_bucket, out_ids = [], [], []
         weights = 1 << np.arange(n_planes)
         all_planes = _lsh_planes(vecs.shape[1], n_planes, n_tables)
@@ -2227,8 +2238,12 @@ def embedding_neardup_pairs(
             )
 
     # verify join, leg 1: requests (one row per pair side) + vectors,
-    # co-sharded on id.  Sentinel -1 instead of nulls: Ray's arrow->pandas
-    # conversion widens nullable int64 to float64 (rounds 63-bit ids).
+    # co-sharded on id.  An explicit int8 ``kind`` column (0 = request,
+    # 1 = vector) discriminates the legs — a negative-id_a sentinel would
+    # misclassify real negative ids (hash-derived ids are signed int64).
+    # id_a/id_b on the vector leg are plain -1 FILL values, never tested:
+    # Ray's arrow->pandas conversion widens nullable int64 to float64
+    # (rounds 63-bit ids), so nulls are not an option.
     def requests(batch: pa.Table) -> pa.Table:
         a = batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -2239,11 +2254,15 @@ def embedding_neardup_pairs(
                 "join_id": pa.array(join_id, type=pa.int64()),
                 "id_a": pa.array(np.concatenate([a, a]), type=pa.int64()),
                 "id_b": pa.array(np.concatenate([b, b]), type=pa.int64()),
+                "kind": pa.array(
+                    np.zeros(2 * len(a), dtype=np.int8), type=pa.int8()
+                ),
                 "vec": pa.nulls(2 * len(a), type=pa.list_(pa.float64())),
             }
         )
 
     def vector_rows(batch: pa.Table) -> pa.Table:
+        batch = drop_invalid_vector_rows(batch, id_col, vec_col)
         ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
         vecs = batch.column(vec_col)
         if touched_ref is not None:
@@ -2260,6 +2279,7 @@ def embedding_neardup_pairs(
                 "join_id": pa.array(ids, type=pa.int64()),
                 "id_a": pa.array(np.full(n, -1), type=pa.int64()),
                 "id_b": pa.array(np.full(n, -1), type=pa.int64()),
+                "kind": pa.array(np.ones(n, dtype=np.int8), type=pa.int8()),
                 "vec": pc.cast(vecs, pa.list_(pa.float64())),
             }
         )
@@ -2269,10 +2289,10 @@ def embedding_neardup_pairs(
     )
 
     def attach_vectors(df: pd.DataFrame) -> pd.DataFrame:
-        have = df[df["id_a"] < 0][["join_id", "vec"]].drop_duplicates(
+        have = df[df["kind"] == 1][["join_id", "vec"]].drop_duplicates(
             subset=["join_id"]
         )
-        reqs = df[df["id_a"] >= 0][["join_id", "id_a", "id_b"]]
+        reqs = df[df["kind"] == 0][["join_id", "id_a", "id_b"]]
         out = reqs.merge(have, on="join_id")[["id_a", "id_b", "join_id", "vec"]]
         out = out.astype({"id_a": "int64", "id_b": "int64", "join_id": "int64"})
         out["pair_shard"] = (

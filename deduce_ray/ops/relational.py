@@ -29,23 +29,29 @@ def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
     # half_towards_infinity = SQL round() for the positive money values in
     # these tables; pyarrow's default half_to_even would diverge from the
     # DuckDB oracles on exact half-cents
-    return pc.cast(
-        pc.round(pc.multiply(col, 100.0), round_mode="half_towards_infinity"),
-        pa.int64(),
-    )
+    try:
+        return pc.cast(
+            pc.round(
+                pc.multiply(col, 100.0), round_mode="half_towards_infinity"
+            ),
+            pa.int64(),
+        )
+    except pa.ArrowInvalid as exc:
+        # loud, actionable contract error instead of a bare truncation
+        # message: DuckDB's CAST(... AS BIGINT) fails on the same rows,
+        # so both sides refuse rather than silently summing wrong
+        raise ValueError(
+            "money value outside the integer-cents contract "
+            "(|value| <= ~9.2e16, and not NaN/Inf): exact integer-cents "
+            f"aggregation cannot represent it in int64 [{exc}]"
+        ) from exc
 
 
 def _one_minus_disc_cents(discount_col) -> pa.ChunkedArray:
     """round((1 - discount) * 100) as int64 — the discount side of the
     integer-cents revenue product, shared by pricing_summary and the
     bucketed join so the rounding mode can never drift between them."""
-    return pc.cast(
-        pc.round(
-            pc.multiply(pc.subtract(1.0, discount_col), 100.0),
-            round_mode="half_towards_infinity",
-        ),
-        pa.int64(),
-    )
+    return _cents(pc.subtract(1.0, discount_col))
 
 
 def pricing_summary(sf_dir: str):
@@ -493,7 +499,10 @@ def bucketed_join_revenue(sf_dir: str, n_buckets: int = 32):
 
     def tag_orders(batch: pa.Table) -> pa.Table:
         # SQL inner join never matches NULL keys, but pandas merge pairs
-        # NaN with NaN — drop them before bucketing (both sides)
+        # NaN with NaN — drop them before bucketing (both sides).  An
+        # explicit ``side`` column discriminates dim vs fact rows: keying
+        # on disc_units nullability would misclassify a fact whose
+        # measure is legitimately NULL (SQL joins it, sums it as NULL)
         batch = batch.filter(pc.is_valid(batch.column("o_orderkey")))
         keys = batch.column("o_orderkey")
         return pa.table(
@@ -502,6 +511,9 @@ def bucketed_join_revenue(sf_dir: str, n_buckets: int = 32):
                     pc.bit_wise_and(keys, n_buckets - 1), pa.int32()
                 ),
                 "key": keys,
+                "side": pa.array(
+                    np.zeros(batch.num_rows, dtype=np.int8), type=pa.int8()
+                ),
                 "o_orderpriority": batch.column("o_orderpriority"),
                 "disc_units": pa.nulls(batch.num_rows, type=pa.int64()),
             }
@@ -518,6 +530,9 @@ def bucketed_join_revenue(sf_dir: str, n_buckets: int = 32):
                     pc.bit_wise_and(keys, n_buckets - 1), pa.int32()
                 ),
                 "key": keys,
+                "side": pa.array(
+                    np.ones(batch.num_rows, dtype=np.int8), type=pa.int8()
+                ),
                 "o_orderpriority": pa.nulls(batch.num_rows, type=pa.string()),
                 "disc_units": pc.multiply(ext_cents, disc_cents),
             }
@@ -528,12 +543,17 @@ def bucketed_join_revenue(sf_dir: str, n_buckets: int = 32):
     )
 
     def join_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        dims = df[df["disc_units"].isna()][["key", "o_orderpriority"]]
-        facts = df[df["disc_units"].notna()][["key", "disc_units"]]
+        dims = df[df["side"] == 0][["key", "o_orderpriority"]]
+        facts = df[df["side"] == 1][["key", "disc_units"]]
         joined = facts.merge(dims, on="key", how="inner")
+        # dropna=False keeps the NULL-priority group (SQL GROUP BY does);
+        # min_count=1 makes an all-NULL measure group sum to NULL, not 0
         return (
-            joined.groupby("o_orderpriority", as_index=False)
-            .agg(disc_units=("disc_units", "sum"), n_items=("key", "count"))
+            joined.groupby("o_orderpriority", as_index=False, dropna=False)
+            .agg(
+                disc_units=("disc_units", lambda s: s.sum(min_count=1)),
+                n_items=("key", "count"),
+            )
         )
 
     per_bucket = both.groupby("bucket").map_groups(
@@ -541,12 +561,16 @@ def bucketed_join_revenue(sf_dir: str, n_buckets: int = 32):
     )
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("o_orderpriority", as_index=False).agg(
-            disc_units=("disc_units", "sum"), n_items=("n_items", "sum")
+        out = df.groupby("o_orderpriority", as_index=False, dropna=False).agg(
+            disc_units=("disc_units", lambda s: s.sum(min_count=1)),
+            n_items=("n_items", "sum"),
         )
+        pri = out["o_orderpriority"].astype(object)
         return pd.DataFrame(
             {
-                "o_orderpriority": out["o_orderpriority"],
+                # None, not pandas' NaN, for the null group key (typed
+                # NULL after Arrow conversion, matching the SQL output)
+                "o_orderpriority": pri.where(pri.notna(), None),
                 "revenue": out["disc_units"] / 10000.0,
                 "n_items": out["n_items"].astype("int64"),
             }

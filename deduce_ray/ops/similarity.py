@@ -49,6 +49,37 @@ def _as_matrix(column) -> np.ndarray:
     return np.asarray(column.to_pylist(), dtype=np.float64)
 
 
+def drop_invalid_vector_rows(
+    batch: pa.Table, id_col: str, vec_col: str
+) -> pa.Table:
+    """Drop rows whose id or vector is NULL — the SQL-null contract for
+    every vector op (a NULL embedding can't score, a NULL id can't label
+    a neighbor; DuckDB oracles carry the matching ``WHERE ... IS NOT
+    NULL``).  Vectorized validity test, zero-copy when nothing is
+    dropped; dropped counts are logged (no silent caps).  Found by the
+    adversarial-sf sweep: a single NULL embedding row crashed every ANN
+    path at the np.stack, and a NULL vec_id crashed the shard keyer."""
+    import pyarrow.compute as pc
+
+    ids = batch.column(id_col)
+    vecs = batch.column(vec_col)
+    if ids.null_count == 0 and vecs.null_count == 0:
+        return batch
+    keep = pc.and_(pc.is_valid(ids), pc.is_valid(vecs))
+    dropped = batch.num_rows - pc.sum(pc.cast(keep, pa.int64())).as_py()
+    if dropped:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "dropping %d row(s) with NULL %s or NULL %s (SQL-null "
+            "contract for vector ops)",
+            dropped,
+            id_col,
+            vec_col,
+        )
+    return batch.filter(keep)
+
+
 @functools.lru_cache(maxsize=8)
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     """Deterministic (dim, n_planes) hyperplane matrix, cached per worker
@@ -113,6 +144,9 @@ def _ann_scan(
                 "score": pa.array([], type=pa.float64()),
             }
         )
+        if batch.num_rows == 0:
+            return empty
+        batch = drop_invalid_vector_rows(batch, id_col, vec_col)
         if batch.num_rows == 0:
             return empty
         q, probes = ray.get(state_ref)
@@ -202,7 +236,12 @@ def _train_quantizer(
     ``train_size`` rows, then deterministic spherical k-means.  Must stay
     the SINGLE implementation so both paths quantize identically."""
     sample = ds_embeddings.limit(train_size).take_all()
-    train = np.asarray([r[vec_col] for r in sample], dtype=np.float64)
+    # NULL-vector rows can't train the quantizer (SQL-null contract,
+    # same as drop_invalid_vector_rows on the scan side)
+    train = np.asarray(
+        [r[vec_col] for r in sample if r[vec_col] is not None],
+        dtype=np.float64,
+    )
     return kmeans_centroids(train, n_lists)
 
 
@@ -313,6 +352,7 @@ def ivf_build(
     n_lists: int = 16,
     train_size: int = 2048,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> None:
     """Build a PARTITIONED IVF index: train a coarse spherical-k-means
     quantizer, assign every vector a ``list_id``, and write the corpus as
@@ -337,6 +377,7 @@ def ivf_build(
     cents_ref = ray.put(cents)
 
     def assign(batch: pa.Table) -> pa.Table:
+        batch = drop_invalid_vector_rows(batch, id_col, vec_col)
         if batch.num_rows == 0:
             return batch.append_column("list_id", pa.array([], type=pa.int32()))
         mat = _unit_rows(_as_matrix(batch.column(vec_col)))

@@ -683,10 +683,14 @@ def media_features_sql(dim: int = 32) -> str:
     """
     return f"""
         WITH dims AS (
+          -- floored modulo for w/h: SQL % truncates toward zero, so a
+          -- negative doc_id would get w,h <= 0 and silently vanish from
+          -- the generate_series join (the doc_id % 3 = 0 audio test is
+          -- a zero-test, where both conventions agree)
           SELECT doc_id AS i,
                  CASE WHEN doc_id % 3 = 0 THEN 'audio' ELSE 'image' END AS kind,
-                 16 + (doc_id % 8) * 16 AS w,
-                 16 + (doc_id % 5) * 16 AS h,
+                 16 + ((doc_id % 8 + 8) % 8) * 16 AS w,
+                 16 + ((doc_id % 5 + 5) % 5) * 16 AS h,
                  sha256('media:' || CAST(doc_id AS VARCHAR)) AS hx
           FROM documents
         ),

@@ -39,11 +39,27 @@ def to_pandas(result) -> pd.DataFrame:
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for col in df.columns:
-        if df[col].dtype == object:
+        dtype = df[col].dtype
+        # pandas extension dtypes (nullable Int64/Float64 from duckdb.df()
+        # or a pandas-side groupby) crash np.issubdtype — normalize them to
+        # the same numpy dtypes the clean path produces: int64 when no
+        # nulls, float64+NaN otherwise (the repo-wide null contract)
+        if isinstance(dtype, pd.api.extensions.ExtensionDtype):
+            if pd.api.types.is_integer_dtype(dtype):
+                target = "int64" if not df[col].isna().any() else "float64"
+                df[col] = df[col].astype(target)
+            elif pd.api.types.is_float_dtype(dtype):
+                df[col] = df[col].astype("float64")
+            elif pd.api.types.is_bool_dtype(dtype):
+                df[col] = df[col].astype(object).astype(str)
+            else:
+                df[col] = df[col].astype(str)
+            dtype = df[col].dtype
+        if dtype == object:
             df[col] = df[col].astype(str)
-        elif np.issubdtype(df[col].dtype, np.floating):
+        elif np.issubdtype(dtype, np.floating):
             df[col] = df[col].round(9)
-        elif np.issubdtype(df[col].dtype, np.integer):
+        elif np.issubdtype(dtype, np.integer):
             df[col] = df[col].astype("int64")
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
@@ -95,7 +111,12 @@ def main() -> int:
             failures.append(name)
             continue
 
-        a, b = canon(mine), canon(oracle)
+        try:
+            a, b = canon(mine), canon(oracle)
+        except Exception as exc:  # noqa: BLE001
+            print(f"{name}: CANON ERROR {type(exc).__name__}: {exc}")
+            failures.append(name)
+            continue
         status = []
         if len(a) != len(b):
             status.append(f"ROWS {len(a)} vs {len(b)}")

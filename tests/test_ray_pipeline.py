@@ -664,8 +664,11 @@ class TestDedupOps:
         assert (1, 2) in pairs, "near-dup pair lost after id duplication"
         assert all(a != b for a, b in pairs), f"self pairs emitted: {pairs}"
 
-    def test_signature_mode_rejects_negative_ids(self, ray_session):
-        import pytest as _pytest
+    def test_signature_mode_accepts_negative_ids(self, ray_session):
+        """Negative ids are fully supported (hash-derived doc ids are
+        signed int64): the verify join discriminates its legs with an
+        explicit ``kind`` column, not a negative-id_a sentinel.  The
+        bijection equivalence is pinned in test_adversarial_sf."""
         import ray.data
 
         from deduce_ray.ops.dedup import minhash_lsh_pairs
@@ -676,12 +679,12 @@ class TestDedupOps:
                 {"doc_id": 2, "text": "alpha beta gamma delta"},
             ]
         )
-        # Ray wraps the worker-side ValueError in RayTaskError; match on
-        # the message rather than the (dynamically wrapped) type
-        with _pytest.raises(Exception, match="non-negative"):
-            minhash_lsh_pairs(
-                ds, threshold=0.5, verify="signature", collapse_exact=False
-            ).take_all()
+        out = minhash_lsh_pairs(
+            ds, threshold=0.5, verify="signature", collapse_exact=False
+        ).to_pandas()
+        assert out["id_a"].tolist() == [-1]
+        assert out["id_b"].tolist() == [2]
+        assert out["jaccard"].tolist() == [1.0]
 
     def test_minhash_skips_empty_docs(self, ray_session):
         """Shingle-less docs share the zero signature; they must not pair
