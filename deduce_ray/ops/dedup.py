@@ -1003,9 +1003,9 @@ def minhash_lsh_pairs(
       common case) or once per pair side (sharded join fallback) — never
       once per band row.  The check thresholds on the signature-agreement
       estimate of Jaccard (|sig_a == sig_b| / n_perm, unbiased,
-      resolution 1/n_perm).  Ids must be NON-NEGATIVE int64 (the join
-      fallback tags signature rows with an id_a = -1 sentinel, the same
-      contract as embedding_neardup_pairs).
+      resolution 1/n_perm).  Safe for the full signed int64 id range:
+      the join fallback discriminates its legs with an explicit ``kind``
+      column (same convention as embedding_neardup_pairs).
     - ``"exact"`` (validation mode for small sf): shingle sets ride the
       bucket shuffle and the check computes exact Jaccard.  Payload is
       O(doc length) and multiplied by ``bands`` in the exchange — do not
@@ -1456,11 +1456,10 @@ def neardup_clusters(
 ):
     """Cluster near-duplicate pairs into components.
 
-    Contract: node ids must be NON-NEGATIVE int64 (the 63-bit md5
-    convention used throughout) — the distributed path reserves id -1 as
-    its witness-marker sentinel, so a real -1 node would contaminate the
-    convergence witness.  The driver union-find path has no such
-    restriction.
+    Safe for the full signed int64 id range on BOTH paths: the
+    distributed rounds discriminate witness-marker rows by ``w != 0``
+    (edges always carry w = 0; every marker's w is positive), so a real
+    node id of -1 is just another node.
 
     The upstream LSH pipeline is executed ONCE: ``pairs_ds`` is materialized
     before the size check, so the count and the subsequent passes read the
@@ -1643,9 +1642,14 @@ def neardup_clusters(
 
     def _witness_of(ds) -> tuple[int, int]:
         # marker rows are one per non-empty shard (<= n_shards); exact
-        # Python-int sums of both families on the driver
+        # Python-int sums of both families on the driver.  Discriminate
+        # by w != 0 (edges always carry w = 0; a marker's w is >=
+        # _WCOUNT_P > 0 since every marker summarizes >= 1 edge) — NOT
+        # by u == -1, which a real node id can legitimately equal now
+        # that negative ids are supported end-to-end; -1 in a marker's
+        # u is a plain fill value
         rows = ds.map_batches(
-            lambda t: t.filter(pc.equal(t.column("u"), -1)).select(
+            lambda t: t.filter(pc.not_equal(t.column("w"), 0)).select(
                 ["v", "w"]
             ),
             batch_format="pyarrow",
@@ -2029,11 +2033,12 @@ def embedding_neardup_pairs(
     Exchange bytes per vector are independent of ``n_tables``; the logged
     estimate makes the trade auditable.
 
-    Contract: ids must be NON-NEGATIVE int64 — the verify join tags
-    vector rows with an id_a = -1 sentinel (Ray's arrow->pandas widens
-    nullable int64 to float64, so nulls are unusable), and a negative
-    real id would be misclassified as a vector row and silently lose its
-    pairs.  Enforced per batch in the signature pass.
+    Safe for the full signed int64 id range: the verify join carries an
+    explicit ``kind`` column (Ray's arrow->pandas widens nullable int64
+    to float64, so null-tagging is unusable and value sentinels would
+    collide with real negative ids).  Rows with a NULL id or NULL vector
+    are dropped at entry per the SQL-null contract
+    (drop_invalid_vector_rows, logged).
     """
     import logging
 

@@ -152,6 +152,42 @@ class TestNegativeIds:
         pd.testing.assert_frame_equal(shifted, b)
 
 
+class TestNegativeIdClusters:
+    def test_distributed_star_path_with_minus_one_node(self, ray_session):
+        """A real node id of -1 must not be mistaken for the witness
+        marker (markers are now discriminated by w != 0): distributed
+        star rounds and the driver union-find must agree."""
+        import ray.data
+
+        from deduce_ray.ops.dedup import neardup_clusters
+
+        pairs = pa.table(
+            {
+                "id_a": pa.array([-1, -1, 5, -7], type=pa.int64()),
+                "id_b": pa.array([3, 5, 9, -3], type=pa.int64()),
+                "jaccard": pa.array([1.0, 1.0, 1.0, 1.0]),
+            }
+        )
+
+        def run(driver_threshold):
+            out = neardup_clusters(
+                ray.data.from_arrow(pairs), driver_threshold=driver_threshold
+            ).to_pandas()
+            return out.sort_values(["cluster_id", "doc_id"]).reset_index(
+                drop=True
+            )
+
+        driver = run(1_000_000)
+        distributed = run(0)
+        pd.testing.assert_frame_equal(driver, distributed)
+        # {-1,3,5,9} and {-7,-3}, keyed by component minimum
+        got = {
+            cid: set(g["doc_id"])
+            for cid, g in distributed.groupby("cluster_id")
+        }
+        assert got == {-7: {-7, -3}, -1: {-1, 3, 5, 9}}
+
+
 class TestNullVectorRows:
     def test_drop_invalid_vector_rows(self):
         from deduce_ray.ops.similarity import drop_invalid_vector_rows
