@@ -46,7 +46,25 @@ def _as_matrix(column) -> np.ndarray:
                 )
     except (AttributeError, pa.ArrowInvalid):
         pass
-    return np.asarray(column.to_pylist(), dtype=np.float64)
+    try:
+        return np.asarray(column.to_pylist(), dtype=np.float64)
+    except (ValueError, TypeError) as exc:
+        # actionable contract error instead of numpy's bare
+        # "inhomogeneous shape" message: name WHICH widths break the
+        # fixed-dimension embedding contract.  (NULL whole-row
+        # embeddings never reach here — ingestion points filter them
+        # via drop_invalid_vector_rows; NULL elements INSIDE a list
+        # become NaN components on both the zero-copy and fallback
+        # paths and propagate per IEEE, ranking that row last / never
+        # pairing it.)
+        widths = sorted(
+            {len(v) for v in column.to_pylist() if v is not None}
+        )
+        raise ValueError(
+            "embedding column violates the fixed-dimension contract: "
+            f"all rows must share one width (widths found: "
+            f"{widths[:10]}) [{exc}]"
+        ) from exc
 
 
 def drop_invalid_vector_rows(

@@ -278,6 +278,46 @@ class TestNullVectorRows:
         pd.testing.assert_frame_equal(a, b)
 
 
+class TestShapeBreakerContracts:
+    """Tier-2 probes (make_adversarial_sf --shape-breakers): ragged
+    vector widths raise an actionable contract error; NULL elements
+    inside a list become NaN components and propagate per IEEE."""
+
+    def test_ragged_widths_raise_actionable(self):
+        from deduce_ray.ops.similarity import _as_matrix
+
+        col = pa.array(
+            [[1.0, 2.0], [1.0, 2.0, 3.0]], type=pa.list_(pa.float64())
+        )
+        with pytest.raises(ValueError, match="fixed-dimension"):
+            _as_matrix(col)
+
+    def test_null_element_becomes_nan_and_ranks_last(self, ray_session):
+        import ray.data
+
+        from deduce_ray.ops.similarity import brute_force_topk
+
+        tbl = pa.table(
+            {
+                "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, 0.0], [0.9, None], [0.0, 1.0]],
+                    type=pa.list_(pa.float64()),
+                ),
+            }
+        )
+        out = (
+            brute_force_topk(
+                ray.data.from_arrow(tbl), np.asarray([[1.0, 0.0]]), k=3
+            )
+            .to_pandas()
+            .sort_values("rank")
+        )
+        # the NaN-component row scores NaN and sorts last
+        assert out["vec_id"].tolist() == [0, 2, 1]
+        assert np.isnan(out["score"].iloc[-1])
+
+
 class TestGroupedAggNullKeys:
     def test_null_string_key_single_none_row(self, ray_session):
         import ray.data
