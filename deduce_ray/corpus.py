@@ -71,6 +71,17 @@ def decorate_batch(batch):
     """
     import pyarrow as pa
 
+    if batch.column("doc_id").null_count:
+        # loud contract error, not a cryptic `None % int` from deep in
+        # repo_for_doc_id: every decoration column derives from doc_id,
+        # so a null id has no well-defined repo/path/commit/content.
+        # (Corpora read through deduce_ray.sources never hit this —
+        # their ids are hashed from per-row identity and non-null.)
+        raise ValueError(
+            f"{batch.column('doc_id').null_count} document row(s) have a "
+            "null doc_id; the repo-table decoration requires non-null "
+            "int64 ids (drop or assign ids upstream)"
+        )
     doc_ids = batch.column("doc_id").to_pylist()
     texts = batch.column("text").to_pylist()
     langs = batch.column("lang").to_pylist()

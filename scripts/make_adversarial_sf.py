@@ -27,6 +27,7 @@ elements, duplicate doc_ids for the pair-emitting dedup ops) are tier
 than silent-divergence hunts.
 
 Usage: python scripts/make_adversarial_sf.py [out_dir] [--shape-breakers]
+           [--base /root/testdata/sf0.01]
 Then:  python scripts/check_oracles.py <out_dir>
 
 Deterministic: no RNG at all — every injected row is a literal.
@@ -62,10 +63,10 @@ def _append(table: pa.Table, rows: list[dict]) -> pa.Table:
     return pa.concat_tables([table, extra])
 
 
-def build(out_dir: str, shape_breakers: bool = False) -> None:
+def build(out_dir: str, shape_breakers: bool = False, base: str = BASE) -> None:
     os.makedirs(out_dir, exist_ok=True)
     t = {
-        name: pq.read_table(f"{BASE}/{name}.parquet")
+        name: pq.read_table(f"{base}/{name}.parquet")
         for name in ["region", "nation", "customer", "supplier", "part",
                      "orders", "lineitem", "events", "documents",
                      "embeddings"]
@@ -237,6 +238,12 @@ def build(out_dir: str, shape_breakers: bool = False) -> None:
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    base = BASE
+    if "--base" in argv:
+        i = argv.index("--base")
+        base = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith("--")]
     out = args[0] if args else "/tmp/adversarial_sf"
-    build(out, shape_breakers="--shape-breakers" in sys.argv)
+    build(out, shape_breakers="--shape-breakers" in argv, base=base)

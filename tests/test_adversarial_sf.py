@@ -395,6 +395,21 @@ class TestMoneyContract:
         assert out == [9000000000000000, None, -9000000000000000, 1]
 
 
+class TestNullDocIdContract:
+    def test_decoration_refuses_null_doc_id(self):
+        from deduce_ray.corpus import decorate_batch
+
+        batch = pa.table(
+            {
+                "doc_id": pa.array([1, None], type=pa.int64()),
+                "text": pa.array(["a", "b"]),
+                "lang": pa.array(["en", "en"]),
+            }
+        )
+        with pytest.raises(ValueError, match="null doc_id"):
+            decorate_batch(batch)
+
+
 class TestFlooredModuloSQL:
     def test_decoration_matches_python_for_negative_ids(self):
         import duckdb
