@@ -45,12 +45,15 @@ embarrassingly-parallel ``map_batches`` pass.
 from __future__ import annotations
 
 import hashlib
+import logging
 import math
 
 import numpy as np
 import pyarrow as pa
 
 from deduce_ray.ops.textstats import split_words
+
+logger = logging.getLogger(__name__)
 
 _KIND_UNIGRAM = 1
 _KIND_BIGRAM = 2
@@ -161,23 +164,34 @@ def build_model(counts_ds, driver_max_rows: int = 10_000_000) -> dict:
 
 # per-worker-process model cache: the scoring tasks receive an ObjectRef
 # and materialize the dict once per worker, not once per batch (the same
-# pattern as the annotate stage's lexicon cache).  Capacity 2 (current +
-# previous job's model) with oldest-first eviction: the sizing guidance
-# is "one model fits worker heap", so holding many heap-sized dicts
-# would defeat it.
-_MODEL_CACHE: dict[str, dict] = {}
+# pattern as the annotate stage's lexicon cache).  Capacity 2 PER FAMILY
+# (current + previous job's object) with oldest-first eviction: the
+# sizing guidance is "one model fits worker heap", so holding many
+# heap-sized dicts would defeat it.  Families ("lm", "vocab", ...) get
+# independent caches so a worker interleaving an LM model with TF-IDF
+# vocabularies does not evict on every alternation and silently degrade
+# to one ray.get per batch.
+_MODEL_CACHE: dict[str, dict[str, dict]] = {}
 
 
-def _resolve_model(model) -> dict:
+def _resolve_model(model, family: str = "lm") -> dict:
     import ray
 
     if isinstance(model, ray.ObjectRef):
+        cache = _MODEL_CACHE.setdefault(family, {})
         key = model.hex()
-        cached = _MODEL_CACHE.get(key)
+        cached = cache.get(key)
         if cached is None:
-            while len(_MODEL_CACHE) >= 2:
-                _MODEL_CACHE.pop(next(iter(_MODEL_CACHE)))
-            cached = _MODEL_CACHE[key] = ray.get(model)
+            while len(cache) >= 2:
+                evicted = next(iter(cache))
+                cache.pop(evicted)
+                logger.debug(
+                    "model cache [%s]: evicting %s to admit %s "
+                    "(capacity 2; thrash here means >2 live broadcast "
+                    "objects in this family)",
+                    family, evicted[:12], key[:12],
+                )
+            cached = cache[key] = ray.get(model)
         return cached
     return model
 

@@ -713,9 +713,14 @@ def events_props_stats(sf_dir: str):
         # exact per-row json.loads path instead of a lossy regex guess.
         props = batch.column("props")
         # <= 18 digits so the int64 cast cannot overflow; longer ints
-        # fall through to the json path, which range-checks explicitly
+        # fall through to the json path, which range-checks explicitly.
+        # The group follows the JSON number grammar (no leading zeros):
+        # '{"k": 007}' is invalid JSON, so it must fall through to
+        # json.loads and land in the -1 bucket exactly like the
+        # json_valid-guarded SQL oracle — a bare \d{1,18} would
+        # silently accept it as 7.
         ex = pc.extract_regex(
-            props, pattern=r'^\{"k": (?P<k>-?\d{1,18})\}$'
+            props, pattern=r'^\{"k": (?P<k>-?(?:0|[1-9]\d{0,17}))\}$'
         )
         k_str = pc.struct_field(ex, "k")
         # fill misses with "0" BEFORE the cast so the numpy array stays

@@ -141,7 +141,7 @@ def tfidf_terms(
     vocab_ref = vocab if isinstance(vocab, ray.ObjectRef) else ray.put(vocab)
 
     def score(batch: pa.Table) -> pa.Table:
-        terms = _resolve_model(vocab_ref)["terms"]
+        terms = _resolve_model(vocab_ref, family="vocab")["terms"]
         ids = batch.column(id_col)
         texts = batch.column(text_col).to_pylist()
         out_ids, out_terms, out_w = [], [], []
@@ -196,7 +196,7 @@ def tfidf_dense(
     vocab_ref = vocab if isinstance(vocab, ray.ObjectRef) else ray.put(vocab)
 
     def score(batch: pa.Table) -> pa.Table:
-        terms = _resolve_model(vocab_ref)["terms"]
+        terms = _resolve_model(vocab_ref, family="vocab")["terms"]
         d = len(terms)
         ids = batch.column(id_col)
         texts = batch.column(text_col).to_pylist()

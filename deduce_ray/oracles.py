@@ -85,8 +85,14 @@ def _mentions_cte(source: str = "documents") -> str:
     """
     content = sql_content_expr()
     repo = sql_repo_expr()
+    # MATERIALIZED: rk = row_number() OVER () has no ORDER BY, and this
+    # CTE is referenced from several UNION branches.  DuckDB 1.0 inlines
+    # plain CTEs, so each branch would evaluate its own window over an
+    # unordered parallel scan — content-per-rk could then disagree across
+    # branches (the 'locatie' numbering joins postbus + postal on rk).
+    # Materializing computes rk exactly once.
     return f"""
-        docs AS (
+        docs AS MATERIALIZED (
           SELECT lower(sha256({content})) AS doc_id,
                  row_number() OVER () AS rk,
                  {repo} AS repo, lang,

@@ -163,6 +163,10 @@ def build(out_dir: str, shape_breakers: bool = False, base: str = BASE) -> None:
          "value": -1e9, "props": "not json at all"},
         {"event_id": 900004, "ts": 1, "user_id": 7, "event_type": U_TURKISH,
          "value": 0.0, "props": "{}"},
+        # leading-zero integer = INVALID JSON: must land in the -1
+        # bucket on both sides, not fast-path to 7 (round-5 advice pin)
+        {"event_id": 900005, "ts": 2, "user_id": 7, "event_type": "view",
+         "value": 1.0, "props": '{"k": 007}'},
     ])
 
     long_doc = ("lorem ipsum dolor sit amet " * 200).strip()  # 5.4k chars

@@ -146,6 +146,13 @@ class TestNullInjectedRelational:
             # int beyond int64 (both sides: the -1 fallback bucket)
             dict(event_id=999304, ts=TS, user_id=7, event_type="weird",
                  value=None, props='{"k": 99999999999999999999}'),
+            # leading-zero integer: INVALID JSON per the grammar, so the
+            # fast-path regex must NOT accept it as 7 — both sides map
+            # it to the -1 fallback bucket (round-5 advice pin)
+            dict(event_id=999305, ts=TS, user_id=7, event_type="weird",
+                 value=2.0, props='{"k": 007}'),
+            dict(event_id=999306, ts=TS, user_id=7, event_type="weird",
+                 value=2.0, props='{"k": -007}'),
         ])
         extend("part", [
             dict(p_partkey=999401, p_name=None, p_brand=None,
