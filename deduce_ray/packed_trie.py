@@ -384,9 +384,12 @@ class MultiPackedTrie:
                 fi = firsts.index(tok)
                 cached = mask_row(fi) if fi >= 0 else miss
                 memo[tok] = cached
-            union_mask, trie_masks = cached
-            if union_mask == 0:
+            # misses (the overwhelming majority of tokens) short-circuit
+            # on the tuple's truthiness-equivalent first element without
+            # paying the unpack
+            if cached[0] == 0:
                 continue
+            union_mask, trie_masks = cached
             pending = [t for t in range(n_tries) if trie_masks[t]]
             length = union_mask.bit_length()
             while length > 0 and pending:

@@ -82,7 +82,8 @@ class TokenList:
     """Indexable token sequence with a lazily-built inverted index used to
     prefilter candidate start tokens for lookup annotators."""
 
-    __slots__ = ("_tokens", "_word_index_cache", "_texts", "_encoded", "_encoded_lower")
+    __slots__ = ("_tokens", "_word_index_cache", "_texts", "_encoded",
+                 "_encoded_lower", "_lowered", "_text_set")
 
     def __init__(self, tokens: list[Token]) -> None:
         self._tokens = tokens
@@ -90,6 +91,8 @@ class TokenList:
         self._texts: list[str] | None = None
         self._encoded: list[bytes] | None = None
         self._encoded_lower: list[bytes] | None = None
+        self._lowered: list[str] | None = None
+        self._text_set: set[str] | None = None
 
     def __len__(self) -> int:
         return len(self._tokens)
@@ -114,9 +117,25 @@ class TokenList:
             self._encoded = list(map(str.encode, self.texts()))
         return self._encoded
 
+    def text_set(self) -> set[str]:
+        """Distinct raw token texts, built once (C-level) and shared by
+        every no-pipeline start-set intersection."""
+        if self._text_set is None:
+            self._text_set = set(self.texts())
+        return self._text_set
+
+    def lowered(self) -> list[str]:
+        """Lowercased token texts, computed once (C-level map) and shared
+        by encoded_lower and the Lowercase word index — each previously
+        lowered every token independently (2x str.lower per token per
+        doc on the profile)."""
+        if self._lowered is None:
+            self._lowered = list(map(str.lower, self.texts()))
+        return self._lowered
+
     def encoded_lower(self) -> list[bytes]:
         if self._encoded_lower is None:
-            self._encoded_lower = [t.lower().encode() for t in self.texts()]
+            self._encoded_lower = list(map(str.encode, self.lowered()))
         return self._encoded_lower
 
     def _word_index(self, pipeline_key: tuple, pipeline: Sequence) -> dict:
@@ -135,8 +154,8 @@ class TokenList:
                 for tok in self._tokens:
                     index[tok.text].append(tok)
             elif len(pipeline) == 1 and type(pipeline[0]) is Lowercase:
-                for tok in self._tokens:
-                    index[tok.text.lower()].append(tok)
+                for low, tok in zip(self.lowered(), self._tokens):
+                    index[low].append(tok)
             else:
                 for tok in self._tokens:
                     text = apply_pipeline(tok.text, pipeline)
@@ -189,7 +208,18 @@ class TokenList:
         memo_key = ("get_words", key)
         words = self._word_index_cache.get(memo_key)
         if words is None:
-            words = set(self._word_index(key, pipeline or ()))
+            if (
+                pipeline is not None
+                and len(pipeline) == 1
+                and type(pipeline[0]) is Lowercase
+            ):
+                # the word SET is all get_words callers need; building it
+                # straight from the lowered text list (one C-level set())
+                # skips materializing the token-valued Lowercase index,
+                # which has no other consumer on the gated-regexp path
+                words = set(self.lowered())
+            else:
+                words = set(self._word_index(key, pipeline or ()))
             self._word_index_cache[memo_key] = words
         return words
 
@@ -214,15 +244,20 @@ class TokenList:
             return cached[1]
         hits: list[Token]
         if not matching_pipeline:
-            # raw-text lookups (all six name-pattern start sets) scan the
-            # token texts directly: one set probe per token is cheaper
-            # than building the full raw word index, which would have no
-            # other consumer (get_words' only caller asks Lowercase)
-            hits = [
-                tok
-                for text, tok in zip(self.texts(), self._tokens)
-                if text in lookup_values
-            ]
+            # raw-text lookups (all six name-pattern start sets): one
+            # C-level set intersection decides emptiness first — most
+            # documents contain no start word, so the Python scan is
+            # skipped entirely; when some ARE present, scanning against
+            # the (tiny) intersection beats probing the full lookup set
+            present = self.text_set().intersection(lookup_values)
+            if not present:
+                hits = []
+            else:
+                hits = [
+                    tok
+                    for text, tok in zip(self.texts(), self._tokens)
+                    if text in present
+                ]
         else:
             index = self._word_index(pipeline_key, matching_pipeline)
             hits = []
@@ -271,7 +306,14 @@ class WordTokenizer:
             x_append(t)
             t_append(Token(t, s, e))
 
-        if self._merge_trie is not None and raw:
+        # isdisjoint is one C-level pass; most documents contain no merge
+        # start word at all, so the Python _merge loop (and its full
+        # list rebuild) is skipped for them
+        if (
+            self._merge_trie is not None
+            and raw
+            and not self._merge_start_words.isdisjoint(texts)
+        ):
             raw, texts = self._merge(text, raw, texts)
 
         for i, tok in enumerate(raw):
