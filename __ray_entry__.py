@@ -266,6 +266,20 @@ def _q_doc_tfidf(sf_dir: str):
     )
 
 
+def _q_doc_embed(sf_dir: str):
+    """Model-based document embeddings (actor-pool hashing encoder,
+    ops/embed.py) in long format — every weight recomputed from md5 by
+    the DuckDB oracle, value-checking the full encode path."""
+    from deduce_ray.ops.embed import embed_terms
+
+    return embed_terms(
+        read_parquet_sliced(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        dim=32,
+    )
+
+
 def _q_doc_repetition(sf_dir: str):
     from deduce_ray.ops.textstats import repetition_batch
 
@@ -783,6 +797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_counts": _q_doc_token_counts,
         "doc_quality": _q_doc_quality,
         "doc_tfidf": _q_doc_tfidf,
+        "doc_embed": _q_doc_embed,
         "doc_shingle_fingerprints": _q_doc_shingle_fingerprints,
         "doc_langid": _q_doc_langid,
         "top_terms": _q_top_terms,
@@ -880,6 +895,7 @@ def _mention_oracle(pattern: str) -> str:
 def oracle_sql() -> dict[str, str]:
     from deduce_ray import oracles
     from deduce_ray.ops import relational as rel
+    from deduce_ray.ops.embed import embed_sql
 
     words = oracles.WORD_CLASS_SQL  # single word-class definition, mirrored
     oracles_by_query = {
@@ -991,6 +1007,7 @@ def oracle_sql() -> dict[str, str]:
             FROM counted
         """,
         "doc_tfidf": oracles.tfidf_sql(vocab_size=64),
+        "doc_embed": embed_sql(dim=32),
         "exact_dedup": """
             SELECT md5(coalesce(text, '')) AS content_hash,
                    MIN(doc_id) AS keep_id,

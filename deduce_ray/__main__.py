@@ -379,6 +379,8 @@ def cmd_prep(args) -> int:
         minhash_bands=args.minhash_bands,
         max_ppl=args.max_ppl,
         lm_min_count=args.lm_min_count,
+        semantic_threshold=args.semantic_threshold,
+        embed_dim=args.embed_dim,
     )
     if args.decontaminate:
         # benchmark file: one document per line; the small side of the
@@ -946,6 +948,22 @@ def main() -> int:
         "one worker heap; raise this when build_model refuses with "
         "'model exceeds driver_max_rows'.  Pruning is deterministic "
         "but output-changing, so the default is 1/off)",
+    )
+    p.add_argument(
+        "--semantic-threshold",
+        type=float,
+        default=None,
+        help="semantic near-dup stage (after MinHash, before the LM "
+        "filter): embed survivors with the actor-pool hashing encoder "
+        "and drop cosine near-duplicate cluster members above this "
+        "threshold, keeping each cluster's minimum id (omit: no "
+        "semantic stage; word-permuted duplicates embed identically)",
+    )
+    p.add_argument(
+        "--embed-dim",
+        type=int,
+        default=32,
+        help="embedding components for --semantic-threshold",
     )
     p.add_argument(
         "--state-dir",

@@ -191,6 +191,8 @@ def prep_corpus(
     minhash_bands: int | None = None,
     max_ppl: float | None = None,
     lm_min_count: int = 1,
+    semantic_threshold: float | None = None,
+    embed_dim: int = 32,
     checkpoint: bool = True,
     loser_broadcast_max: int = 50_000_000,
 ):
@@ -230,6 +232,13 @@ def prep_corpus(
     fraction, heaviest-2-gram mass, or duplicated-5-gram mass exceeds
     the ppm threshold are dropped (textstats.repetition_signals — the
     exact contract the oracled ``doc_repetition`` query value-checks).
+
+    ``semantic_threshold`` enables the semantic near-dup stage between
+    the MinHash pass and the LM filter: the corpus is embedded by the
+    actor-pool hashing encoder (ops/embed.py, ``embed_dim`` components)
+    and cosine near-duplicate clusters above the threshold keep only
+    their minimum id — catching word-reordered/paraphrase-shaped
+    duplicates that shingle space misses.
 
     ``max_ppl`` enables the CCNet-style LM quality filter as the LAST
     stage: a bigram model self-trains on the deduplicated survivors
@@ -309,12 +318,57 @@ def prep_corpus(
             bands=minhash_bands,
         )
         out = _drop_ids(survivors, refs, id_col) if refs else survivors
+    if semantic_threshold is not None:
+        out = _semantic_loser_filter(
+            out, text_col, id_col, float(semantic_threshold),
+            embed_dim, loser_broadcast_max, checkpoint,
+        )
     if max_ppl is None:
         return out
     return _lm_ppl_filter(
         out, text_col, id_col, float(max_ppl), lm_min_count,
         loser_broadcast_max, checkpoint,
     )
+
+
+def _semantic_loser_filter(out, text_col, id_col, threshold, dim,
+                           loser_broadcast_max, checkpoint):
+    """Semantic near-dup stage: embed the surviving corpus (actor-pool
+    inference, ops/embed.py), find cosine near-duplicate clusters via
+    hyperplane LSH, keep each cluster's minimum id.  Runs AFTER the
+    MinHash pass: shingle-level near-dups are already gone, so this
+    catches only reorderings/paraphrases the n-gram space missed (the
+    bag-of-words hashing encoder maps word-permuted documents to the
+    SAME vector — cosine exactly 1.0, LSH recall 1).  The survivor set
+    is consumed twice (embed + final anti-join), so it checkpoints
+    first."""
+    import pyarrow.compute as pc
+
+    from deduce_ray.ops.dedup import (
+        _chunked_id_refs,
+        _drop_ids,
+        embedding_neardup_pairs,
+        neardup_clusters,
+    )
+    from deduce_ray.ops.embed import embed_documents
+
+    if checkpoint:
+        out = out.materialize()
+    emb = embed_documents(out, text_col=text_col, id_col=id_col, dim=dim)
+    pairs = embedding_neardup_pairs(
+        emb, id_col=id_col, vec_col="embedding", threshold=threshold
+    )
+    labels = neardup_clusters(pairs)
+
+    def losers_of(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch.column("doc_id"), batch.column("cluster_id"))
+        return pa.table(
+            {id_col: batch.column("doc_id").filter(pc.invert(keep))}
+        )
+
+    loser_ds = labels.map_batches(losers_of, batch_format="pyarrow")
+    refs = _chunked_id_refs(loser_ds, id_col, loser_broadcast_max)
+    return _drop_ids(out, refs, id_col) if refs else out
 
 
 def _lm_ppl_filter(out, text_col, id_col, max_ppl, lm_min_count,
