@@ -717,6 +717,28 @@ def _q_media_features(sf_dir: str):
     return extract_media_features(media, fake_decoder=False, exploded=True)
 
 
+def _q_media_features_jpeg(sf_dir: str):
+    """REAL JPEG decode path: block-constant grayscale payloads encoded
+    at quality 100 by the in-repo baseline T.81 codec (ops/jpeg.py),
+    decoded back through marker parse -> stream-defined Huffman tables
+    -> unstuffing -> dequantize -> IDCT.  Block-constant pixels survive
+    quality-100 baseline JPEG bit-exactly, so the DuckDB oracle
+    (oracles.media_features_jpeg_sql) recomputes every floor-micro
+    value from the sha256 seed with no codec — a value match proves
+    the lossy-format round-trip on its exact subdomain."""
+    import ray.data
+
+    from deduce_ray.ops.multimodal import (
+        extract_media_features,
+        synthesize_media_jpeg_batch,
+    )
+
+    media = read_parquet_sliced(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).map_batches(synthesize_media_jpeg_batch, batch_format="pyarrow")
+    return extract_media_features(media, fake_decoder=False, exploded=True)
+
+
 def _q_media_resized(sf_dir: str):
     import ray.data
 
@@ -844,6 +866,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # codecs, so a match proves the real PNG/PPM/WAV encode -> decode
         # round-trip — see oracles.media_features_sql) ---
         "media_features": _q_media_features,
+        "media_features_jpeg": _q_media_features_jpeg,
         # ============== every registered query is value-checked ===========
         # Rows-only retirement history (each machinery stays covered):
         # ``kg_graph`` -> corpus_mix (kg_graph_sqlpreds is the value
@@ -971,6 +994,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": oracles.dup_spans_sql(),
         "events_user_sketch": oracles.hll_distinct_sql(),
         "media_features": oracles.media_features_sql(),
+        "media_features_jpeg": oracles.media_features_jpeg_sql(),
         "minhash_clusters": oracles.neardup_clusters_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),
         "kg_emails": _mention_oracle(_EMAIL_RE_SQL),

@@ -2,13 +2,14 @@
 processed by actor-pool map_batches stages.
 
 Decoding is REAL for binary PPM (P6) images, PCM WAV audio, YUV4MPEG2
-(Y4M) video, and — the one genuinely COMPRESSED format implementable
-with the stdlib — 8-bit gray/RGB PNG (zlib inflate + numpy unfiltering
-of all five scanline filters).  The synthesized test corpus mixes PNG
-and PPM images, so the decode stages exercise genuine byte-level parsing
-including DEFLATE end-to-end.  The remaining compressed codecs
-(JPEG/MP3/H.264 via PIL / torchaudio / ffmpeg) are NOT available in this
-environment and stay honestly stubbed:
+(Y4M) video, 8-bit gray/RGB PNG (zlib inflate + numpy unfiltering of
+all five scanline filters), and baseline JPEG (the in-repo T.81
+DCT+Huffman codec, ops/jpeg.py — the format real image corpora actually
+contain).  The synthesized test corpus mixes PNG, PPM, and JPEG images,
+so the decode stages exercise genuine byte-level parsing including
+DEFLATE and entropy-coded DCT end-to-end.  The remaining compressed
+codecs (MP3/H.264 via torchaudio / ffmpeg, progressive or subsampled
+JPEG) are NOT available in this environment and stay honestly stubbed:
 ``decode_image``/``decode_audio``/``decode_video`` raise
 NotImplementedError on unknown magic bytes, and stages constructed with
 ``fake_decoder=True`` keep the deterministic pseudo-decode for plumbing
@@ -427,21 +428,67 @@ def synthesize_media_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def synthesize_media_jpeg_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic JPEG media rows derived from doc_id: 8x8
+    BLOCK-CONSTANT grayscale images (block b's luma = digest byte
+    b % 32) really encoded at quality 100 by the in-repo T.81 codec
+    (ops/jpeg.py).  Block-constant pixels survive baseline JPEG
+    BIT-EXACTLY at quality 100 (single integer DC coefficient,
+    quantizer step 1 — see ops/jpeg.py), so the feature pipeline over
+    these payloads is integer-exactly value-checkable from the seed
+    (oracles.media_features_jpeg_sql), while the decode still runs the
+    full real path: marker parse, DHT tables, Huffman, unstuffing,
+    dequantize, IDCT."""
+    from deduce_ray.ops.jpeg import encode_jpeg
+
+    ids = batch.column("doc_id").to_pylist()
+    payloads, widths, heights = [], [], []
+    for i in ids:
+        seed = hashlib.sha256(f"media:{i}".encode()).digest()
+        w = 16 + (i % 8) * 16
+        h = 16 + (i % 5) * 16
+        nb = (h // 8) * (w // 8)
+        block_vals = _seed_bytes(seed, nb).reshape(h // 8, w // 8)
+        pixels = np.kron(block_vals, np.ones((8, 8), dtype=np.uint8))
+        payloads.append(encode_jpeg(pixels, quality=100))
+        widths.append(w)
+        heights.append(h)
+    n = len(ids)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, type=pa.int64()),
+            "kind": pa.array(["image"] * n),
+            "mime": pa.array(["image/jpeg"] * n),
+            "width": pa.array(widths, type=pa.int32()),
+            "height": pa.array(heights, type=pa.int32()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
 def decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
     """Decode an image payload to a float32 grayscale (h, w) array in
-    [0, 1].  REAL for binary PPM (P6) and for 8-bit gray/RGB PNG (stdlib
-    zlib inflate + numpy unfiltering — one genuinely COMPRESSED format);
-    JPEG needs PIL/turbojpeg, absent in this environment, and raises —
-    the honest stub."""
+    [0, 1].  REAL for binary PPM (P6), for 8-bit gray/RGB PNG (stdlib
+    zlib inflate + numpy unfiltering), and for baseline JPEG (the
+    in-repo T.81 Huffman+IDCT decoder, ops/jpeg.py — genuinely lossy
+    DCT compression); progressive/subsampled JPEG raises — the honest
+    stub."""
     if payload.startswith(b"P6"):
         rgb = decode_ppm(payload)
         return (rgb.astype(np.float32).mean(axis=2)) / 255.0
     if payload.startswith(_PNG_SIG):
         px = decode_png(payload)
         return (px.astype(np.float32).mean(axis=2)) / 255.0
+    if payload.startswith(b"\xff\xd8"):
+        from deduce_ray.ops.jpeg import decode_jpeg_rgb
+
+        px = decode_jpeg_rgb(payload)
+        return (px.astype(np.float32).mean(axis=2)) / 255.0
     raise NotImplementedError(
-        "only binary PPM (P6) and 8-bit gray/RGB PNG decode in this "
-        "environment; JPEG needs PIL/turbojpeg (construct the stage with "
+        "only binary PPM (P6), 8-bit gray/RGB PNG, and baseline JPEG "
+        "decode in this environment (progressive/subsampled JPEG "
+        "raises from the JPEG parser; construct the stage with "
         "fake_decoder=True for the deterministic stand-in)"
     )
 
@@ -450,15 +497,21 @@ def decode_image_rgbsum(payload: bytes) -> np.ndarray:
     """Decode an image payload to the flat per-pixel ``r+g+b`` INTEGER
     array (full scale 765) — the native-domain input of the
     integer-exact feature contract (see MediaFeatureExtractor).  Same
-    codec policy as decode_image: PPM/PNG real, JPEG raises."""
+    codec policy as decode_image: PPM/PNG/baseline-JPEG real (gray
+    JPEG v => r+g+b = 3v, like gray PNG); non-baseline JPEG raises."""
     if payload.startswith(b"P6"):
         rgb = decode_ppm(payload)
     elif payload.startswith(_PNG_SIG):
         rgb = decode_png(payload)
+    elif payload.startswith(b"\xff\xd8"):
+        from deduce_ray.ops.jpeg import decode_jpeg_rgb
+
+        rgb = decode_jpeg_rgb(payload)
     else:
         raise NotImplementedError(
-            "only binary PPM (P6) and 8-bit gray/RGB PNG decode in this "
-            "environment; JPEG needs PIL/turbojpeg (construct the stage "
+            "only binary PPM (P6), 8-bit gray/RGB PNG, and baseline "
+            "JPEG decode in this environment (progressive/subsampled "
+            "JPEG raises from the JPEG parser; construct the stage "
             "with fake_decoder=True for the deterministic stand-in)"
         )
     if rgb.shape[2] == 1:  # 8-bit gray PNG: gray v ≙ r=g=b=v → r+g+b = 3v

@@ -741,6 +741,55 @@ def media_features_sql(dim: int = 32) -> str:
     """
 
 
+def media_features_jpeg_sql(dim: int = 32) -> str:
+    """DuckDB reproduction of the JPEG media feature pipeline —
+    computed from the SEED, not the payload.
+
+    synthesize_media_jpeg_batch derives 8x8 BLOCK-CONSTANT grayscale
+    images from ``sha256('media:' || doc_id)`` (block b's luma = digest
+    byte b % 32) and really encodes them as baseline JPEG at quality
+    100 (ops/jpeg.py).  Block-constant pixels survive that pipeline
+    bit-exactly (single integer DC coefficient, quantizer step 1), so
+    this oracle recomputes the floor-micro features straight from the
+    seed: gray pixel v contributes r+g+b = 3v (the gray-PNG
+    convention), pooled over ``q = w*h/dim`` flat pixels per dim.
+
+    Pixels are aggregated in GROUPS OF 8: w and h are multiples of 16,
+    so q is a multiple of 8 and every run of 8 flat pixels lies in one
+    row inside one 8x8 block — an 8x smaller UNNEST than per-pixel.
+    Floored modulo for w/h mirrors Python % on negative doc_ids.
+    """
+    return f"""
+        WITH dims AS (
+          SELECT doc_id AS i,
+                 16 + ((doc_id % 8 + 8) % 8) * 16 AS w,
+                 16 + ((doc_id % 5 + 5) % 5) * 16 AS h,
+                 sha256('media:' || CAST(doc_id AS VARCHAR)) AS hx
+          FROM documents
+        ),
+        digest AS (
+          SELECT i, list(('0x' || substr(hx, 2*k + 1, 2))::BIGINT ORDER BY k) AS bs
+          FROM dims, generate_series(0, 31) AS g(k)
+          GROUP BY i, hx
+        ),
+        grp AS (  -- 8-pixel flat group g: one row, one block
+          SELECT d.i,
+                 g // (d.w * d.h // {dim * 8}) AS dim,
+                 SUM(24 * bs[((((8*g) // d.w) // 8) * (d.w // 8)
+                              + ((8*g) % d.w) // 8) % 32 + 1]) AS s,
+                 765 * (d.w * d.h // {dim}) AS denom
+          FROM dims d
+          JOIN digest USING (i),
+               UNNEST(generate_series(0, d.w * d.h // 8 - 1)) AS t(g)
+          GROUP BY d.i, d.w, d.h, g // (d.w * d.h // {dim * 8})
+        )
+        SELECT grp.i AS media_id, 'image' AS kind,
+               CAST(grp.dim AS INT) AS dim,
+               FLOOR(grp.s * 1000000.0 / grp.denom) / 1e6 AS value
+        FROM grp
+    """
+
+
 #: planted co-occurrence corpus for the pagerank oracle — mirrored
 #: byte-for-byte by __ray_entry__._planted_repo_table
 PAGERANK_PLANT_K = 13
