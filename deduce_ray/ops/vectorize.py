@@ -37,7 +37,7 @@ from collections import Counter
 import numpy as np
 import pyarrow as pa
 
-from deduce_ray.ops.textstats import ascii_fold, split_words
+from deduce_ray.ops.textstats import ascii_fold, resolve_fold, split_words
 
 _N_SENTINEL = ""  # WORD_RE tokens are non-empty, so "" cannot collide
 
@@ -47,6 +47,7 @@ def build_tfidf_vocab(
     text_col: str = "text",
     vocab_size: int = 128,
     n_shards: int | None = None,
+    casefold: str = "ascii",
 ) -> dict:
     """Corpus -> ``{"terms": {term: (idx, idf)}, "n_docs": N}``.
 
@@ -57,6 +58,7 @@ def build_tfidf_vocab(
 
     from deduce_ray.ops.agg import merge_shards
 
+    fold = resolve_fold(casefold)
     if vocab_size < 1:
         raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
     if n_shards is None:
@@ -66,7 +68,7 @@ def build_tfidf_vocab(
         texts = batch.column(text_col).to_pylist()
         df: dict[str, int] = {}
         for t in texts:
-            for w in set(split_words(ascii_fold(t or ""))):
+            for w in set(split_words(fold(t or ""))):
                 df[w] = df.get(w, 0) + 1
         terms = list(df)
         counts = list(df.values())
@@ -125,6 +127,7 @@ def tfidf_terms(
     vocab_size: int = 128,
     vocab: dict | None = None,
     n_shards: int | None = None,
+    casefold: str = "ascii",
 ):
     """Long-format TF-IDF: one ``(doc_id, term, weight)`` row per
     (document, vocabulary term) occurrence — the SQL-comparable form.
@@ -134,9 +137,11 @@ def tfidf_terms(
 
     from deduce_ray.ops.lm import _resolve_model
 
+    fold = resolve_fold(casefold)
     if vocab is None:
         vocab = build_tfidf_vocab(
-            ds, text_col=text_col, vocab_size=vocab_size, n_shards=n_shards
+            ds, text_col=text_col, vocab_size=vocab_size,
+            n_shards=n_shards, casefold=casefold,
         )
     vocab_ref = vocab if isinstance(vocab, ray.ObjectRef) else ray.put(vocab)
 
@@ -147,7 +152,7 @@ def tfidf_terms(
         out_ids, out_terms, out_w = [], [], []
         for i, t in enumerate(texts):
             cnt = Counter(
-                w for w in split_words(ascii_fold(t or "")) if w in terms
+                w for w in split_words(fold(t or "")) if w in terms
             )
             if not cnt:
                 continue
@@ -179,6 +184,7 @@ def tfidf_dense(
     vocab_size: int = 128,
     vocab: dict | None = None,
     n_shards: int | None = None,
+    casefold: str = "ascii",
 ):
     """Dense TF-IDF vectors: ``(doc_id, embedding: list<float>)`` rows in
     the embeddings-table shape, directly consumable by the ANN ops
@@ -189,9 +195,11 @@ def tfidf_dense(
 
     from deduce_ray.ops.lm import _resolve_model
 
+    fold = resolve_fold(casefold)
     if vocab is None:
         vocab = build_tfidf_vocab(
-            ds, text_col=text_col, vocab_size=vocab_size, n_shards=n_shards
+            ds, text_col=text_col, vocab_size=vocab_size,
+            n_shards=n_shards, casefold=casefold,
         )
     vocab_ref = vocab if isinstance(vocab, ray.ObjectRef) else ray.put(vocab)
 
@@ -203,7 +211,7 @@ def tfidf_dense(
         out_ids, out_vecs = [], []
         for i, t in enumerate(texts):
             cnt = Counter(
-                w for w in split_words(ascii_fold(t or "")) if w in terms
+                w for w in split_words(fold(t or "")) if w in terms
             )
             if not cnt:
                 continue

@@ -284,6 +284,20 @@ SQL_ASCII_LOWER = (
     "translate({}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
     " 'abcdefghijklmnopqrstuvwxyz')"
 )
+
+#: ICU-parity fold for the opt-in casefold="unicode" mode — DuckDB's
+#: built-in lower() IS the contract (textstats.unicode_fold mirrors its
+#: per-codepoint simple mapping exactly; see the 11,915-codepoint sweep
+#: note there)
+SQL_UNICODE_LOWER = "lower({})"
+
+
+def sql_fold(casefold: str) -> str:
+    if casefold == "ascii":
+        return SQL_ASCII_LOWER
+    if casefold == "unicode":
+        return SQL_UNICODE_LOWER
+    raise ValueError(f"casefold must be 'ascii' or 'unicode', got {casefold!r}")
 _WORDS = f"regexp_extract_all(coalesce(text, ''), '{WORD_CLASS_SQL}')"
 
 # must mirror deduce_ray.ops.textstats._LANG_PROFILES exactly
@@ -921,7 +935,7 @@ def lm_perplexity_sql() -> str:
     """
 
 
-def tfidf_sql(vocab_size: int = 128) -> str:
+def tfidf_sql(vocab_size: int = 128, casefold: str = "ascii") -> str:
     """DuckDB mirror of :func:`deduce_ray.ops.vectorize.tfidf_terms`.
     Must track it exactly: ASCII-case-folded WORD_CLASS_SQL terms, N = count of
     ALL document rows, vocab = top-k by (df DESC, term ASC), smoothed
@@ -933,7 +947,7 @@ def tfidf_sql(vocab_size: int = 128) -> str:
                  unnest(list_transform(
                    regexp_extract_all(coalesce(text, ''),
                                       '{WORD_CLASS_SQL}'),
-                   x -> {SQL_ASCII_LOWER.format('x')})) AS term
+                   x -> {sql_fold(casefold).format('x')})) AS term
           FROM documents
         ),
         tc AS (

@@ -137,3 +137,110 @@ class TestUnicodeParity:
 
         assert ascii_fold("İΣA z") == "İΣa z"  # non-ASCII untouched
         assert ascii_fold("ABC") == "abc"
+
+
+class TestUnicodeFoldMode:
+    """Opt-in ``casefold="unicode"`` (ICU parity): the fold contract is
+    DuckDB's built-in lower(), mirrored per codepoint by
+    textstats.unicode_fold — Turkish dotted-I and final-sigma corpora
+    pass BOTH sides, which the default ASCII contract deliberately does
+    not attempt."""
+
+    def test_unicode_fold_function(self):
+        from deduce_ray.ops.textstats import resolve_fold, unicode_fold
+
+        # Turkish dotted I: simple mapping 'i' (NOT 'i' + combining dot)
+        assert unicode_fold("İSTANBUL") == "istanbul"
+        # final sigma: per-codepoint mapping is always U+03C3
+        assert unicode_fold("ΣΟΦΟΣ") == "σοφοσ"
+        # sharp s stays (lower of ß is ß; no casefold-style 'ss')
+        assert unicode_fold("STRAßE") == "straße"
+        assert unicode_fold("ＡＢＣ") == "ａｂｃ"  # fullwidth
+        # ASCII agrees with ascii_fold byte for byte
+        assert unicode_fold("MiXeD ascii 123") == "mixed ascii 123"
+        assert resolve_fold("unicode") is unicode_fold
+        import pytest
+
+        with pytest.raises(ValueError):
+            resolve_fold("turkish")
+
+    def test_fold_matches_duckdb_lower_exhaustively(self):
+        """Per-codepoint agreement with DuckDB lower() over every
+        assigned codepoint in the blocks the corpus languages use
+        (Latin, Greek, Cyrillic, fullwidth, Deseret) — the contract's
+        ground truth."""
+        import duckdb
+        import unicodedata
+
+        from deduce_ray.ops.textstats import unicode_fold
+
+        chars = []
+        for rng in ((0x20, 0x590), (0x1E00, 0x2C80), (0xFF00, 0xFFF0),
+                    (0x10400, 0x10450)):
+            for cp in range(*rng):
+                try:
+                    unicodedata.name(chr(cp))
+                except ValueError:
+                    continue
+                chars.append(chr(cp))
+        con = duckdb.connect()
+        con.register("t", pa.table({"c": chars}))
+        for c, low in con.execute("SELECT c, lower(c) FROM t").fetchall():
+            assert unicode_fold(c) == low, hex(ord(c))
+
+    def test_top_terms_unicode_mode(self, ray_session, tmp_path):
+        from deduce_ray.oracles import sql_fold
+        from deduce_ray.ops.textstats import top_terms
+
+        path = _corpus(tmp_path)
+        got = top_terms(
+            ray.data.read_parquet(path), casefold="unicode"
+        ).to_pandas()
+        want = _con(path).execute(f"""
+            WITH w AS (
+              SELECT unnest(list_transform(
+                       regexp_extract_all(coalesce(text, ''),
+                                          '[^ \t\n\r\f\x0b]+'),
+                       x -> {sql_fold("unicode").format('x')})) AS term
+              FROM documents
+            )
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+            FROM w GROUP BY term
+            ORDER BY n DESC, term LIMIT 100
+        """).df()
+        _assert_frames(got, want, ["n", "term"])
+        # the mode genuinely folds: İstanbul + İSTANBUL + istanbul merge
+        # into one 'istanbul' term (the ASCII contract keeps them apart)
+        merged = got.set_index("term")["n"]
+        assert merged.get("istanbul", 0) == 3
+
+    def test_tfidf_unicode_mode(self, ray_session, tmp_path):
+        from deduce_ray.oracles import tfidf_sql
+        from deduce_ray.ops.vectorize import tfidf_terms
+
+        path = _corpus(tmp_path)
+        got = tfidf_terms(
+            ray.data.read_parquet(path), vocab_size=32, casefold="unicode"
+        ).to_pandas()
+        _assert_frames(
+            got,
+            _con(path).execute(
+                tfidf_sql(vocab_size=32, casefold="unicode")
+            ).df(),
+            ["doc_id", "term"],
+        )
+
+    def test_langid_unicode_mode(self, ray_session, tmp_path):
+        """Fullwidth ＴＨＥ folds to 'ｔｈｅ' (still not an ASCII
+        stopword), but Latin capitals with diacritics now fold — the
+        mode changes matching without crashing; parity vs a direct
+        Python fold check."""
+        from deduce_ray.ops.textstats import langid_batch, predict_lang
+
+        assert predict_lang("THE QUICK THE IS IN", casefold="unicode") == "en"
+        path = _corpus(tmp_path)
+        out = ray.data.read_parquet(path).map_batches(
+            lambda b: langid_batch(b, casefold="unicode"),
+            batch_format="pyarrow",
+        ).to_pandas()
+        assert len(out) == len(TEXTS)
