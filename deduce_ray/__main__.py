@@ -208,6 +208,23 @@ def cmd_analyze(args) -> int:
     edges = cooccurrence_edges(
         triples, max_mentions_per_doc=args.max_mentions_per_doc
     )
+    if getattr(args, "state_dir", None):
+        # incremental mode: persist THIS batch's additive edge aggregate,
+        # then analyze the merged store — new batches never re-annotate
+        # old corpora (disjoint-batch contract, see state/kg_store.py)
+        from deduce_ray.state.kg_store import KGStore
+
+        store = KGStore(args.state_dir)
+        label = args.state_label or os.path.basename(
+            os.path.normpath(args.input)
+        )
+        manifest = store.ingest_edges(label, edges)
+        print(
+            f"kg-state: committed {manifest['n_edges']} edges as "
+            f"{label!r}; analyzing {len(store.committed_labels())} "
+            f"committed ingest(s)"
+        )
+        edges = store.merged_edges()
     if args.communities or args.components:
         # several consumers read the edge set: materialize ONCE so the
         # extraction actor pool and the co-occurrence shuffle do not
@@ -871,6 +888,19 @@ def main() -> int:
         action="store_true",
         help="also report label-propagation community count and the "
         "largest community sizes (synchronous LPA, --iterations rounds)",
+    )
+    p.add_argument(
+        "--state-dir",
+        help="incremental KG store directory: commit this batch's "
+        "additive co-occurrence edge aggregate, then analyze the "
+        "merged store — new batches never re-annotate old corpora "
+        "(batches must be doc-disjoint; created on first use)",
+    )
+    p.add_argument(
+        "--state-label",
+        help="ingest label for --state-dir (default: the input's base "
+        "name); must be fresh per batch — a crashed run's label can be "
+        "re-run, a committed one is refused",
     )
     p.add_argument("--num-cpus", type=int)
     p.add_argument("--lookup-data-path")
