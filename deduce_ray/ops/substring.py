@@ -62,6 +62,102 @@ def _dense_runs(h: np.ndarray) -> np.ndarray:
     return run_id
 
 
+def _empty_spans_ds(id_col: str):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "start_word": pa.array([], type=pa.int64()),
+                "end_word": pa.array([], type=pa.int64()),
+            }
+        )
+    )
+
+
+def _candidate_gram_hashes(
+    grams_mat, min_docs: int, cap: int
+) -> np.ndarray | None:
+    """Sorted int64 array of gram hashes whose TOTAL occurrence count
+    reaches ``min_docs`` — the exact count prefilter (superset of the
+    >= min_docs-distinct-docs grams).  Sorts only the 8-byte hash
+    column; per sorted block, interior runs are decided locally (an
+    interior hash provably lies in one block) and the <= 2 first/last
+    runs emit count partials that sum exactly across adjacent blocks.
+    Returns None (fall back to the full-width plan) when the candidate
+    set exceeds ``cap``."""
+    import logging
+
+    import ray.data
+
+    hash_only = grams_mat.select_columns(["gram_hash"])
+
+    def block_candidates(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "gram_hash": pa.array([], type=pa.int64()),
+                "cnt": pa.array([], type=pa.int64()),
+            }
+        )
+        if not batch.num_rows:
+            return empty
+        h = batch.column("gram_hash").to_numpy(zero_copy_only=False)
+        runs = _dense_runs(h)
+        counts = np.bincount(runs)
+        starts = np.zeros(len(counts), dtype=np.int64)
+        starts[1:] = np.cumsum(counts)[:-1]
+        run_hash = h[starts]
+        is_edge = np.zeros(len(counts), dtype=bool)
+        is_edge[0] = True
+        is_edge[-1] = True
+        keep = is_edge | (counts >= min_docs)
+        return pa.table(
+            {
+                "gram_hash": pa.array(run_hash[keep], type=pa.int64()),
+                "cnt": pa.array(counts[keep], type=pa.int64()),
+            }
+        )
+
+    ctx = ray.data.DataContext.get_current()
+    prev_shuffle = getattr(ctx, "use_push_based_shuffle", False)
+    ctx.use_push_based_shuffle = True
+    try:
+        cands = (
+            hash_only.sort("gram_hash")
+            .map_batches(
+                block_candidates, batch_format="pyarrow", batch_size=None
+            )
+            .materialize()
+        )
+    finally:
+        ctx.use_push_based_shuffle = prev_shuffle
+    if cands.count() > cap:
+        logging.getLogger(__name__).warning(
+            "dup_spans count prefilter: %d candidate hashes exceed the "
+            "%d cap — falling back to the full-width sort plan "
+            "(results identical, exchange wider)",
+            cands.count(), cap,
+        )
+        return None
+    h_parts, c_parts = [], []
+    for bt in cands.iter_batches(batch_format="pyarrow"):
+        if bt.num_rows:
+            h_parts.append(
+                bt.column("gram_hash").to_numpy(zero_copy_only=False)
+            )
+            c_parts.append(bt.column("cnt").to_numpy(zero_copy_only=False))
+    if not h_parts:
+        return np.empty(0, dtype=np.int64)
+    h = np.concatenate(h_parts)
+    c = np.concatenate(c_parts)
+    uniq, inv = np.unique(h, return_inverse=True)
+    totals = np.bincount(inv, weights=c.astype(np.float64))
+    # counts are exact integers well below 2^53, so the float weights
+    # in bincount lose nothing
+    return uniq[totals >= min_docs]
+
+
 def duplicated_ngram_spans(
     ds,
     n: int = 13,
@@ -70,6 +166,7 @@ def duplicated_ngram_spans(
     min_docs: int = 2,
     n_shards: int | None = None,
     coalesce_rows: int = 4_000_000,
+    prefilter_candidates_max: int | None = 20_000_000,
 ):
     """Dataset of ``(doc_id, start_word, end_word)`` — one row per
     maximal duplicated span per document, where a span is the union of
@@ -80,6 +177,19 @@ def duplicated_ngram_spans(
     ``coalesce_rows`` sizes the pre-sort gram blocks (default ~96 MB);
     tests shrink it to force MULTI-block sorts so the boundary-run path
     is exercised at unit scale.
+
+    ``prefilter_candidates_max`` enables the radix-style count
+    prefilter (round-5): sort ONLY the 8-byte hash column first (one
+    third of the full row), find the hashes whose TOTAL occurrence
+    count reaches ``min_docs`` — an exact superset of the
+    duplicated-across-docs grams, since ndocs <= count — broadcast
+    them sorted, and run the full-width machinery on the filtered
+    subset only.  On a typical corpus (duplicated mass a fraction of
+    total) the expensive 24-byte exchange shrinks to the duplicated
+    mass.  When the candidate set exceeds the cap (pathological
+    everything-duplicated corpora) the op logs and falls back to the
+    classic full-width sort — the cap changes NOTHING about results,
+    only which exchange plan runs.  ``None`` disables the prefilter.
 
     Note on execution shape: the gram sort — the engine's one LARGE
     exchange — is executed EAGERLY inside this call (a ``materialize()``
@@ -268,7 +378,41 @@ def duplicated_ngram_spans(
     # partitioning degenerates on a low-cardinality key and map_groups
     # re-sorts inside every shard; sorting the raw hash keeps partitions
     # balanced by sampling and lets each block decide its runs locally.
-    sorted_grams = coalesced.sort("gram_hash")
+    # With the count prefilter, the full-width sort runs over the
+    # candidate subset only; the wide exchange is replaced by a
+    # hash-column-only sort plus a broadcast searchsorted filter.
+    to_sort = coalesced
+    if prefilter_candidates_max:
+        import ray
+
+        grams_mat = coalesced.materialize()
+        cand = _candidate_gram_hashes(
+            grams_mat, min_docs, int(prefilter_candidates_max)
+        )
+        if cand is None:
+            to_sort = grams_mat  # cap exceeded: classic full-width plan
+        elif len(cand) == 0:
+            to_sort = None  # no gram reaches min_docs anywhere
+        else:
+            cand_ref = ray.put(cand)  # sorted int64, zero-copy readers
+
+            def keep_candidates(batch: pa.Table) -> pa.Table:
+                import ray as _ray
+
+                arr = _ray.get(cand_ref)
+                h = batch.column("gram_hash").to_numpy(
+                    zero_copy_only=False
+                )
+                idx = np.searchsorted(arr, h)
+                idx[idx == len(arr)] = 0
+                return batch.filter(pa.array(arr[idx] == h))
+
+            to_sort = grams_mat.map_batches(
+                keep_candidates, batch_format="pyarrow"
+            )
+    if to_sort is None:
+        return _empty_spans_ds(id_col)
+    sorted_grams = to_sort.sort("gram_hash")
     # small: global dup hits + block-boundary runs.  Materialized so the
     # two downstream consumers do not re-execute the sort (spill-backed;
     # bounded by duplicated mass + 2 runs per block).  The gram sort is

@@ -9,7 +9,7 @@ share a 40-word license header (plus unique bodies), must complete in
 about a minute on 32 CPUs (measured: 67 s, a ~63M-row gram exchange)
 and flag exactly the 200k headers.
 
-Run: python scripts/stress_dup_spans.py [n_docs] [n_dup]
+Run: python scripts/stress_dup_spans.py [n_docs] [n_dup] [num_cpus]
 """
 
 from __future__ import annotations
@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_dup = int(sys.argv[2]) if len(sys.argv) > 2 else 200_000
+    num_cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 
     import numpy as np
     import pyarrow as pa
@@ -32,7 +33,7 @@ def main() -> None:
     from deduce_ray.raytune import tune_data_context
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=32, include_dashboard=False)
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     tune_data_context()
 
     header = " ".join(f"license{i} term{i}" for i in range(20))  # 40 words
