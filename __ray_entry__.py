@@ -709,33 +709,26 @@ def _q_media_features(sf_dir: str):
     encode -> decode round-trip and the pooling math end-to-end."""
     import ray.data
 
-    from deduce_ray.ops.multimodal import extract_media_features, synthesize_media_batch
-
-    media = read_parquet_sliced(
-        f"{sf_dir}/documents.parquet", columns=["doc_id"]
-    ).map_batches(synthesize_media_batch, batch_format="pyarrow")
-    return extract_media_features(media, fake_decoder=False, exploded=True)
-
-
-def _q_media_features_jpeg(sf_dir: str):
-    """REAL JPEG decode path: block-constant grayscale payloads encoded
-    at quality 100 by the in-repo baseline T.81 codec (ops/jpeg.py),
-    decoded back through marker parse -> stream-defined Huffman tables
-    -> unstuffing -> dequantize -> IDCT.  Block-constant pixels survive
-    quality-100 baseline JPEG bit-exactly, so the DuckDB oracle
-    (oracles.media_features_jpeg_sql) recomputes every floor-micro
-    value from the sha256 seed with no codec — a value match proves
-    the lossy-format round-trip on its exact subdomain."""
-    import ray.data
-
     from deduce_ray.ops.multimodal import (
+        JPEG_MEDIA_OFFSET,
         extract_media_features,
+        synthesize_media_batch,
         synthesize_media_jpeg_batch,
     )
 
-    media = read_parquet_sliced(
+    ids = read_parquet_sliced(
         f"{sf_dir}/documents.parquet", columns=["doc_id"]
-    ).map_batches(synthesize_media_jpeg_batch, batch_format="pyarrow")
+    )
+    media = ids.map_batches(
+        synthesize_media_batch, batch_format="pyarrow"
+    ).union(
+        ids.map_batches(
+            lambda b: synthesize_media_jpeg_batch(
+                b, id_offset=JPEG_MEDIA_OFFSET
+            ),
+            batch_format="pyarrow",
+        )
+    )
     return extract_media_features(media, fake_decoder=False, exploded=True)
 
 
@@ -804,11 +797,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_cooccurrence_sqlpreds": _q_kg_cooccurrence_sqlpreds,
         "kg_pagerank_sqlpreds": _q_kg_pagerank_sqlpreds,
         "kg_redacted_sqlpreds": _q_kg_redacted_sqlpreds,
-        # --- single annotator groups, value-checked against DuckDB regex ---
-        "kg_dates": _mentions_query(
-            {"dates", "date_dmy_1", "date_dmy_2", "date_ymd_1", "date_ymd_2"},
-            "datum",
-        ),
+        # --- single annotator groups, value-checked against DuckDB regex
+        # (kg_dates retired in round 5 for the 50-entry cap: the datum
+        # predicate stays value-checked inside kg_triples_sqlpreds and
+        # exact-equal on the 57 conformance date examples) ---
         "kg_bsn": _mentions_query({"identifiers", "bsn"}, "bsn"),
         "kg_postal": _mentions_query({"locations", "postal_code"}, "locatie"),
         "kg_emails": _mentions_query({"email_addresses", "email"}, "emailadres"),
@@ -866,7 +858,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # codecs, so a match proves the real PNG/PPM/WAV encode -> decode
         # round-trip — see oracles.media_features_sql) ---
         "media_features": _q_media_features,
-        "media_features_jpeg": _q_media_features_jpeg,
         # ============== every registered query is value-checked ===========
         # Rows-only retirement history (each machinery stays covered):
         # ``kg_graph`` -> corpus_mix (kg_graph_sqlpreds is the value
@@ -922,7 +913,6 @@ def oracle_sql() -> dict[str, str]:
 
     words = oracles.WORD_CLASS_SQL  # single word-class definition, mirrored
     oracles_by_query = {
-        "kg_dates": oracles.kg_dates_sql(),
         "kg_bsn": oracles.kg_bsn_sql(),
         "kg_postal": oracles.kg_postal_sql(),
         "kg_triples_sqlpreds": oracles.kg_triples_sqlpreds_sql(),
@@ -993,8 +983,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs_exact": oracles.jaccard_pairs_sql(),
         "dup_spans": oracles.dup_spans_sql(),
         "events_user_sketch": oracles.hll_distinct_sql(),
-        "media_features": oracles.media_features_sql(),
-        "media_features_jpeg": oracles.media_features_jpeg_sql(),
+        "media_features": oracles.media_features_combined_sql(),
         "minhash_clusters": oracles.neardup_clusters_sql(),
         "simhash_pairs": oracles.simhash_pairs_sql(),
         "kg_emails": _mention_oracle(_EMAIL_RE_SQL),

@@ -428,7 +428,14 @@ def synthesize_media_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def synthesize_media_jpeg_batch(batch: pa.Table) -> pa.Table:
+#: media_id offset for the JPEG flavor when both corpora ride ONE query
+#: (far above any sf's doc ids and the 1e8 dedup planting offsets)
+JPEG_MEDIA_OFFSET = 1_000_000_000
+
+
+def synthesize_media_jpeg_batch(
+    batch: pa.Table, id_offset: int = 0
+) -> pa.Table:
     """Deterministic JPEG media rows derived from doc_id: 8x8
     BLOCK-CONSTANT grayscale images (block b's luma = digest byte
     b % 32) really encoded at quality 100 by the in-repo T.81 codec
@@ -456,7 +463,9 @@ def synthesize_media_jpeg_batch(batch: pa.Table) -> pa.Table:
     n = len(ids)
     return pa.table(
         {
-            "media_id": pa.array(ids, type=pa.int64()),
+            "media_id": pa.array(
+                [i + id_offset for i in ids], type=pa.int64()
+            ),
             "kind": pa.array(["image"] * n),
             "mime": pa.array(["image/jpeg"] * n),
             "width": pa.array(widths, type=pa.int32()),
@@ -684,13 +693,30 @@ class MediaFeatureExtractor:
         )
 
 
-def extract_media_features(ds, fake_decoder: bool = False, concurrency=(1, 4),
+def _media_pool(concurrency):
+    """Actor-pool size for the media stages: ``None`` scales the pool
+    ceiling to the cluster's CPUs (the old fixed (1, 4) ceiling left
+    28 of 32 cores idle on a 500k-doc decode leg at the sf10 stress —
+    codec decode is pure CPU and embarrassingly parallel)."""
+    if concurrency is not None:
+        return concurrency
+    import ray
+
+    cpus = (
+        int(ray.cluster_resources().get("CPU", 4))
+        if ray.is_initialized()
+        else 4
+    )
+    return (1, max(4, cpus))
+
+
+def extract_media_features(ds, fake_decoder: bool = False, concurrency=None,
                            batch_size: int = 16, exploded: bool = False):
     return ds.map_batches(
         MediaFeatureExtractor,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=_media_pool(concurrency),
         fn_constructor_kwargs={
             "fake_decoder": fake_decoder,
             "exploded": exploded,
@@ -836,24 +862,24 @@ def synthesize_video_batch(batch: pa.Table) -> pa.Table:
 
 
 def resize_images(ds, target: int = 8, fake_decoder: bool = False,
-                  concurrency=(1, 4), batch_size: int = 16):
+                  concurrency=None, batch_size: int = 16):
     return ds.map_batches(
         ImageResizer,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=_media_pool(concurrency),
         fn_constructor_kwargs={"target": target, "fake_decoder": fake_decoder},
     )
 
 
 def sample_frames(ds, stride: int = 4, fake_decoder: bool = False,
-                  concurrency=(1, 4), batch_size: int = 8):
+                  concurrency=None, batch_size: int = 8):
     # small batch_size: a video batch x concurrency must fit the worker
     # heap once payloads are real encodings
     return ds.map_batches(
         FrameSampler,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=_media_pool(concurrency),
         fn_constructor_kwargs={"stride": stride, "fake_decoder": fake_decoder},
     )

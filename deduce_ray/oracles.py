@@ -755,7 +755,7 @@ def media_features_sql(dim: int = 32) -> str:
     """
 
 
-def media_features_jpeg_sql(dim: int = 32) -> str:
+def media_features_jpeg_sql(dim: int = 32, id_offset: int = 0) -> str:
     """DuckDB reproduction of the JPEG media feature pipeline —
     computed from the SEED, not the payload.
 
@@ -797,11 +797,26 @@ def media_features_jpeg_sql(dim: int = 32) -> str:
                UNNEST(generate_series(0, d.w * d.h // 8 - 1)) AS t(g)
           GROUP BY d.i, d.w, d.h, g // (d.w * d.h // {dim * 8})
         )
-        SELECT grp.i AS media_id, 'image' AS kind,
+        SELECT grp.i + {int(id_offset)} AS media_id, 'image' AS kind,
                CAST(grp.dim AS INT) AS dim,
                FLOOR(grp.s * 1000000.0 / grp.denom) / 1e6 AS value
         FROM grp
     """
+
+
+def media_features_combined_sql(dim: int = 32) -> str:
+    """One oracle for the combined media corpus: the PPM/PNG/WAV rows
+    (media_features_sql) plus the JPEG rows at their media_id offset —
+    matching __ray_entry__._q_media_features' union of the two
+    synthesizers, so ONE registered query value-checks every codec."""
+    from deduce_ray.ops.multimodal import JPEG_MEDIA_OFFSET
+
+    # each side is a full WITH...SELECT: wrap as subqueries to union
+    return (
+        f"SELECT * FROM ({media_features_sql(dim)}) UNION ALL "
+        f"SELECT * FROM ("
+        f"{media_features_jpeg_sql(dim, id_offset=JPEG_MEDIA_OFFSET)})"
+    )
 
 
 #: planted co-occurrence corpus for the pagerank oracle — mirrored

@@ -233,7 +233,7 @@ class TestNullUnicodeKG:
             f"read_parquet('{tmp_path}/documents.parquet')"
         )
         for q in (
-            "kg_dates", "kg_bsn", "kg_postal", "kg_emails", "kg_urls",
+            "kg_bsn", "kg_postal", "kg_emails", "kg_urls",
             "kg_triples_sqlpreds", "kg_graph_sqlpreds",
             "kg_entities_sqlpreds", "kg_entities_canonical_sqlpreds",
             "kg_cooccurrence_sqlpreds", "kg_redacted_sqlpreds",

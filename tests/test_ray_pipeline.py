@@ -1100,11 +1100,15 @@ class TestMultimodal:
 
     def test_compressed_codecs_are_stubbed(self):
         """Unknown magic bytes (unsupported compressed formats) raise;
-        PPM/PNG/WAV decode for real."""
+        PPM/PNG/WAV/baseline-JPEG decode for real (JPEG via the in-repo
+        T.81 codec since round 5 — a garbled JPEG body now raises from
+        the PARSER, not a not-implemented stub)."""
         from deduce_ray.ops.multimodal import decode_audio, decode_image
 
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError):
             decode_image(b"\xff\xd8\xff\xe0...jpeg...", 4, 4)
+        with pytest.raises(NotImplementedError):
+            decode_image(b"GIF89a...", 4, 4)
         with pytest.raises(NotImplementedError):
             decode_audio(b"ID3...")
 
