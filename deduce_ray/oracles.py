@@ -698,15 +698,19 @@ def media_features_sql(dim: int = 32) -> str:
     Shapes mirrored from the synthesizer: doc_id % 3 == 0 -> WAV audio
     (2048 int16 LE samples from a 4096-byte tile, full scale 32768);
     else an image, w = 16 + (i%8)*16, h = 16 + (i%5)*16, pixel j's
-    r+g+b = 3 consecutive tiled bytes (full scale 765).  w*h is a
-    multiple of 256, so q = w*h/{dim} is exact.
+    r+g+b = 3 consecutive tiled bytes (full scale 765).  Floored
+    modulo for w/h mirrors Python % on negative doc_ids.
+
+    CLOSED-FORM pooling (round-5 rewrite; the original per-pixel
+    UNNEST was 5.1B rows at sf10 and OOMed DuckDB): every feature bin
+    covers a CONSECUTIVE window of the 32-byte-periodic tiled stream —
+    image bin d is bytes [3qd, 3q(d+1)) with q = w*h/{dim}, audio bin d
+    is bytes [128d, 128(d+1)) = exactly 4 digest cycles — so bin sums
+    are (full cycles) * (digest total) + a cyclic prefix-sum window.
+    One row per (doc, dim), no per-pixel rows at any scale.
     """
     return f"""
         WITH dims AS (
-          -- floored modulo for w/h: SQL % truncates toward zero, so a
-          -- negative doc_id would get w,h <= 0 and silently vanish from
-          -- the generate_series join (the doc_id % 3 = 0 audio test is
-          -- a zero-test, where both conventions agree)
           SELECT doc_id AS i,
                  CASE WHEN doc_id % 3 = 0 THEN 'audio' ELSE 'image' END AS kind,
                  16 + ((doc_id % 8 + 8) % 8) * 16 AS w,
@@ -714,36 +718,54 @@ def media_features_sql(dim: int = 32) -> str:
                  sha256('media:' || CAST(doc_id AS VARCHAR)) AS hx
           FROM documents
         ),
-        digest AS (  -- the 32 digest bytes, as a 1-indexed list per doc
+        digest AS (  -- bs: the 32 digest bytes (1-indexed list) per doc
           SELECT i, list(('0x' || substr(hx, 2*k + 1, 2))::BIGINT ORDER BY k) AS bs
           FROM dims, generate_series(0, 31) AS g(k)
           GROUP BY i, hx
         ),
-        img AS (  -- pixel j: three consecutive bytes of the tiled stream
-          SELECT d.i, j // (d.w * d.h // {dim}) AS dim,
-                 SUM(bs[(3*j) % 32 + 1] + bs[(3*j + 1) % 32 + 1]
-                     + bs[(3*j + 2) % 32 + 1]) AS s,
+        pre AS (  -- ps[k+1] = sum of the first k bytes (cyclic prefix;
+                  -- coalesce: DuckDB sums an empty slice to NULL, and
+                  -- ps[1] must be 0) + the per-cycle signed-int16 sum
+          SELECT i, bs,
+                 list_transform(generate_series(0, 32),
+                                k -> coalesce(
+                                  list_aggregate(bs[1:k], 'sum'), 0)) AS ps,
+                 list_aggregate(list_transform(generate_series(0, 31),
+                   k -> CASE WHEN k % 2 = 0 THEN bs[k + 1]
+                             WHEN bs[k + 1] >= 128
+                             THEN 256 * bs[k + 1] - 65536
+                             ELSE 256 * bs[k + 1] END), 'sum') AS s_cycle
+          FROM digest
+        ),
+        img AS (  -- image bin d: bytes [3qd, 3q(d+1)) of the tiled stream
+          SELECT d.i, t.d AS dim,
+                 (3 * (d.w * d.h // {dim}) // 32) * p.ps[33]
+                 + CASE WHEN (3 * (d.w * d.h // {dim}) * t.d) % 32
+                             + (3 * (d.w * d.h // {dim})) % 32 <= 32
+                        THEN p.ps[(3 * (d.w * d.h // {dim}) * t.d) % 32
+                                  + (3 * (d.w * d.h // {dim})) % 32 + 1]
+                             - p.ps[(3 * (d.w * d.h // {dim}) * t.d) % 32 + 1]
+                        ELSE p.ps[33]
+                             - p.ps[(3 * (d.w * d.h // {dim}) * t.d) % 32 + 1]
+                             + p.ps[(3 * (d.w * d.h // {dim}) * t.d) % 32
+                                    + (3 * (d.w * d.h // {dim})) % 32 - 31]
+                   END AS s,
                  765 * (d.w * d.h // {dim}) AS denom
           FROM dims d
-          JOIN digest USING (i),
-               UNNEST(generate_series(0, d.w * d.h - 1)) AS g(j)
+          JOIN pre p USING (i),
+               UNNEST(generate_series(0, {dim - 1})) AS t(d)
           WHERE d.kind = 'image'
-          GROUP BY d.i, d.w, d.h, j // (d.w * d.h // {dim})
         ),
-        aud AS (  -- sample j: little-endian int16 from two tiled bytes
-          SELECT d.i, j // (2048 // {dim}) AS dim,
-                 SUM(CASE WHEN bs[(2*j) % 32 + 1] + 256 * bs[(2*j + 1) % 32 + 1]
-                               >= 32768
-                          THEN bs[(2*j) % 32 + 1] + 256 * bs[(2*j + 1) % 32 + 1]
-                               - 65536
-                          ELSE bs[(2*j) % 32 + 1] + 256 * bs[(2*j + 1) % 32 + 1]
-                     END) AS s,
+        aud AS (  -- audio bin: exactly 4 digest cycles of signed LE int16
+          -- (2048 samples / {dim} bins = 64 samples = 128 bytes = 4x32);
+          -- lo bytes sit at even cycle offsets, hi at odd
+          SELECT d.i, t.d AS dim,
+                 4 * p.s_cycle AS s,
                  32768 * (2048 // {dim}) AS denom
           FROM dims d
-          JOIN digest USING (i),
-               generate_series(0, 2047) AS g(j)
+          JOIN pre p USING (i),
+               UNNEST(generate_series(0, {dim - 1})) AS t(d)
           WHERE d.kind = 'audio'
-          GROUP BY d.i, j // (2048 // {dim})
         ),
         pooled AS (
           SELECT * FROM img UNION ALL SELECT * FROM aud
