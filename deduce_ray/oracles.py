@@ -808,16 +808,24 @@ def media_features_jpeg_sql(dim: int = 32, id_offset: int = 0) -> str:
           FROM dims, generate_series(0, 31) AS g(k)
           GROUP BY i, hx
         ),
-        grp AS (  -- 8-pixel flat group g: one row, one block
-          SELECT d.i,
-                 g // (d.w * d.h // {dim * 8}) AS dim,
-                 SUM(24 * bs[((((8*g) // d.w) // 8) * (d.w // 8)
-                              + ((8*g) % d.w) // 8) % 32 + 1]) AS s,
+        grp AS (  -- bin d covers 8-pixel groups [d*w*h/{dim * 8},
+                  -- (d+1)*w*h/{dim * 8}); each group is one row of one
+                  -- 8x8 block, so its 8 pixels share one digest byte.
+                  -- The whole bin folds into ONE list expression per
+                  -- (doc, dim) row — no per-pixel/per-group unnest, so
+                  -- the oracle stays 32 rows/doc at every scale
+          SELECT d.i, t.d AS dim,
+                 24 * list_aggregate(list_transform(
+                       generate_series(
+                         (d.w * d.h // {dim * 8}) * t.d,
+                         (d.w * d.h // {dim * 8}) * (t.d + 1) - 1),
+                       g -> bs[((((8*g) // d.w) // 8) * (d.w // 8)
+                                + ((8*g) % d.w) // 8) % 32 + 1]),
+                     'sum') AS s,
                  765 * (d.w * d.h // {dim}) AS denom
           FROM dims d
           JOIN digest USING (i),
-               UNNEST(generate_series(0, d.w * d.h // 8 - 1)) AS t(g)
-          GROUP BY d.i, d.w, d.h, g // (d.w * d.h // {dim * 8})
+               UNNEST(generate_series(0, {dim - 1})) AS t(d)
         )
         SELECT grp.i + {int(id_offset)} AS media_id, 'image' AS kind,
                CAST(grp.dim AS INT) AS dim,
