@@ -598,6 +598,37 @@ def cmd_vectorize(args) -> int:
     ds = _read_corpus(args, decorate=False)
     text_col = _corpus_text_col(ds)
     ds = _ensure_doc_id(ds, "vectorize")
+    if args.encoder == "hashing":
+        # model-based path: the actor-pool hashing encoder (ops/embed.py)
+        # — no vocabulary pass, no _vocab.json; two corpora encoded with
+        # the same --embed-dim share one vector space by construction
+        if args.vocab_in:
+            raise SystemExit(
+                "--vocab-in applies to the tfidf encoder only (the "
+                "hashing encoder's space is fixed by --embed-dim)"
+            )
+        from deduce_ray.ops.embed import embed_documents
+
+        dense = embed_documents(
+            ds, text_col=text_col, dim=args.embed_dim
+        ).map_batches(
+            lambda b: b.rename_columns(
+                ["vec_id" if c == "doc_id" else c for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+        dense.write_parquet(args.output)
+        n_vectors = sum(
+            pq.read_metadata(fp).num_rows for fp in out_dir.glob("*.parquet")
+        )
+        print(json.dumps({
+            "encoder": "hashing",
+            "n_vectors": n_vectors,
+            "dim": args.embed_dim,
+            "output": args.output,
+        }))
+        ray.shutdown()
+        return 0
     if args.vocab_in:
         with open(args.vocab_in, encoding="utf-8") as f:
             raw = json.load(f)
@@ -1111,9 +1142,9 @@ def main() -> int:
 
     p = sub.add_parser(
         "vectorize",
-        help="corpus -> dense TF-IDF vector parquet (vec_id, embedding): "
-        "the model-free text -> vector bridge; feed the output to "
-        "`ann --build`",
+        help="corpus -> dense vector parquet (vec_id, embedding): TF-IDF "
+        "by default, or the actor-pool hashing encoder with "
+        "--encoder hashing; feed the output to `ann --build`",
     )
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
@@ -1135,6 +1166,22 @@ def main() -> int:
         "when vectorizing queries against an existing index (a fresh "
         "vocabulary would assign different term positions/idf, making "
         "the spaces incomparable)",
+    )
+    p.add_argument(
+        "--encoder",
+        choices=["tfidf", "hashing"],
+        default="tfidf",
+        help="tfidf: corpus-derived vocabulary + idf weights (writes "
+        "_vocab.json; reuse with --vocab-in).  hashing: the model-based "
+        "signed feature-hashing encoder (ops/embed.py, actor pool) — "
+        "vocabulary-free, so two corpora at the same --embed-dim share "
+        "one vector space with no artifact to carry",
+    )
+    p.add_argument(
+        "--embed-dim",
+        type=int,
+        default=256,
+        help="vector dimension for --encoder hashing",
     )
     p.add_argument("--num-cpus", type=int)
     p.set_defaults(fn=cmd_vectorize)

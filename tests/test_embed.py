@@ -143,6 +143,41 @@ def test_embed_bridges_into_ann(ray_session):
     assert np.allclose(out["score"], 1.0)
 
 
+def test_vectorize_cli_hashing_encoder(tmp_path):
+    """vectorize --encoder hashing (subprocess: the CLI owns its Ray
+    session) writes an embeddings-shaped parquet that ann --build
+    accepts; --vocab-in is refused (tfidf-only artifact)."""
+    import json
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-m", "deduce_ray", "vectorize",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", str(tmp_path / "vecs"),
+         "--encoder", "hashing", "--embed-dim", "32", "--num-cpus", "2"],
+        cwd=repo, capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    info = json.loads(
+        [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    )
+    assert info["encoder"] == "hashing" and info["n_vectors"] == 500
+    t = pq.read_table(str(tmp_path / "vecs"))
+    assert set(t.schema.names) == {"vec_id", "embedding"}
+
+    bad = subprocess.run(
+        [sys.executable, "-m", "deduce_ray", "vectorize",
+         "--input", "/root/testdata/sf0.001/documents.parquet",
+         "--output", str(tmp_path / "vecs2"),
+         "--encoder", "hashing", "--vocab-in", "/dev/null",
+         "--num-cpus", "2"],
+        cwd=repo, capture_output=True, text=True, timeout=300,
+    )
+    assert bad.returncode != 0
+    assert "tfidf encoder only" in bad.stderr
+
+
 def test_semantic_funnel_stage(ray_session):
     """prep_corpus(semantic_threshold=...) drops a word-PERMUTED
     duplicate the MinHash stage misses, keeps the distinct doc, and
