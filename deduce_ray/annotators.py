@@ -170,6 +170,10 @@ class TokenPatternAnnotator(Annotator):
             and isinstance(pattern[0]["re_match"], re.Pattern)
         ):
             self._single_re = pattern[0]["re_match"]
+            # token-text -> verdict memo, annotator lifetime (= worker
+            # lifetime in the Ray stage): Zipf makes repeat texts the
+            # common case, and one dict probe beats a C regex call ~5x
+            self._single_memo: dict[str, bool] = {}
         self._start_values: set[str] | None = None
         self._start_pipeline = None
         if pattern and "lookup" in pattern[0]:
@@ -225,20 +229,28 @@ class TokenPatternAnnotator(Annotator):
         tokens = doc.get_tokens()
         if self._single_re is not None:
             match = self._single_re.match
+            memo = self._single_memo
+            if len(memo) > 1_000_000:
+                memo.clear()
             tag, priority = self.tag, self.priority
-            return [
-                Annotation(
-                    text=token.text,
-                    start_char=token.start_char,
-                    end_char=token.end_char,
-                    tag=tag,
-                    priority=priority,
-                    start_token=token,
-                    end_token=token,
-                )
-                for text, token in zip(tokens.texts(), tokens)
-                if match(text) is not None
-            ]
+            found = []
+            for text, token in zip(tokens.texts(), tokens):
+                hit = memo.get(text)
+                if hit is None:
+                    hit = memo[text] = match(text) is not None
+                if hit:
+                    found.append(
+                        Annotation(
+                            text=token.text,
+                            start_char=token.start_char,
+                            end_char=token.end_char,
+                            tag=tag,
+                            priority=priority,
+                            start_token=token,
+                            end_token=token,
+                        )
+                    )
+            return found
         if self._start_values is not None:
             candidates = tokens.token_lookup(self._start_values, self._start_pipeline)
         else:

@@ -167,6 +167,7 @@ def duplicated_ngram_spans(
     n_shards: int | None = None,
     coalesce_rows: int = 4_000_000,
     prefilter_candidates_max: int | None = 20_000_000,
+    prefilter_min_rows: int = 30_000_000,
 ):
     """Dataset of ``(doc_id, start_word, end_word)`` — one row per
     maximal duplicated span per document, where a span is the union of
@@ -381,11 +382,20 @@ def duplicated_ngram_spans(
     # With the count prefilter, the full-width sort runs over the
     # candidate subset only; the wide exchange is replaced by a
     # hash-column-only sort plus a broadcast searchsorted filter.
+    # ``prefilter_min_rows``: below this gram count the classic one-sort
+    # plan wins — the prefilter's extra hash-column sort costs more than
+    # it saves on a small exchange (measured ~+0.1 s at the 17M-row
+    # bench corpus vs -22 s at the 63M-row stress).  The count is free:
+    # the gram table is materialized either way for the two consumers.
     to_sort = coalesced
     if prefilter_candidates_max:
         import ray
 
         grams_mat = coalesced.materialize()
+        if grams_mat.count() < prefilter_min_rows:
+            prefilter_candidates_max = None
+            to_sort = grams_mat  # already materialized: sort it directly
+    if prefilter_candidates_max:
         cand = _candidate_gram_hashes(
             grams_mat, min_docs, int(prefilter_candidates_max)
         )
