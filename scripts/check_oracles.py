@@ -47,6 +47,14 @@ def fetch(result):
     import ray
 
     tables = ray.get(result.to_arrow_refs())
+    # some execution paths (pandas-producing map_groups stages) hand
+    # back pandas-backed blocks despite the method name — convert
+    tables = [
+        pa.Table.from_pandas(t, preserve_index=False)
+        if isinstance(t, pd.DataFrame)
+        else t
+        for t in tables
+    ]
     tables = [t for t in tables if t.num_rows]
     if not tables:
         return result.to_pandas()  # empty: keep the schema-bearing path
