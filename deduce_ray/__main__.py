@@ -391,6 +391,7 @@ def cmd_prep(args) -> int:
         max_top_2gram_ppm=args.max_top_2gram_ppm,
         max_dup_5gram_ppm=args.max_dup_5gram_ppm,
         minhash_threshold=threshold,
+        neardup_keep=args.neardup_keep,
         strip_dup_ngrams=args.strip_dup_ngrams or None,
         max_bucket=args.minhash_max_bucket or None,
         minhash_bands=args.minhash_bands,
@@ -990,6 +991,14 @@ def main() -> int:
         type=float,
         default=0.7,
         help="near-dup Jaccard threshold; <=0 disables the near-dup stage",
+    )
+    p.add_argument(
+        "--neardup-keep",
+        choices=["min_id", "longest"],
+        default="min_id",
+        help="near-dup cluster survivor: min_id (cheapest) or longest "
+        "(max characters, ties to the smaller id — keep the fullest "
+        "copy; one extra bounded pass over the cluster members)",
     )
     p.add_argument(
         "--max-ppl",

@@ -138,17 +138,30 @@ def _neardup_loser_refs(
     loser_broadcast_max: int,
     max_bucket: int | None = None,
     bands: int | None = None,
+    keep: str = "min_id",
 ):
     """ray.put sorted-id chunk refs for every near-dup cluster member
-    except its minimum id.  The clusters table is bounded by the corpus's
-    near-duplicate rows, so the loser list is small relative to the
-    corpus."""
+    except its representative.  The clusters table is bounded by the
+    corpus's near-duplicate rows, so the loser list is small relative
+    to the corpus.
+
+    ``keep`` picks the representative: ``"min_id"`` (the component
+    minimum — cheapest, row-local) or ``"longest"`` (the member with
+    the most characters, ties to the smaller id — the CCNet/
+    RefinedWeb-style quality heuristic: boilerplate-trimmed copies and
+    truncated mirrors lose to the fullest text).  The longest path
+    adds ONE bounded corpus pass: cluster member ids broadcast sorted,
+    members emit (id, n_chars), and a small cluster-sharded groupby
+    picks winners — everything scales with the near-dup mass, never
+    the corpus."""
     from deduce_ray.ops.dedup import (
         _chunked_id_refs,
         minhash_lsh_pairs,
         neardup_clusters,
     )
 
+    if keep not in ("min_id", "longest"):
+        raise ValueError(f"keep must be 'min_id' or 'longest', got {keep!r}")
     kwargs = {} if bands is None else {"bands": bands}
     pairs = minhash_lsh_pairs(
         survivors,
@@ -159,6 +172,10 @@ def _neardup_loser_refs(
         **kwargs,
     )
     labels = neardup_clusters(pairs)
+    if keep == "longest":
+        return _longest_member_loser_refs(
+            survivors, labels, text_col, id_col, loser_broadcast_max
+        )
 
     def losers_of(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -166,13 +183,148 @@ def _neardup_loser_refs(
         # cluster_id IS the component minimum, so the loser test is
         # row-local — a per-batch groupby-min would be wrong whenever a
         # cluster spans blocks (the distributed labels path shards by id)
-        keep = pc.equal(batch.column("doc_id"), batch.column("cluster_id"))
+        keep_mask = pc.equal(batch.column("doc_id"), batch.column("cluster_id"))
         return pa.table(
-            {"doc_id": batch.column("doc_id").filter(pc.invert(keep))}
+            {"doc_id": batch.column("doc_id").filter(pc.invert(keep_mask))}
         )
 
     loser_ds = labels.map_batches(losers_of, batch_format="pyarrow")
     return _chunked_id_refs(loser_ds, "doc_id", loser_broadcast_max)
+
+
+def _longest_member_loser_refs(survivors, labels, text_col, id_col,
+                               loser_broadcast_max):
+    """Losers = cluster members except the (max n_chars, min id) one.
+    labels: (doc_id, cluster_id) rows, bounded by near-dup mass."""
+    import numpy as np
+    import ray
+    import pyarrow.compute as pc
+
+    from deduce_ray.ops.agg import merge_shards
+    from deduce_ray.ops.dedup import _chunked_id_refs
+
+    labels = labels.materialize()
+    member_refs = _chunked_id_refs(
+        labels.map_batches(
+            lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+        ),
+        "doc_id",
+        loser_broadcast_max,
+    )
+    if not member_refs:
+        return []
+
+    def member_lengths(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mask = np.zeros(len(ids), dtype=bool)
+        for ref in member_refs:
+            chunk = ray.get(ref)
+            idx = np.searchsorted(chunk, ids)
+            idx[idx == len(chunk)] = 0
+            mask |= chunk[idx] == ids
+        if not mask.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_chars": pa.array([], type=pa.int64()),
+                }
+            )
+        sub = batch.filter(pa.array(mask))
+        texts = sub.column(text_col).to_pylist()
+        return pa.table(
+            {
+                "doc_id": pc.cast(sub.column(id_col), pa.int64()),
+                "n_chars": pa.array(
+                    [len(t) if t else 0 for t in texts], type=pa.int64()
+                ),
+            }
+        )
+
+    lengths = survivors.map_batches(member_lengths, batch_format="pyarrow")
+    n_shards = merge_shards()
+
+    def shard_of(batch: pa.Table, col: str) -> pa.Table:
+        c = batch.column(col).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "__shard",
+            pa.array(
+                (c.view(np.uint64) % n_shards).astype(np.int64)
+                if len(c)
+                else np.empty(0, dtype=np.int64)
+            ),
+        )
+
+    import pandas as pd
+
+    # two tiny sharded exchanges over the near-dup mass only: (1) a
+    # member-id-sharded merge attaches each member's n_chars to its
+    # label row, (2) a cluster-sharded pass keeps everything but the
+    # (max n_chars, min id) representative per cluster
+    lab_tag = labels.map_batches(
+        lambda b: b.append_column(
+            "__side", pa.array(np.zeros(b.num_rows, dtype=np.int64))
+        ).append_column(
+            "n_chars", pa.array(np.zeros(b.num_rows, dtype=np.int64))
+        ),
+        batch_format="pyarrow",
+    )
+    len_tag = lengths.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "cluster_id": pa.array(
+                    np.zeros(b.num_rows, dtype=np.int64)
+                ),
+                "__side": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                "n_chars": b.column("n_chars"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    both = lab_tag.union(len_tag).map_batches(
+        lambda b: shard_of(b, "doc_id"), batch_format="pyarrow"
+    )
+
+    def join_member(df: pd.DataFrame) -> pa.Table:
+        if df.empty:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "cluster_id": pa.array([], type=pa.int64()),
+                    "n_chars": pa.array([], type=pa.int64()),
+                }
+            )
+        lab = df[df["__side"] == 0][["doc_id", "cluster_id"]]
+        ln = df[df["__side"] == 1][["doc_id", "n_chars"]]
+        m = lab.merge(ln, on="doc_id", how="left")
+        m["n_chars"] = m["n_chars"].fillna(0).astype("int64")
+        return pa.Table.from_pandas(m, preserve_index=False)
+
+    member_rows = both.groupby("__shard").map_groups(
+        join_member, batch_format="pandas"
+    )
+    clustered = member_rows.map_batches(
+        lambda b: shard_of(b, "cluster_id"), batch_format="pyarrow"
+    )
+    loser_ds = clustered.groupby("__shard").map_groups(
+        pick_losers_by_cluster, batch_format="pandas"
+    )
+    return _chunked_id_refs(loser_ds, "doc_id", loser_broadcast_max)
+
+
+def pick_losers_by_cluster(df):
+    """Within one cluster shard: every member except the
+    (max n_chars, min doc_id) representative."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if df.empty:
+        return pa.table({"doc_id": pa.array([], type=pa.int64())})
+    df = df.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+    losers = df[df.duplicated("cluster_id", keep="first")]
+    return pa.table(
+        {"doc_id": pa.array(losers["doc_id"].to_numpy(), type=pa.int64())}
+    )
 
 
 def prep_corpus(
@@ -186,6 +338,7 @@ def prep_corpus(
     max_top_2gram_ppm: int | None = None,
     max_dup_5gram_ppm: int | None = None,
     minhash_threshold: float | None = 0.7,
+    neardup_keep: str = "min_id",
     strip_dup_ngrams: int | None = None,
     max_bucket: int | None = None,
     minhash_bands: int | None = None,
@@ -224,6 +377,11 @@ def prep_corpus(
     the ubiquitous-phrase band buckets grow Theta(n) and the rejected
     candidates Theta(n^2) (measured; see minhash_lsh_pairs and
     scripts/stress_funnel.py).
+
+    ``neardup_keep`` picks each near-dup cluster's survivor:
+    ``"min_id"`` (default) or ``"longest"`` (max characters, ties to
+    the smaller id — keep the fullest copy, the quality-aware
+    convention; see _neardup_loser_refs).
 
     ``max_dup_line_ppm`` / ``max_top_2gram_ppm`` / ``max_dup_5gram_ppm``
     enable the Gopher-style repetition filters inside the SAME single
@@ -316,6 +474,7 @@ def prep_corpus(
             loser_broadcast_max,
             max_bucket=max_bucket,
             bands=minhash_bands,
+            keep=neardup_keep,
         )
         out = _drop_ids(survivors, refs, id_col) if refs else survivors
     if semantic_threshold is not None:

@@ -212,3 +212,53 @@ def test_semantic_funnel_stage(ray_session):
         checkpoint=False,
     ).to_pandas()
     assert sorted(out2["doc_id"]) == [100, 300]
+
+
+def test_neardup_keep_longest(ray_session):
+    """prep_corpus(neardup_keep='longest') keeps each near-dup
+    cluster's fullest member (ties to the smaller id), not the minimum
+    id; default behavior unchanged."""
+    import ray.data
+
+    from deduce_ray.ops.funnel import prep_corpus
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    longer = base + "iota kappa"
+    t = pa.table(
+        {
+            "doc_id": pa.array([10, 20, 30], type=pa.int64()),
+            "text": [base.strip(), longer.strip(), "unrelated words here"],
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    # default: the minimum id survives its cluster
+    out_min = prep_corpus(
+        ds, minhash_threshold=0.5, checkpoint=False
+    ).to_pandas()
+    assert sorted(out_min["doc_id"]) == [10, 30]
+    # longest: doc 20 (strictly more characters) survives instead
+    out_long = prep_corpus(
+        ds, minhash_threshold=0.5, neardup_keep="longest", checkpoint=False
+    ).to_pandas()
+    assert sorted(out_long["doc_id"]) == [20, 30]
+    # equal lengths tie to the smaller id: byte-identical copies
+    t2 = pa.table(
+        {
+            "doc_id": pa.array([7, 5], type=pa.int64()),
+            "text": [base.strip(), base.strip()],
+        }
+    )
+    out_tie = prep_corpus(
+        ray.data.from_arrow(t2),
+        minhash_threshold=0.5,
+        neardup_keep="longest",
+        checkpoint=False,
+    ).to_pandas()
+    assert sorted(out_tie["doc_id"]) == [5]
+    import pytest
+
+    with pytest.raises(ValueError, match="keep must be"):
+        prep_corpus(
+            ds, minhash_threshold=0.5, neardup_keep="shortest",
+            checkpoint=False,
+        ).to_pandas()
