@@ -395,7 +395,7 @@ def prep_corpus(
     the MinHash pass and the LM filter: the corpus is embedded by the
     actor-pool hashing encoder (ops/embed.py, ``embed_dim`` components)
     and cosine near-duplicate clusters above the threshold keep only
-    their minimum id — catching word-reordered/paraphrase-shaped
+    their representative (``neardup_keep`` applies here too) — catching word-reordered/paraphrase-shaped
     duplicates that shingle space misses.
 
     ``max_ppl`` enables the CCNet-style LM quality filter as the LAST
@@ -481,6 +481,7 @@ def prep_corpus(
         out = _semantic_loser_filter(
             out, text_col, id_col, float(semantic_threshold),
             embed_dim, loser_broadcast_max, checkpoint,
+            keep=neardup_keep,
         )
     if max_ppl is None:
         return out
@@ -491,7 +492,8 @@ def prep_corpus(
 
 
 def _semantic_loser_filter(out, text_col, id_col, threshold, dim,
-                           loser_broadcast_max, checkpoint):
+                           loser_broadcast_max, checkpoint,
+                           keep: str = "min_id"):
     """Semantic near-dup stage: embed the surviving corpus (actor-pool
     inference, ops/embed.py), find cosine near-duplicate clusters via
     hyperplane LSH, keep each cluster's minimum id.  Runs AFTER the
@@ -518,11 +520,18 @@ def _semantic_loser_filter(out, text_col, id_col, threshold, dim,
         emb, id_col=id_col, vec_col="embedding", threshold=threshold
     )
     labels = neardup_clusters(pairs)
+    if keep == "longest":
+        refs = _longest_member_loser_refs(
+            out, labels, text_col, id_col, loser_broadcast_max
+        )
+        return _drop_ids(out, refs, id_col) if refs else out
 
     def losers_of(batch: pa.Table) -> pa.Table:
-        keep = pc.equal(batch.column("doc_id"), batch.column("cluster_id"))
+        keep_mask = pc.equal(
+            batch.column("doc_id"), batch.column("cluster_id")
+        )
         return pa.table(
-            {id_col: batch.column("doc_id").filter(pc.invert(keep))}
+            {id_col: batch.column("doc_id").filter(pc.invert(keep_mask))}
         )
 
     loser_ds = labels.map_batches(losers_of, batch_format="pyarrow")

@@ -262,3 +262,31 @@ def test_neardup_keep_longest(ray_session):
             ds, minhash_threshold=0.5, neardup_keep="shortest",
             checkpoint=False,
         ).to_pandas()
+
+
+def test_semantic_stage_keep_longest(ray_session):
+    """neardup_keep applies to the semantic stage too: a word-permuted
+    LONGER duplicate survives over the smaller-id original."""
+    import ray.data
+
+    from deduce_ray.ops.funnel import prep_corpus
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta " * 4).split()
+    base = " ".join(words)
+    permuted_longer = " ".join(reversed(words)) + "  "  # same bag, more chars
+    t = pa.table(
+        {
+            "doc_id": pa.array([100, 200, 300], type=pa.int64()),
+            "text": [base, permuted_longer, "unrelated content entirely"],
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = prep_corpus(
+        ds,
+        minhash_threshold=0.9,
+        semantic_threshold=0.95,
+        embed_dim=16,
+        neardup_keep="longest",
+        checkpoint=False,
+    ).to_pandas()
+    assert sorted(out["doc_id"]) == [200, 300]
