@@ -80,3 +80,66 @@ assert s2["buckets_skipped"] == s1["buckets_written"] - 1, (s1, s2)
 assert s2["survivors"] == s1["survivors"] == 40, (s1, s2)
 print(f"prep --resume CLI: run1 {s1} | resumed {s2}", flush=True)
 shutil.rmtree(work, ignore_errors=True)
+
+# --- round-5 surfaces: embedding stage + JPEG codec + incremental KG ---
+import numpy as _np
+
+from deduce_ray.ops.embed import HashingEncoder as _HE, embed_documents as _ed
+import pyarrow as _pa2
+import ray.data as _rd
+
+_t = _pa2.table({
+    "doc_id": _pa2.array([1, 2, 3], type=_pa2.int64()),
+    "text": ["one two three", "three two one", "different words here"],
+})
+_emb = _ed(_rd.from_arrow(_t), dim=16).to_pandas().sort_values("doc_id")
+assert list(_emb["doc_id"]) == [1, 2, 3]
+assert _np.allclose(
+    _np.asarray(_emb["embedding"].iloc[0]),
+    _np.asarray(_emb["embedding"].iloc[1]),
+), "word-permuted docs must embed identically"
+
+from deduce_ray.ops.jpeg import decode_jpeg as _dj, encode_jpeg as _ej
+
+_vals = _np.arange(6, dtype=_np.uint8).reshape(2, 3) * 40 + 5
+_img = _np.kron(_vals, _np.ones((8, 8), dtype=_np.uint8))
+assert _np.array_equal(_dj(_ej(_img, quality=100))[..., 0], _img), (
+    "block-constant q100 JPEG must round-trip bit-exactly"
+)
+print("embed + jpeg legs: OK", flush=True)
+
+# incremental KG: two analyze --state-dir batches == documented shape
+import tempfile as _tf
+
+_kgwork = _tf.mkdtemp(prefix="drive_smoke_kg_")
+for _name, _rows in (
+    ("b1", [(1, "zie 11112222 en 33334444 hier")]),
+    ("b2", [(2, "weer 11112222 en 33334444 samen")]),
+):
+    os.makedirs(f"{_kgwork}/{_name}")
+    _pq.write_table(
+        _pa2.table({
+            "doc_id": _pa2.array([r[0] for r in _rows], type=_pa2.int64()),
+            "text": _pa2.array([r[1] for r in _rows]),
+            "lang": _pa2.array(["nl"] * len(_rows)),
+        }),
+        f"{_kgwork}/{_name}/docs.parquet",
+    )
+_kgout = []
+for _name in ("b1", "b2"):
+    _r = subprocess.run(
+        [sys.executable, "-m", "deduce_ray", "analyze",
+         "--input", f"{_kgwork}/{_name}", "--state-dir", f"{_kgwork}/store",
+         "--state-label", _name, "--enabled", "identifiers,identifier",
+         "--top", "5", "--num-cpus", "2"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+    )
+    assert _r.returncode == 0, _r.stderr[-2000:]
+    _kgout.append(_json.loads(
+        [ln for ln in _r.stdout.splitlines() if ln.startswith("{")][-1]
+    ))
+# the shared edge merged: both entities present after batch 2
+assert _kgout[1]["entities"] == 2, _kgout
+print(f"kg --state-dir legs: b1 {_kgout[0]['entities']} entities, "
+      f"b2 merged {_kgout[1]['entities']}", flush=True)
+shutil.rmtree(_kgwork, ignore_errors=True)
